@@ -1,0 +1,32 @@
+"""tpufwi — a TPU-native full-waveform inversion framework in JAX.
+
+Capability set per BASELINE.json (see SURVEY.md for the blueprint):
+  * 2D/3D acoustic + 2D elastic P-SV forward modeling (leapfrog / staggered
+    velocity-stress, 4th/8th-order space, CPML fused into the update).
+  * Adjoint-state gradients via boundary-saving reverse time-stepping with
+    an exact discrete transpose (tpufwi/adjoint.py).
+  * L2 misfit, preconditioning, L-BFGS / NLCG, multiscale frequency
+    continuation (tpufwi/invert.py).
+  * Shot data-parallelism + 3D domain decomposition over a TPU mesh with
+    XLA collectives (tpufwi/sharding.py).
+"""
+
+from .grid import Grid, cfl_dt
+from .models import Model
+from .wavelets import ricker
+from .acquisition import Geometry, line_geometry, split_spread_survey
+from .propagators.acoustic2d import AcousticPropagator
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Grid",
+    "cfl_dt",
+    "Model",
+    "ricker",
+    "Geometry",
+    "line_geometry",
+    "split_spread_survey",
+    "AcousticPropagator",
+    "__version__",
+]

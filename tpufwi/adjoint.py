@@ -1,0 +1,149 @@
+"""Adjoint-state gradient engine: exact discrete adjoint with
+boundary-saving wavefield reconstruction (spec C2, BASELINE.json:5,8).
+
+Design (SURVEY.md §3.2), and why it is *exact*:
+
+The acoustic step is **affine in the wavefield state** (p, phi, psi) for a
+fixed model — the wave equation is linear. Therefore the state-to-state
+Jacobian of one step does not depend on the primal state at all, and
+``jax.vjp`` of the step evaluated at *any* state gives the exact transposed
+operator M^T (this is the adjoint field propagation, with the CPML recursion
+transposed automatically — absorbing for the adjoint field too). The only
+place the primal wavefield enters the backward pass is the model cotangent
+dJ/d(c^2 dt^2)[i] = lambda_next[i] * Lap_cpml(p_t)[i] — the cross-correlation
+imaging condition. The primal p_t is recovered by *reverse time-stepping*
+(the lossless interior leapfrog is time-reversible) while re-imposing the
+saved boundary rings each step, so no O(nt * nx * nz) storage is needed —
+memory is O(nt * perimeter * radius) for the tape.
+
+Exactness domain: the gradient is the exact discrete transpose on the
+interior shrunk by one stencil radius, and is defined as zero on the
+outermost radius-wide frame of the physical model (propagators/boundary.py).
+The adjoint dot-product test (tests/test_adjoint.py) verifies this to
+float-roundoff when the probe perturbation is supported in the valid region.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .cpml import build_profiles
+from .grid import Grid
+from .kernels.acoustic2d_jnp import (
+    AcousticParams,
+    AcousticState,
+    make_acoustic_step,
+    make_reverse_reconstruct_step,
+    zero_state,
+)
+from .propagators.boundary import RingSpec
+
+
+def _int_cotangent(x):
+    """float0 zero cotangent for integer-valued primal inputs."""
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def make_simulator(grid: Grid, dt: float, f0: float, c_max: float, dtype=jnp.float32):
+    """Build ``simulate(c2dt2, wavelet, src_idx, rcv_idx) -> seis`` with a
+    custom VJP implementing the boundary-saving adjoint.
+
+    Args:
+      grid: padded-geometry descriptor.
+      dt: timestep (s). Caller is responsible for CFL (grid.check_dt).
+      f0: dominant frequency used for the CPML alpha profile.
+      c_max: velocity bound used for the CPML d0 profile (a tuning constant,
+        NOT differentiated — use the model-box upper bound).
+      dtype: computation dtype.
+
+    ``simulate`` is differentiable in c2dt2 (the padded (c*dt)^2 field) and
+    wavelet; src/rcv integer index arrays get float0 cotangents. It composes
+    with jit/vmap/shard_map.
+    """
+    profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
+    a_ax = tuple(jnp.asarray(p[0], dtype) for p in profs)
+    b_ax = tuple(jnp.asarray(p[1], dtype) for p in profs)
+    step = make_acoustic_step(grid)
+    recon = make_reverse_reconstruct_step(grid)
+    rings = RingSpec.build(grid)
+    ndim = grid.ndim
+    shape = grid.padded_shape
+
+    def _params(c2dt2, src_idx, rcv_idx):
+        return AcousticParams(c2dt2=c2dt2, a=a_ax, b=b_ax, src_idx=src_idx, rcv_idx=rcv_idx)
+
+    @jax.custom_vjp
+    def simulate(c2dt2, wavelet, src_idx, rcv_idx):
+        params = _params(c2dt2, src_idx, rcv_idx)
+
+        def body(s, w_t):
+            s, rec = step(s, params, w_t)
+            return s, rec
+
+        _, seis = lax.scan(body, zero_state(shape, ndim, c2dt2.dtype), wavelet)
+        return seis
+
+    def simulate_fwd(c2dt2, wavelet, src_idx, rcv_idx):
+        params = _params(c2dt2, src_idx, rcv_idx)
+
+        def body(s, w_t):
+            s, rec = step(s, params, w_t)
+            return s, (rec, rings.extract(s.p))
+
+        final, (seis, tape) = lax.scan(
+            body, zero_state(shape, ndim, c2dt2.dtype), wavelet
+        )
+        residuals = (c2dt2, wavelet, src_idx, rcv_idx, tape, final.p_prev, final.p)
+        return seis, residuals
+
+    def simulate_bwd(residuals, seis_bar):
+        c2dt2, wavelet, src_idx, rcv_idx, tape, p_last_prev, p_last = residuals
+        params = _params(c2dt2, src_idx, rcv_idx)
+        nt = wavelet.shape[0]
+
+        # tape[k] holds rings(p_{k+1}); the reverse step at forward index t
+        # re-imposes rings(p_{t-1}) = tape[t-2] (zeros for t < 2).
+        def shift2(T):
+            z = jnp.zeros((2,) + T.shape[1:], T.dtype)
+            return jnp.concatenate([z, T[:-2]], axis=0)
+
+        tape_tm1 = jax.tree.map(shift2, tape)
+
+        def step_sc(s, c2, w_t):
+            return step(s, _params(c2, src_idx, rcv_idx), w_t)
+
+        def bwd_body(carry, xs):
+            sbar, p_t, p_tp1, c2bar = carry
+            ring_tm1, w_t, ybar_t = xs
+            # 1. reconstruct p_{t-1} by reverse leapfrog + ring re-imposition
+            p_tm1 = recon(p_t, p_tp1, c2dt2, src_idx, w_t)
+            p_tm1 = rings.impose(p_tm1, ring_tm1)
+            # 2. exact transposed step: vjp of the affine forward step
+            z = jnp.zeros(shape, c2dt2.dtype)
+            s_primal = AcousticState(
+                p_prev=p_tm1,
+                p=p_t,
+                phi=tuple(z for _ in range(ndim)),
+                psi=tuple(z for _ in range(ndim)),
+            )
+            _, pullback = jax.vjp(step_sc, s_primal, c2dt2, w_t)
+            sbar_new, c2_inc, w_inc = pullback((sbar, ybar_t))
+            return (sbar_new, p_tm1, p_t, c2bar + c2_inc), w_inc
+
+        sbar0 = zero_state(shape, ndim, c2dt2.dtype)
+        carry0 = (sbar0, p_last_prev, p_last, jnp.zeros(shape, c2dt2.dtype))
+        xs = (tape_tm1, wavelet, seis_bar)
+        (_, _, _, c2bar), wbar = lax.scan(bwd_body, carry0, xs, reverse=True)
+
+        # gradient is exact (and defined) only on the interior minus the ring
+        c2bar = rings.mask_valid(c2bar)
+        return c2bar, wbar, _int_cotangent(src_idx), _int_cotangent(rcv_idx)
+
+    simulate.defvjp(simulate_fwd, simulate_bwd)
+    return simulate

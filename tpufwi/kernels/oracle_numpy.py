@@ -1,0 +1,259 @@
+"""Independent slow NumPy oracle propagators (fp64).
+
+This module is the in-repo "reference implementation" that discharges V1
+(forward wavefields match to < 1e-6 RMS, BASELINE.json:5) given that the
+external reference mount is empty (SURVEY.md §0). It is written deliberately
+*apart* from the fast path: explicit Python time loops, scipy.ndimage
+correlations for derivatives, float64 throughout. Only the FD coefficient
+tables and the CPML profile formulas (pure math constants, trivially
+auditable) are shared with the production code.
+
+Discrete scheme (identical semantics to kernels/acoustic2d_jnp.py):
+
+  leapfrog:  p+ = 2 p - p- + dt^2 c^2 (Lap_cpml p + src)
+  CPML (kappa = 1, second-order form, Pasalic & McGarry 2010 [GENRE]),
+  per axis:
+      phi'  = b phi + a D1(p)
+      v     = D2(p) + D1(phi')
+      psi'  = b psi + a v
+      lap_axis = v + psi'
+  Lap_cpml p = sum_axes lap_axis
+  source:    p+[src] += dt^2 c^2[src] w[t]
+  record:    seis[t] = p+[rcv]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.ndimage import correlate1d
+
+from ..cpml import CpmlProfile
+from ..grid import D1_COEFFS, D2_COEFFS, D1_STAGGERED_COEFFS, Grid
+
+
+def _d(f, coeffs, h, axis):
+    return correlate1d(f, coeffs / h, axis=axis, mode="constant", cval=0.0)
+
+
+def _build_axis_profiles(grid: Grid, dt: float, c_max: float, f0: float):
+    """(a, b) broadcastable fp64 profile pairs per axis."""
+    out = []
+    z_axis = 0 if grid.ndim == 2 else 1
+    for ax in range(grid.ndim):
+        prof = CpmlProfile.build(
+            n=grid.shape[ax],
+            pml=grid.pml,
+            radius=grid.radius,
+            h=grid.h[ax],
+            dt=dt,
+            c_max=c_max,
+            f0=f0,
+            free_lo=(grid.free_surface and ax == z_axis),
+        )
+        shape = [1] * grid.ndim
+        shape[ax] = prof.a.shape[0]
+        out.append((prof.a.reshape(shape), prof.b.reshape(shape)))
+    return out
+
+
+def oracle_forward(
+    vp: np.ndarray,
+    grid: Grid,
+    dt: float,
+    wavelet: np.ndarray,
+    src_idx: np.ndarray,
+    rcv_idx: np.ndarray,
+    f0: float,
+    snapshot_stride: int = 0,
+):
+    """2D/3D acoustic forward, fp64, explicit time loop.
+
+    Args:
+      vp: physical-grid velocity, shape == grid.shape.
+      dt: timestep (caller must respect CFL).
+      wavelet: (nt,) source time function.
+      src_idx / rcv_idx: (n, ndim) *physical-grid* integer indices.
+      f0: dominant frequency for the CPML alpha profile.
+      snapshot_stride: if > 0, also return interior wavefield snapshots
+        every `snapshot_stride` steps.
+
+    Returns:
+      seis: (nt, nrec) float64 seismogram (sampled from p at t+dt).
+      snaps: list of interior p arrays (possibly empty).
+    """
+    vp = np.asarray(vp, dtype=np.float64)
+    nt = len(wavelet)
+    pad = grid.pad
+    c = np.pad(vp, [(pad, pad)] * grid.ndim, mode="edge")
+    c2dt2 = (c * c) * (dt * dt)
+    d1 = {ax: np.asarray(D1_COEFFS[grid.order]) for ax in range(grid.ndim)}
+    d2 = {ax: np.asarray(D2_COEFFS[grid.order]) for ax in range(grid.ndim)}
+    profs = _build_axis_profiles(grid, dt, vp.max(), f0)
+
+    shape = grid.padded_shape
+    p_prev = np.zeros(shape)
+    p = np.zeros(shape)
+    phi = [np.zeros(shape) for _ in range(grid.ndim)]
+    psi = [np.zeros(shape) for _ in range(grid.ndim)]
+
+    src = tuple(np.asarray(src_idx, dtype=np.int64).T + pad)
+    rcv = tuple(np.asarray(rcv_idx, dtype=np.int64).T + pad)
+    w = np.asarray(wavelet, dtype=np.float64)
+
+    seis = np.zeros((nt, np.asarray(rcv_idx).shape[0]))
+    snaps = []
+    for t in range(nt):
+        lap = np.zeros(shape)
+        for ax in range(grid.ndim):
+            a, b = profs[ax]
+            h = grid.h[ax]
+            phi[ax] = b * phi[ax] + a * _d(p, d1[ax], h, ax)
+            v = _d(p, d2[ax], h * h, ax) + _d(phi[ax], d1[ax], h, ax)
+            psi[ax] = b * psi[ax] + a * v
+            lap += v + psi[ax]
+        p_next = 2.0 * p - p_prev + c2dt2 * lap
+        np.add.at(p_next, src, c2dt2[src] * w[t])
+        seis[t] = p_next[rcv]
+        p_prev, p = p, p_next
+        if snapshot_stride and (t + 1) % snapshot_stride == 0:
+            snaps.append(p[grid.interior].copy())
+    return seis, snaps
+
+
+def oracle_elastic_2d(
+    vp: np.ndarray,
+    vs: np.ndarray,
+    rho: np.ndarray,
+    grid: Grid,
+    dt: float,
+    wavelet: np.ndarray,
+    src_idx: np.ndarray,
+    rcv_idx: np.ndarray,
+    f0: float,
+    source_type: str = "pressure",
+    record_fields: str = "v",
+):
+    """2D P-SV staggered-grid velocity-stress forward (Virieux 1986 /
+    Levander 1988 [GENRE]), fp64, with split-field CPML memory variables on
+    every spatial derivative (Komatitsch & Martin 2007). Spec C4
+    (BASELINE.json:10).
+
+    Staggering (cell i,j at integer positions):
+      sxx, szz at (i, j); sxz at (i+1/2, j+1/2); vx at (i, j+1/2);
+      vz at (i+1/2, j)  — z is axis 0, x is axis 1.
+
+    Returns (seis, snaps): seis is (nt, nrec, 2) with (vz, vx) samples when
+    ``record_fields == 'v'``, else (nt, nrec) pressure -(sxx+szz)/2.
+    """
+    nt = len(wavelet)
+    pad = grid.pad
+    padw = [(pad, pad)] * 2
+    vp = np.asarray(vp, np.float64)
+    vs = np.asarray(vs, np.float64)
+    rho = np.asarray(rho, np.float64)
+    mu = np.pad(rho * vs**2, padw, mode="edge")
+    lam = np.pad(rho * vp**2 - 2 * rho * vs**2, padw, mode="edge")
+    buoy = 1.0 / np.pad(rho, padw, mode="edge")
+
+    # Staggered averaging for material params at half positions [GENRE].
+    mu_xz = 0.25 * (mu + np.roll(mu, -1, 0) + np.roll(mu, -1, 1) + np.roll(mu, -1, (0, 1)))
+    bx = 0.5 * (buoy + np.roll(buoy, -1, 1))  # at (i, j+1/2)
+    bz = 0.5 * (buoy + np.roll(buoy, -1, 0))  # at (i+1/2, j)
+
+    cs = np.asarray(D1_STAGGERED_COEFFS[grid.order])
+    r = len(cs)
+
+    def dplus(f, axis, h):
+        """D+ f at half position i+1/2 from integer samples."""
+        out = np.zeros_like(f)
+        for k, ck in enumerate(cs):
+            out += ck * (np.roll(f, -(k + 1), axis) - np.roll(f, k, axis))
+        # zero the wrap-around region
+        sl = [slice(None)] * f.ndim
+        sl[axis] = slice(0, r)
+        out[tuple(sl)] = 0.0
+        sl[axis] = slice(f.shape[axis] - r, None)
+        out[tuple(sl)] = 0.0
+        return out / h
+
+    def dminus(f, axis, h):
+        """D- f at integer position i from half samples."""
+        out = np.zeros_like(f)
+        for k, ck in enumerate(cs):
+            out += ck * (np.roll(f, k, axis) - np.roll(f, k + 1, axis))
+        sl = [slice(None)] * f.ndim
+        sl[axis] = slice(0, r)
+        out[tuple(sl)] = 0.0
+        sl[axis] = slice(f.shape[axis] - r, None)
+        out[tuple(sl)] = 0.0
+        return out / h
+
+    profs = _build_axis_profiles(grid, dt, vp.max(), f0)
+    (az_, bz_), (ax_, bx_) = profs[0], profs[1]
+
+    shape = grid.padded_shape
+    vx = np.zeros(shape)
+    vz = np.zeros(shape)
+    sxx = np.zeros(shape)
+    szz = np.zeros(shape)
+    sxz = np.zeros(shape)
+    # CPML memory variables, one per (field-derivative, axis) term.
+    m_sxx_x = np.zeros(shape)
+    m_sxz_z = np.zeros(shape)
+    m_sxz_x = np.zeros(shape)
+    m_szz_z = np.zeros(shape)
+    m_vx_x = np.zeros(shape)
+    m_vz_z = np.zeros(shape)
+    m_vx_z = np.zeros(shape)
+    m_vz_x = np.zeros(shape)
+
+    src = tuple(np.asarray(src_idx, np.int64).T + pad)
+    rcv = tuple(np.asarray(rcv_idx, np.int64).T + pad)
+    w = np.asarray(wavelet, np.float64)
+    hz, hx = grid.h
+
+    nrec = np.asarray(rcv_idx).shape[0]
+    seis = np.zeros((nt, nrec, 2)) if record_fields == "v" else np.zeros((nt, nrec))
+    for t in range(nt):
+        # velocity update (vx at (i, j+1/2), vz at (i+1/2, j))
+        d_sxx_x = dplus(sxx, 1, hx)  # at (i, j+1/2)
+        d_sxz_z = dminus(sxz, 0, hz)  # at (i, j+1/2)
+        m_sxx_x = bx_ * m_sxx_x + ax_ * d_sxx_x
+        m_sxz_z = bz_ * m_sxz_z + az_ * d_sxz_z
+        vx = vx + dt * bx * (d_sxx_x + m_sxx_x + d_sxz_z + m_sxz_z)
+
+        d_sxz_x = dminus(sxz, 1, hx)  # at (i+1/2, j)
+        d_szz_z = dplus(szz, 0, hz)  # at (i+1/2, j)
+        m_sxz_x = bx_ * m_sxz_x + ax_ * d_sxz_x
+        m_szz_z = bz_ * m_szz_z + az_ * d_szz_z
+        vz = vz + dt * bz * (d_sxz_x + m_sxz_x + d_szz_z + m_szz_z)
+
+        # stress update
+        d_vx_x = dminus(vx, 1, hx)  # at (i, j)
+        d_vz_z = dminus(vz, 0, hz)  # at (i, j)
+        m_vx_x = bx_ * m_vx_x + ax_ * d_vx_x
+        m_vz_z = bz_ * m_vz_z + az_ * d_vz_z
+        exx = d_vx_x + m_vx_x
+        ezz = d_vz_z + m_vz_z
+        sxx = sxx + dt * ((lam + 2 * mu) * exx + lam * ezz)
+        szz = szz + dt * ((lam + 2 * mu) * ezz + lam * exx)
+
+        d_vx_z = dplus(vx, 0, hz)  # at (i+1/2, j+1/2)
+        d_vz_x = dplus(vz, 1, hx)  # at (i+1/2, j+1/2)
+        m_vx_z = bz_ * m_vx_z + az_ * d_vx_z
+        m_vz_x = bx_ * m_vz_x + ax_ * d_vz_x
+        sxz = sxz + dt * mu_xz * ((d_vx_z + m_vx_z) + (d_vz_x + m_vz_x))
+
+        # explosive (pressure) source on the diagonal stresses
+        if source_type == "pressure":
+            np.add.at(sxx, src, dt * w[t])
+            np.add.at(szz, src, dt * w[t])
+        else:  # vertical force on vz
+            np.add.at(vz, src, dt * bz[src] * w[t])
+
+        if record_fields == "v":
+            seis[t, :, 0] = vz[rcv]
+            seis[t, :, 1] = vx[rcv]
+        else:
+            seis[t] = -(sxx[rcv] + szz[rcv]) / 2.0
+    return seis, []

@@ -1,0 +1,112 @@
+"""User-facing acoustic propagator (2D and 3D share this implementation).
+
+Realises SURVEY.md §3.1: the whole time loop is one `lax.scan` inside one
+XLA program — control crosses host→device exactly once per shot batch.
+
+The propagator is a host-side factory: it freezes the static configuration
+(grid geometry, dt, CPML profiles, FD taps) and exposes pure, jit/vmap/
+shard_map-composable functions of the traced inputs (vp, wavelet, geometry).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..acquisition import Geometry
+from ..adjoint import make_simulator
+from ..cpml import build_profiles
+from ..grid import Grid
+from ..kernels.acoustic2d_jnp import AcousticParams, make_acoustic_step, zero_state
+from ..propagators.boundary import RingSpec
+
+
+class AcousticPropagator:
+    """Acoustic constant-density propagator with CPML, for grid.ndim in {2, 3}.
+
+    Usage:
+        prop = AcousticPropagator(grid, dt, f0, c_max)
+        seis = prop(vp, geom, wavelet)              # differentiable in vp
+        seis = jax.vmap(lambda g: prop(vp, g, w))(batched_geom)   # multishot
+    """
+
+    def __init__(
+        self,
+        grid: Grid,
+        dt: float,
+        f0: float,
+        c_max: float,
+        dtype=jnp.float32,
+    ):
+        grid.check_dt(dt, c_max)
+        self.grid = grid
+        self.dt = float(dt)
+        self.f0 = float(f0)
+        self.c_max = float(c_max)
+        self.dtype = dtype
+        self._simulate = make_simulator(grid, dt, f0, c_max, dtype)
+        profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
+        self._a = tuple(jnp.asarray(p[0], dtype) for p in profs)
+        self._b = tuple(jnp.asarray(p[1], dtype) for p in profs)
+        self._step = make_acoustic_step(grid)
+        self.rings = RingSpec.build(grid)
+
+    # -- model prep ---------------------------------------------------------
+
+    def c2dt2(self, vp: jax.Array) -> jax.Array:
+        """Differentiable map: physical vp -> padded (c*dt)^2."""
+        pad = self.grid.pad
+        vpad = jnp.pad(vp.astype(self.dtype), [(pad, pad)] * self.grid.ndim, mode="edge")
+        return (vpad * self.dt) ** 2
+
+    # -- public entry points ------------------------------------------------
+
+    def __call__(self, vp: jax.Array, geom: Geometry, wavelet: jax.Array) -> jax.Array:
+        """Seismogram (nt, nrec); differentiable in vp and wavelet via the
+        boundary-saving custom VJP (tpufwi/adjoint.py)."""
+        return self._simulate(
+            self.c2dt2(vp), wavelet.astype(self.dtype), geom.src_idx, geom.rcv_idx
+        )
+
+    def forward_snapshots(
+        self, vp: jax.Array, geom: Geometry, wavelet: jax.Array, stride: int = 1
+    ):
+        """Non-differentiable forward that also returns interior wavefield
+        snapshots every `stride` steps (oracle comparison, QC plots)."""
+        params = AcousticParams(
+            c2dt2=self.c2dt2(vp),
+            a=self._a,
+            b=self._b,
+            src_idx=geom.src_idx,
+            rcv_idx=geom.rcv_idx,
+        )
+        interior = self.grid.interior
+
+        def body(s, w_t):
+            s, rec = self._step(s, params, w_t)
+            return s, (rec, s.p[interior])
+
+        state0 = zero_state(self.grid.padded_shape, self.grid.ndim, self.dtype)
+        _, (seis, snaps) = lax.scan(body, state0, wavelet.astype(self.dtype))
+        return seis, snaps[::stride] if stride > 1 else snaps
+
+    def wavefield_energy(self, vp, geom, wavelet):
+        """Interior energy per step (CPML efficacy diagnostics)."""
+        params = AcousticParams(
+            c2dt2=self.c2dt2(vp), a=self._a, b=self._b,
+            src_idx=geom.src_idx, rcv_idx=geom.rcv_idx,
+        )
+        interior = self.grid.interior
+
+        def body(s, w_t):
+            s, _ = self._step(s, params, w_t)
+            return s, jnp.sum(s.p[interior] ** 2)
+
+        state0 = zero_state(self.grid.padded_shape, self.grid.ndim, self.dtype)
+        _, e = lax.scan(body, state0, wavelet.astype(self.dtype))
+        return e

@@ -1,0 +1,93 @@
+"""Boundary-ring tape: extract/impose the wavefield frame each timestep.
+
+Spec C2 (BASELINE.json:8): the adjoint pass reconstructs the source
+wavefield by reverse time-stepping, storing only O(nt * perimeter * radius)
+boundary rings instead of the full wavefield (SURVEY.md §3.2).
+
+The ring is the width-``radius`` frame at the *outer edge of the interior*
+(just inside the CPML). Forward updates at interior cells deeper than
+``radius`` from the CPML are pure leapfrog (all CPML memory terms vanish
+there), so the reverse recursion is exact on that region provided the ring
+cells are re-imposed from the tape every step. Consequently the gradient is
+exact on the interior shrunk by ``radius`` and defined as zero on the
+outermost ``radius``-wide frame of the physical model (masked in the
+adjoint engine).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..grid import Grid
+
+
+@dataclasses.dataclass(frozen=True)
+class RingSpec:
+    """Static slicing plan for the boundary ring of a padded grid.
+
+    The frame is tiled by 2*ndim non-overlapping slabs via onion peeling:
+    slab for axis d spans the already-peeled extent on axes < d, the full
+    interior on axes > d, and the width-r low/high strips on axis d.
+    """
+
+    slices: Tuple[Tuple[slice, ...], ...]
+    valid: Tuple[slice, ...]  # region where reconstruction/gradient is exact
+
+    @staticmethod
+    def build(grid: Grid) -> "RingSpec":
+        pad, r = grid.pad, grid.radius
+        for n in grid.shape:
+            if n <= 4 * r:
+                raise ValueError(
+                    f"grid extent {n} too small for ring width {r} (need > {4*r})"
+                )
+        slabs = []
+        for d in range(grid.ndim):
+            base = []
+            for i in range(grid.ndim):
+                ni = grid.shape[i]
+                if i < d:  # peeled
+                    base.append(slice(pad + r, pad + ni - r))
+                else:  # full interior
+                    base.append(slice(pad, pad + ni))
+            lo = list(base)
+            lo[d] = slice(pad, pad + r)
+            hi = list(base)
+            hi[d] = slice(pad + grid.shape[d] - r, pad + grid.shape[d])
+            slabs.append(tuple(lo))
+            slabs.append(tuple(hi))
+        valid = tuple(slice(pad + r, pad + n - r) for n in grid.shape)
+        return RingSpec(slices=tuple(slabs), valid=valid)
+
+    def extract(self, p: jax.Array) -> Tuple[jax.Array, ...]:
+        return tuple(p[s] for s in self.slices)
+
+    def impose(self, p: jax.Array, rings: Tuple[jax.Array, ...]) -> jax.Array:
+        for s, r in zip(self.slices, rings):
+            p = p.at[s].set(r)
+        return p
+
+    def zeros_like_rings(self, shape, dtype) -> Tuple[jax.Array, ...]:
+        out = []
+        for s in self.slices:
+            dims = tuple(sl.stop - sl.start for sl in s)
+            out.append(jnp.zeros(dims, dtype))
+        return tuple(out)
+
+    def mask_valid(self, g: jax.Array) -> jax.Array:
+        """Zero ``g`` outside the exact-gradient region."""
+        out = jnp.zeros_like(g)
+        return out.at[self.valid].set(g[self.valid])
+
+    def tape_bytes_per_step(self, dtype_bytes: int = 4) -> int:
+        total = 0
+        for s in self.slices:
+            n = 1
+            for sl in s:
+                n *= sl.stop - sl.start
+            total += n
+        return total * dtype_bytes
