@@ -1,0 +1,119 @@
+"""V2: adjoint dot-product test + gradient correctness (SURVEY.md §4.5).
+
+Three increasingly strict checks of the boundary-saving adjoint engine
+(tpufwi/adjoint.py) on small models, fp64 and fp32:
+
+1. The custom-VJP gradient equals the plain-jax-AD gradient (full
+   checkpointing through the scan) on the valid region, to roundoff.
+2. Adjoint dot-product: <L dm, db> == <dm, L^T db> where L is the exact
+   linearization (jvp of the AD path) and L^T the custom VJP.
+3. Finite-difference directional-derivative check.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufwi import AcousticPropagator, Geometry, Grid
+from tpufwi.adjoint import make_simulator
+from tpufwi.wavelets import ricker_np
+
+
+def _problem(dtype, order=4, nz=40, nx=50, pml=8, nt=160, f0=14.0):
+    rng = np.random.default_rng(7)
+    grid = Grid(shape=(nz, nx), h=(12.0, 12.0), pml=pml, order=order)
+    vp_true = 2000.0 + 300.0 * rng.standard_normal((nz, nx)).cumsum(0) / nz
+    vp_true = np.clip(vp_true, 1600.0, 2600.0)
+    vp0 = np.full((nz, nx), float(vp_true.mean()))
+    c_max = 2800.0
+    dt = grid.cfl_dt(c_max, safety=0.7)
+    w = ricker_np(f0, dt, nt)
+    src = np.array([[6, nx // 3]])
+    rx = np.arange(5, nx - 5, 2)
+    rcv = np.stack([np.full_like(rx, 4), rx], 1)
+    geom = Geometry.from_physical(grid, src, rcv)
+    prop = AcousticPropagator(grid, dt, f0, c_max, dtype=dtype)
+    sim_ad = make_simulator(grid, dt, f0, c_max, dtype=dtype, use_custom_vjp=False)
+
+    def forward_ad(vp):
+        return sim_ad(prop.c2dt2(vp), jnp.asarray(w, dtype), geom.src_idx, geom.rcv_idx)
+
+    d_obs = prop(jnp.asarray(vp_true, dtype), geom, jnp.asarray(w, dtype))
+    return grid, prop, forward_ad, geom, jnp.asarray(w, dtype), jnp.asarray(vp0, dtype), d_obs
+
+
+def _interior_mask(grid):
+    m = np.zeros(grid.shape)
+    r = grid.radius
+    m[r:-r, r:-r] = 1.0
+    return m
+
+
+def test_gradient_matches_full_ad_fp64():
+    dtype = jnp.float64
+    grid, prop, forward_ad, geom, w, vp0, d_obs = _problem(dtype)
+
+    def loss_custom(vp):
+        return 0.5 * jnp.sum((prop(vp, geom, w) - d_obs) ** 2)
+
+    def loss_ad(vp):
+        return 0.5 * jnp.sum((forward_ad(vp) - d_obs) ** 2)
+
+    J1, g_custom = jax.value_and_grad(loss_custom)(vp0)
+    J2, g_ad = jax.value_and_grad(loss_ad)(vp0)
+    assert np.allclose(float(J1), float(J2), rtol=1e-12)
+
+    mask = _interior_mask(grid)
+    g_custom = np.asarray(g_custom)
+    g_ad = np.asarray(g_ad) * mask
+    # custom gradient must vanish on the outer frame by construction
+    assert np.all(g_custom * (1 - mask) == 0.0)
+    scale = np.abs(g_ad).max()
+    assert scale > 0
+    err = np.abs(g_custom - g_ad).max() / scale
+    assert err < 1e-11, f"custom vs full-AD gradient rel err {err:.3e}"
+
+
+@pytest.mark.parametrize(
+    "dtype,tol",
+    [(jnp.float64, 1e-11), (jnp.float32, 1e-4)],
+)
+def test_adjoint_dot_product(dtype, tol):
+    """<L dm, db> == <dm, L^T db>: the graded V2 metric (BASELINE.json:2)."""
+    grid, prop, forward_ad, geom, w, vp0, d_obs = _problem(dtype)
+    rng = np.random.default_rng(3)
+    dm = rng.standard_normal(grid.shape) * _interior_mask(grid)
+    dm = jnp.asarray(dm, dtype)
+    db = jnp.asarray(rng.standard_normal(d_obs.shape), dtype)
+
+    # forward linearization through the plain-AD path (exact jvp)
+    _, Ldm = jax.jvp(forward_ad, (vp0,), (dm,))
+    # transpose through the boundary-saving custom VJP
+    _, vjp_fn = jax.vjp(lambda v: prop(v, geom, w), vp0)
+    (LTdb,) = vjp_fn(db)
+
+    lhs = float(jnp.vdot(Ldm, db))
+    rhs = float(jnp.vdot(dm, LTdb))
+    denom = float(jnp.linalg.norm(Ldm) * jnp.linalg.norm(db)) + 1e-300
+    rel = abs(lhs - rhs) / denom
+    assert rel < tol, f"dot-product rel err {rel:.3e} (dtype={dtype})"
+
+
+def test_gradient_finite_difference():
+    dtype = jnp.float64
+    grid, prop, forward_ad, geom, w, vp0, d_obs = _problem(dtype, nt=120)
+
+    def loss(vp):
+        return 0.5 * jnp.sum((prop(vp, geom, w) - d_obs) ** 2)
+
+    g = jax.grad(loss)(vp0)
+    rng = np.random.default_rng(11)
+    dv = jnp.asarray(rng.standard_normal(grid.shape) * _interior_mask(grid), dtype)
+    gdot = float(jnp.vdot(g, dv))
+    eps = 1e-4
+    jp = float(loss(vp0 + eps * dv))
+    jm = float(loss(vp0 - eps * dv))
+    fd = (jp - jm) / (2 * eps)
+    rel = abs(fd - gdot) / (abs(fd) + 1e-300)
+    assert rel < 1e-7, f"FD check rel err {rel:.3e}"

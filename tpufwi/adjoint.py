@@ -50,7 +50,14 @@ def _int_cotangent(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-def make_simulator(grid: Grid, dt: float, f0: float, c_max: float, dtype=jnp.float32):
+def make_simulator(
+    grid: Grid,
+    dt: float,
+    f0: float,
+    c_max: float,
+    dtype=jnp.float32,
+    use_custom_vjp: bool = True,
+):
     """Build ``simulate(c2dt2, wavelet, src_idx, rcv_idx) -> seis`` with a
     custom VJP implementing the boundary-saving adjoint.
 
@@ -65,6 +72,11 @@ def make_simulator(grid: Grid, dt: float, f0: float, c_max: float, dtype=jnp.flo
     ``simulate`` is differentiable in c2dt2 (the padded (c*dt)^2 field) and
     wavelet; src/rcv integer index arrays get float0 cotangents. It composes
     with jit/vmap/shard_map.
+
+    ``use_custom_vjp=False`` returns the same forward WITHOUT the boundary-
+    saving custom VJP: plain jax AD through the scan (O(nt * grid) memory).
+    Only usable on tiny problems — it is the ground truth the boundary-saving
+    gradient is tested against (tests/test_adjoint.py).
     """
     profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
     a_ax = tuple(jnp.asarray(p[0], dtype) for p in profs)
@@ -78,8 +90,7 @@ def make_simulator(grid: Grid, dt: float, f0: float, c_max: float, dtype=jnp.flo
     def _params(c2dt2, src_idx, rcv_idx):
         return AcousticParams(c2dt2=c2dt2, a=a_ax, b=b_ax, src_idx=src_idx, rcv_idx=rcv_idx)
 
-    @jax.custom_vjp
-    def simulate(c2dt2, wavelet, src_idx, rcv_idx):
+    def simulate_plain(c2dt2, wavelet, src_idx, rcv_idx):
         params = _params(c2dt2, src_idx, rcv_idx)
 
         def body(s, w_t):
@@ -88,6 +99,11 @@ def make_simulator(grid: Grid, dt: float, f0: float, c_max: float, dtype=jnp.flo
 
         _, seis = lax.scan(body, zero_state(shape, ndim, c2dt2.dtype), wavelet)
         return seis
+
+    if not use_custom_vjp:
+        return simulate_plain
+
+    simulate = jax.custom_vjp(simulate_plain)
 
     def simulate_fwd(c2dt2, wavelet, src_idx, rcv_idx):
         params = _params(c2dt2, src_idx, rcv_idx)

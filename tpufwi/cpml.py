@@ -70,6 +70,9 @@ class CpmlProfile:
             (e.g. free surface at z=0).
         """
         n_pad = n + 2 * (pml + radius)
+        if pml == 0:  # no absorbing layer: zero Dirichlet box (test configs)
+            z = np.zeros(n_pad)
+            return CpmlProfile(a=z, b=z, inv_kappa=np.ones(n_pad))
         L = pml * h
         d0 = -(p + 1.0) * c_max * np.log(r0) / (2.0 * L)
 
