@@ -1,0 +1,52 @@
+"""Optimizer unit tests on standard functions (SURVEY.md §4 support)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufwi.optimize import minimize
+
+
+def _rosenbrock(x):
+    return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1.0 - x[:-1]) ** 2)
+
+
+def _quadratic(x, A, b):
+    return 0.5 * jnp.vdot(x, A @ x) - jnp.vdot(b, x)
+
+
+def test_lbfgs_rosenbrock():
+    vg = jax.jit(jax.value_and_grad(_rosenbrock))
+    x0 = jnp.full((8,), -1.2, jnp.float64)
+    x, infos = minimize(vg, x0, iterations=200, method="lbfgs")
+    assert float(_rosenbrock(x)) < 1e-10
+    assert np.allclose(np.asarray(x), 1.0, atol=1e-5)
+
+
+def test_nlcg_quadratic():
+    rng = np.random.default_rng(0)
+    Q = rng.standard_normal((20, 20))
+    A = jnp.asarray(Q @ Q.T + 20 * np.eye(20))
+    b = jnp.asarray(rng.standard_normal(20))
+    vg = jax.jit(jax.value_and_grad(lambda x: _quadratic(x, A, b)))
+    x0 = jnp.zeros(20, jnp.float64)
+    x, infos = minimize(vg, x0, iterations=120, method="nlcg")
+    x_star = jnp.linalg.solve(A, b)
+    assert float(jnp.linalg.norm(x - x_star)) < 1e-5
+
+
+def test_lbfgs_respects_bounds():
+    # minimum of (x-2)^2 constrained to [-1, 1] is at x = 1
+    vg = jax.jit(jax.value_and_grad(lambda x: jnp.sum((x - 2.0) ** 2)))
+    x0 = jnp.zeros(5, jnp.float64)
+    x, _ = minimize(vg, x0, iterations=50, method="lbfgs", bounds=(-1.0, 1.0))
+    assert np.allclose(np.asarray(x), 1.0, atol=1e-8)
+
+
+def test_preconditioned_descent():
+    # badly scaled quadratic: diagonal precondition fixes convergence
+    d = jnp.asarray(np.geomspace(1.0, 1e4, 30))
+    vg = jax.jit(jax.value_and_grad(lambda x: 0.5 * jnp.sum(d * x * x)))
+    x0 = jnp.ones(30, jnp.float64)
+    x, _ = minimize(vg, x0, iterations=60, method="gd", precond=lambda g: g / d)
+    assert float(jnp.linalg.norm(x)) < 1e-6

@@ -1,0 +1,74 @@
+"""Distributed semantics without a cluster (SURVEY.md §4.7): 8 virtual CPU
+devices. Shot-sharded loss/gradient must equal the sequential per-shot sum."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufwi import AcousticPropagator, Grid, split_spread_survey
+from tpufwi.misfit import l2_misfit
+from tpufwi.sharding import make_mesh, shard_shots, shot_parallel_loss
+from tpufwi.wavelets import ricker_np
+
+
+def _setup(n_shots=8, dtype=jnp.float64):
+    grid = Grid(shape=(40, 64), h=(12.0, 12.0), pml=8, order=4)
+    c_max, f0 = 2600.0, 13.0
+    dt = grid.cfl_dt(c_max, safety=0.7)
+    nt = 150
+    w = jnp.asarray(ricker_np(f0, dt, nt), dtype)
+    rng = np.random.default_rng(1)
+    vp_true = jnp.asarray(
+        np.clip(2100 + 150 * rng.standard_normal(grid.shape), 1800, 2500), dtype
+    )
+    vp0 = jnp.full(grid.shape, 2100.0, dtype)
+    prop = AcousticPropagator(grid, dt, f0, c_max, dtype=dtype)
+    geoms = split_spread_survey(grid, n_shots, src_z=4, rcv_z=3, rcv_dx=2)
+    d_obs = jax.vmap(lambda g: prop(vp_true, g, w))(geoms)
+    return prop, geoms, d_obs, w, vp0
+
+
+def test_shot_sharded_grad_equals_sequential():
+    assert jax.device_count() == 8
+    prop, geoms, d_obs, w, vp0 = _setup()
+    mesh = make_mesh({"shot": 8})
+
+    def one_shot_loss(vp, geom, d):
+        return l2_misfit(prop(vp, geom, w), d)
+
+    total = shot_parallel_loss(one_shot_loss, mesh)
+    geoms_s = shard_shots(geoms, mesh)
+    d_s = shard_shots(d_obs, mesh)
+
+    J_sh, g_sh = jax.jit(jax.value_and_grad(total))(vp0, geoms_s, d_s)
+
+    # sequential reference
+    J_ref = 0.0
+    g_ref = jnp.zeros_like(vp0)
+    for i in range(8):
+        geom_i = jax.tree.map(lambda x: x[i], geoms)
+        Ji, gi = jax.value_and_grad(one_shot_loss)(vp0, geom_i, d_obs[i])
+        J_ref += float(Ji)
+        g_ref = g_ref + gi
+
+    assert abs(float(J_sh) - J_ref) / J_ref < 1e-12
+    num = float(jnp.abs(g_sh - g_ref).max())
+    den = float(jnp.abs(g_ref).max())
+    assert num / den < 1e-11, f"sharded vs sequential grad rel err {num/den:.3e}"
+
+
+def test_gradient_accumulation_more_shots_than_devices():
+    # 16 shots on 8 devices: 2 sequential shots per device via lax.map
+    prop, geoms, d_obs, w, vp0 = _setup(n_shots=16)
+    mesh = make_mesh({"shot": 8})
+
+    def one_shot_loss(vp, geom, d):
+        return l2_misfit(prop(vp, geom, w), d)
+
+    total = shot_parallel_loss(one_shot_loss, mesh)
+    J_sh = float(jax.jit(total)(vp0, shard_shots(geoms, mesh), shard_shots(d_obs, mesh)))
+    J_ref = sum(
+        float(one_shot_loss(vp0, jax.tree.map(lambda x: x[i], geoms), d_obs[i]))
+        for i in range(16)
+    )
+    assert abs(J_sh - J_ref) / J_ref < 1e-12

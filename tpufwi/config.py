@@ -1,0 +1,119 @@
+"""Frozen-dataclass configuration tree, JSON-loadable, CLI-overridable
+(SURVEY.md §5 'Config/flag system'). No gin/hydra dependency."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class StageCfg:
+    """One frequency-continuation stage [GENRE: Bunks et al. 1995]."""
+
+    fmax: float
+    iterations: int
+    method: str = "lbfgs"  # or "nlcg"
+
+
+@dataclasses.dataclass(frozen=True)
+class PropCfg:
+    order: int = 8
+    pml: int = 20
+    cfl_safety: float = 0.7
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class AcqCfg:
+    n_shots: int = 16
+    src_z: int = 2
+    rcv_z: int = 2
+    rcv_dx: int = 2
+    f0: float = 12.0
+    t_max: float = 4.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PrecondCfg:
+    use_illumination: bool = True
+    illum_eps: float = 1e-3
+    depth_power: float = 0.0
+    mask_top: int = 0
+    smooth_sigma: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class OptCfg:
+    vmin: float = 1480.0
+    vmax: float = 4700.0
+    lbfgs_m: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class FwiConfig:
+    stages: Tuple[StageCfg, ...] = (
+        StageCfg(3.0, 12),
+        StageCfg(5.0, 12),
+        StageCfg(8.0, 13),
+        StageCfg(12.0, 13),
+    )
+    prop: PropCfg = PropCfg()
+    acq: AcqCfg = AcqCfg()
+    precond: PrecondCfg = PrecondCfg()
+    opt: OptCfg = OptCfg()
+    run_dir: str = "runs/default"
+    mesh_shots: int = 0  # 0 = all devices on the shot axis
+    checkpoint_every: int = 1
+
+    # -- (de)serialization ---------------------------------------------------
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "FwiConfig":
+        raw = json.loads(text)
+        return _from_dict(FwiConfig, raw)
+
+    def with_overrides(self, overrides: List[str]) -> "FwiConfig":
+        """Apply 'dotted.key=value' CLI overrides (e.g. prop.order=4)."""
+        d = dataclasses.asdict(self)
+        for ov in overrides:
+            key, _, val = ov.partition("=")
+            parts = key.split(".")
+            node = d
+            for p in parts[:-1]:
+                node = node[p]
+            old = node[parts[-1]]
+            node[parts[-1]] = _coerce(val, old)
+        return _from_dict(FwiConfig, d)
+
+
+def _coerce(val: str, old):
+    if isinstance(old, bool):
+        return val.lower() in ("1", "true", "yes")
+    if isinstance(old, int):
+        return int(val)
+    if isinstance(old, float):
+        return float(val)
+    if isinstance(old, (list, tuple)):
+        return json.loads(val)
+    return val
+
+
+def _from_dict(cls, raw):
+    if cls is FwiConfig:
+        stages = tuple(StageCfg(**s) for s in raw.get("stages", []))
+        return FwiConfig(
+            stages=stages or FwiConfig().stages,
+            prop=PropCfg(**raw.get("prop", {})),
+            acq=AcqCfg(**raw.get("acq", {})),
+            precond=PrecondCfg(**raw.get("precond", {})),
+            opt=OptCfg(**raw.get("opt", {})),
+            run_dir=raw.get("run_dir", "runs/default"),
+            mesh_shots=raw.get("mesh_shots", 0),
+            checkpoint_every=raw.get("checkpoint_every", 1),
+        )
+    raise TypeError(cls)

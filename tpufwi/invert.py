@@ -1,0 +1,296 @@
+"""Multiscale FWI driver + CLI (SURVEY.md §3.3; spec C3, BASELINE.json:9).
+
+Realizes the stack:
+    for stage in freq_stages:            # Bunks-style continuation
+        filter data + wavelet to stage.fmax
+        for it in range(stage.iters):
+            J, g = shot-sharded loss_and_grad(m)      # psum over ICI
+            g <- precondition(g)
+            d <- L-BFGS / NLCG direction; alpha <- line search
+            m <- clip(m + alpha d); checkpoint; log
+
+Checkpoint/resume (SURVEY.md §5 'failure detection'): every iteration writes
+model + L-BFGS history + stage/iter + step length to <run_dir>/ckpt.npz;
+`--resume` continues bit-identically (tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .acquisition import split_spread_survey
+from .config import FwiConfig
+from .filters import lowpass
+from .grid import Grid
+from .misfit import l2_misfit
+from .optimize import LbfgsHistory, minimize
+from .precondition import precondition
+from .propagators.acoustic2d import AcousticPropagator
+from .sharding import make_mesh, shard_shots, shot_parallel_loss
+from .wavelets import ricker
+
+
+@dataclasses.dataclass
+class FwiProblem:
+    """Propagator + survey + observed data, with stage-filtered objectives.
+
+    ``mesh=None`` runs all shots sequentially on one device (lax.map);
+    otherwise shots shard over the mesh's "shot" axis with psum reduction.
+    """
+
+    prop: AcousticPropagator
+    geoms: object  # stacked Geometry (leading shot axis)
+    d_obs: jax.Array  # (nshot, nt, nrec)
+    wavelet: jax.Array  # (nt,)
+    dt: float
+    mesh: Optional[object] = None
+
+    def __post_init__(self):
+        if self.mesh is not None:
+            self.geoms = shard_shots(self.geoms, self.mesh)
+            self.d_obs = shard_shots(self.d_obs, self.mesh)
+
+    def _build(self):
+        """One jitted objective reused by every stage (filtered data and
+        wavelet are arguments, not baked-in constants — a single compile
+        serves all frequency bands)."""
+
+        def one_shot_loss(vp, geom, d, w):
+            return l2_misfit(self.prop(vp, geom, w), d)
+
+        if self.mesh is not None:
+            total = shot_parallel_loss(one_shot_loss, self.mesh)
+        else:
+
+            def total(vp, geoms, data, w):
+                def one(args):
+                    g, d = args
+                    return one_shot_loss(vp, g, d, w)
+
+                return jnp.sum(jax.lax.map(one, (geoms, data)))
+
+        self._vg = jax.jit(jax.value_and_grad(total))
+        self._loss = jax.jit(total)
+
+    def stage_objectives(self, fmax: Optional[float]):
+        """Returns (value_and_grad(vp), loss(vp)) for one frequency stage."""
+        if not hasattr(self, "_vg"):
+            self._build()
+        if fmax is not None:
+            d_f = lowpass(self.d_obs, self.dt, fmax, axis=1)
+            w_f = lowpass(self.wavelet, self.dt, fmax, axis=0)
+        else:
+            d_f, w_f = self.d_obs, self.wavelet
+        vg = lambda vp: self._vg(vp, self.geoms, d_f, w_f)
+        loss = lambda vp: self._loss(vp, self.geoms, d_f, w_f)
+        return vg, loss
+
+    def stage_illumination(self, vp, fmax: Optional[float]):
+        """Total source illumination over shots (for preconditioning)."""
+        w_f = self.wavelet if fmax is None else lowpass(self.wavelet, self.dt, fmax)
+
+        def one(geom):
+            return self.prop.illumination(vp, geom, w_f)
+
+        geoms = self.geoms
+        if self.mesh is not None:
+            geoms = jax.tree.map(lambda x: jax.device_get(x), geoms)
+            geoms = jax.tree.map(jnp.asarray, geoms)
+        return jnp.sum(jax.lax.map(one, geoms), axis=0)
+
+
+def invert(
+    problem: FwiProblem,
+    vp0: jax.Array,
+    cfg: FwiConfig,
+    resume: bool = False,
+    log_fn: Optional[Callable[[dict], None]] = None,
+) -> jax.Array:
+    """Run the multiscale inversion described by ``cfg``. Returns vp*."""
+    run_dir = cfg.run_dir
+    os.makedirs(run_dir, exist_ok=True)
+    ckpt_path = os.path.join(run_dir, "ckpt.npz")
+    log_path = os.path.join(run_dir, "log.jsonl")
+
+    start_stage, start_iter, init_alpha = 0, 0, None
+    vp = vp0
+    hist = LbfgsHistory(m=cfg.opt.lbfgs_m)
+    if resume and os.path.exists(ckpt_path):
+        ck = np.load(ckpt_path, allow_pickle=False)
+        vp = jnp.asarray(ck["vp"], vp0.dtype)
+        start_stage = int(ck["stage"])
+        start_iter = int(ck["iter"]) + 1
+        init_alpha = float(ck["alpha"]) if ck["alpha"] >= 0 else None
+        hist = LbfgsHistory.from_arrays(ck["S"], ck["Y"], ck["SY"], m=cfg.opt.lbfgs_m)
+
+    logf = open(log_path, "a")
+
+    def log(rec: dict):
+        logf.write(json.dumps(rec) + "\n")
+        logf.flush()
+        if log_fn is not None:
+            log_fn(rec)
+
+    try:
+        return _invert_loop(problem, vp, cfg, hist, init_alpha, start_stage, start_iter, ckpt_path, log)
+    finally:
+        logf.close()
+
+
+def _invert_loop(problem, vp, cfg, hist, init_alpha, start_stage, start_iter, ckpt_path, log):
+
+    bounds = (cfg.opt.vmin, cfg.opt.vmax)
+    n_cells = int(np.prod(problem.prop.grid.shape))
+    nshots = int(problem.d_obs.shape[0])
+
+    for si, stage in enumerate(cfg.stages):
+        if si < start_stage:
+            continue
+        it0 = start_iter if si == start_stage else 0
+        if it0 >= stage.iterations:
+            continue
+        vg, loss_only = problem.stage_objectives(stage.fmax)
+
+        pc = cfg.precond
+        illum = (
+            problem.stage_illumination(vp, stage.fmax) if pc.use_illumination else None
+        )
+
+        def pre(g):
+            return precondition(
+                g,
+                illum=illum,
+                illum_eps=pc.illum_eps,
+                depth_power=pc.depth_power,
+                dz=problem.prop.grid.h[0],
+                mask_top=pc.mask_top,
+                smooth_sigma=pc.smooth_sigma,
+            )
+
+        if si != start_stage or it0 == 0:
+            hist.reset()  # fresh curvature at each new frequency band
+            init_alpha = None
+
+        def cb(x, info, _si=si, _it0=it0):
+            it = _it0 + info.it
+            if (it + 1) % cfg.checkpoint_every == 0 or it + 1 == stage.iterations:
+                S, Y, SY = hist.to_arrays()
+                tmp = ckpt_path + ".tmp.npz"
+                np.savez(
+                    tmp,
+                    vp=np.asarray(x),
+                    stage=_si,
+                    iter=it,
+                    alpha=info.alpha if info.alpha else -1.0,
+                    S=S,
+                    Y=Y,
+                    SY=SY,
+                )
+                os.replace(tmp, ckpt_path)
+            log(
+                dict(
+                    stage=_si,
+                    fmax=stage.fmax,
+                    iter=it,
+                    J=info.f,
+                    gnorm=info.gnorm,
+                    alpha=info.alpha,
+                    evals=info.n_evals,
+                    seconds=round(info.seconds, 3),
+                    shots_per_sec=round(nshots * info.n_evals / max(info.seconds, 1e-9), 2),
+                    cells=n_cells,
+                )
+            )
+
+        vp, infos = minimize(
+            vg,
+            vp,
+            iterations=stage.iterations - it0,
+            method=stage.method,
+            bounds=bounds,
+            precond=pre,
+            lbfgs_m=cfg.opt.lbfgs_m,
+            callback=cb,
+            loss_only=loss_only,
+            hist=hist,
+            init_alpha=init_alpha,
+        )
+        init_alpha = None
+        start_iter = 0
+
+    return vp
+
+
+def build_synthetic_problem(cfg: FwiConfig, vp_true: np.ndarray, dx: float, mesh=None):
+    """Assemble a Problem from a true model: survey + observed data.
+
+    Returns (problem, vp0) with vp0 a heavily smoothed initial model.
+    """
+    from scipy.ndimage import gaussian_filter
+
+    dtype = jnp.float32 if cfg.prop.dtype == "float32" else jnp.float64
+    grid = Grid(shape=vp_true.shape, h=(dx,) * vp_true.ndim, pml=cfg.prop.pml, order=cfg.prop.order)
+    c_max = float(cfg.opt.vmax)
+    dt = grid.cfl_dt(c_max, safety=cfg.prop.cfl_safety)
+    nt = int(cfg.acq.t_max / dt)
+    w = ricker(cfg.acq.f0, dt, nt, dtype=dtype)
+    prop = AcousticPropagator(grid, dt, cfg.acq.f0, c_max, dtype=dtype)
+    geoms = split_spread_survey(
+        grid, cfg.acq.n_shots, src_z=cfg.acq.src_z, rcv_z=cfg.acq.rcv_z, rcv_dx=cfg.acq.rcv_dx
+    )
+    vp_t = jnp.asarray(vp_true, dtype)
+    d_obs = jax.jit(jax.vmap(lambda g: prop(vp_t, g, w)))(geoms)
+    vp0_np = gaussian_filter(np.asarray(vp_true, np.float64), sigma=12.0)
+    wd = int(np.sum(np.asarray(vp_true)[:, 0] <= 1500.0 + 1e-3)) if vp_true.ndim == 2 else 0
+    if wd > 0:
+        vp0_np[:wd] = np.asarray(vp_true)[:wd]
+    vp0 = jnp.asarray(np.clip(vp0_np, cfg.opt.vmin, cfg.opt.vmax), dtype)
+    problem = FwiProblem(prop=prop, geoms=geoms, d_obs=d_obs, wavelet=w, dt=dt, mesh=mesh)
+    return problem, vp0
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="tpufwi multiscale FWI driver")
+    ap.add_argument("--config", type=str, default=None, help="JSON config path")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0, help="shot-parallel devices (0=off)")
+    ap.add_argument("overrides", nargs="*", help="dotted.key=value overrides")
+    args = ap.parse_args(argv)
+
+    cfg = FwiConfig()
+    if args.config:
+        with open(args.config) as f:
+            cfg = FwiConfig.from_json(f.read())
+    if args.overrides:
+        cfg = cfg.with_overrides(args.overrides)
+
+    from .io import marmousi_like
+
+    vp_true, dx = marmousi_like()
+    mesh = make_mesh({"shot": args.mesh}) if args.mesh else None
+    problem, vp0 = build_synthetic_problem(cfg, vp_true, dx, mesh=mesh)
+
+    def echo(rec):
+        print(
+            f"[stage {rec['stage']} f<{rec['fmax']}Hz it {rec['iter']:3d}] "
+            f"J={rec['J']:.4e} |g|={rec['gnorm']:.3e} a={rec['alpha']:.3g} "
+            f"{rec['seconds']}s {rec['shots_per_sec']} shots/s"
+        )
+
+    vp = invert(problem, vp0, cfg, resume=args.resume, log_fn=echo)
+    np.save(os.path.join(cfg.run_dir, "vp_final.npy"), np.asarray(vp))
+    print("final model saved to", os.path.join(cfg.run_dir, "vp_final.npy"))
+
+
+if __name__ == "__main__":
+    main()

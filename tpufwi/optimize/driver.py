@@ -1,0 +1,127 @@
+"""Generic bound-constrained minimize() driving L-BFGS or NLCG with the
+Armijo line search (SURVEY.md §1 'optimization -> driver' interface:
+minimize(f_and_g, m0, bounds, precond) -> m*)."""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+
+from .lbfgs import LbfgsHistory, lbfgs_direction
+from .linesearch import backtracking_line_search
+from .nlcg import NlcgState, nlcg_direction
+
+
+@dataclasses.dataclass
+class IterInfo:
+    it: int
+    f: float
+    gnorm: float
+    alpha: float
+    n_evals: int
+    seconds: float
+
+
+def minimize(
+    value_and_grad: Callable,
+    x0: jnp.ndarray,
+    iterations: int,
+    method: str = "lbfgs",
+    bounds: Optional[Tuple[float, float]] = None,
+    precond: Optional[Callable] = None,
+    lbfgs_m: int = 10,
+    callback: Optional[Callable[[jnp.ndarray, IterInfo], None]] = None,
+    loss_only: Optional[Callable] = None,
+    gtol: float = 0.0,
+    hist: Optional[LbfgsHistory] = None,
+    init_alpha: Optional[float] = None,
+) -> Tuple[jnp.ndarray, list]:
+    """Minimize value_and_grad(x) -> (f, g) subject to box bounds.
+
+    Args:
+      precond: optional g -> g~ applied before the direction update (the FWI
+        illumination/depth/smoothing chain).
+      loss_only: cheaper f(x) for line-search trials (defaults to
+        value_and_grad(x)[0] — for FWI pass the tape-free forward).
+      callback: called after each accepted iterate.
+      hist: externally owned L-BFGS history (checkpoint/resume); a fresh
+        one is created if None.
+      init_alpha: resume the previous accepted step length (bit-identical
+        continuation across restarts).
+
+    Returns (x_final, [IterInfo...]).
+    """
+    f_only = loss_only if loss_only is not None else (lambda x: value_and_grad(x)[0])
+
+    def project(z):
+        return jnp.clip(z, bounds[0], bounds[1]) if bounds is not None else z
+
+    x = project(x0)
+    if hist is None:
+        hist = LbfgsHistory(m=lbfgs_m)
+    cg = NlcgState()
+    infos: list = []
+    f, g = value_and_grad(x)
+    f = float(f)
+    if precond is not None:
+        g = precond(g)
+    alpha_prev = init_alpha
+
+    for it in range(iterations):
+        t0 = time.time()
+        if method == "lbfgs":
+            d = lbfgs_direction(hist, g)
+        elif method == "nlcg":
+            d = nlcg_direction(cg, g)
+        elif method == "gd":
+            d = -g
+        else:
+            raise ValueError(f"unknown method {method!r}")
+
+        # initial step: L-BFGS is well-scaled after the first pair; others
+        # reuse the previous accepted alpha (with headroom).
+        if method == "lbfgs" and len(hist) > 0:
+            alpha0 = 1.0
+        elif alpha_prev is not None:
+            alpha0 = 2.0 * alpha_prev
+        else:
+            # first iteration: scale so the step changes x by ~1% of range
+            dmax = float(jnp.max(jnp.abs(d)))
+            xscale = float(jnp.max(jnp.abs(x))) or 1.0
+            alpha0 = 0.01 * xscale / max(dmax, 1e-300)
+
+        ls = backtracking_line_search(f_only, x, f, g, d, alpha0, bounds=bounds)
+        if not ls.success:
+            # reset memory and retry once with steepest descent
+            hist.reset()
+            cg.reset()
+            d = -g
+            dmax = float(jnp.max(jnp.abs(d)))
+            xscale = float(jnp.max(jnp.abs(x))) or 1.0
+            ls = backtracking_line_search(
+                f_only, x, f, g, d, 0.01 * xscale / max(dmax, 1e-300), bounds=bounds
+            )
+            if not ls.success:
+                infos.append(IterInfo(it, f, float(jnp.linalg.norm(g)), 0.0, ls.n_evals, time.time() - t0))
+                break
+
+        x_new = ls.x_new
+        f_new, g_new = value_and_grad(x_new)
+        f_new = float(f_new)
+        if precond is not None:
+            g_new = precond(g_new)
+        if method == "lbfgs":
+            hist.update(x_new - x, g_new - g)
+        alpha_prev = ls.alpha
+        x, f, g = x_new, f_new, g_new
+        gnorm = float(jnp.linalg.norm(g))
+        info = IterInfo(it, f, gnorm, ls.alpha, ls.n_evals + 1, time.time() - t0)
+        infos.append(info)
+        if callback is not None:
+            callback(x, info)
+        if gtol and gnorm < gtol:
+            break
+    return x, infos

@@ -1,0 +1,78 @@
+"""L-BFGS two-loop recursion with bounded history (SURVEY.md §2).
+
+History is a host-side deque of device-resident (s, y) pairs; the two-loop
+recursion is ~4m tiny dot/axpy ops per iteration — negligible next to one
+wave propagation, so there is nothing to win by fusing it. Curvature pairs
+failing s'y > eps * |s||y| are skipped (Nocedal & Wright [GENRE]).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Deque, Tuple
+
+import jax.numpy as jnp
+
+
+class LbfgsHistory:
+    def __init__(self, m: int = 10, curvature_eps: float = 1e-10):
+        self.m = m
+        self.curvature_eps = curvature_eps
+        self.pairs: Deque[Tuple[jnp.ndarray, jnp.ndarray, float]] = deque(maxlen=m)
+
+    def update(self, s: jnp.ndarray, y: jnp.ndarray) -> bool:
+        """Push a new (s, y) pair; returns False if rejected (bad curvature)."""
+        sy = float(jnp.vdot(s, y))
+        ns = float(jnp.linalg.norm(s))
+        ny = float(jnp.linalg.norm(y))
+        if not (sy > self.curvature_eps * ns * ny) or ns == 0.0 or ny == 0.0:
+            return False
+        self.pairs.append((s, y, sy))
+        return True
+
+    def reset(self):
+        self.pairs.clear()
+
+    def __len__(self):
+        return len(self.pairs)
+
+    # -- checkpoint/resume ----------------------------------------------------
+
+    def to_arrays(self):
+        """Stacked (S, Y, SY) numpy arrays for np.savez checkpointing."""
+        import numpy as np
+
+        if not self.pairs:
+            return np.zeros((0,)), np.zeros((0,)), np.zeros((0,))
+        S = np.stack([np.asarray(s) for s, _, _ in self.pairs])
+        Y = np.stack([np.asarray(y) for _, y, _ in self.pairs])
+        SY = np.asarray([sy for _, _, sy in self.pairs])
+        return S, Y, SY
+
+    @staticmethod
+    def from_arrays(S, Y, SY, m: int = 10) -> "LbfgsHistory":
+        h = LbfgsHistory(m=m)
+        for i in range(len(SY)):
+            h.pairs.append((jnp.asarray(S[i]), jnp.asarray(Y[i]), float(SY[i])))
+        return h
+
+
+def lbfgs_direction(hist: LbfgsHistory, g: jnp.ndarray) -> jnp.ndarray:
+    """Two-loop recursion: d = -H_k g, with gamma-scaled initial Hessian."""
+    q = g
+    alphas = []
+    for s, y, sy in reversed(hist.pairs):
+        rho = 1.0 / sy
+        a = rho * float(jnp.vdot(s, q))
+        q = q - a * y
+        alphas.append((a, rho))
+    if hist.pairs:
+        s, y, sy = hist.pairs[-1]
+        gamma = sy / float(jnp.vdot(y, y))
+    else:
+        gamma = 1.0
+    r = gamma * q
+    for (s, y, sy), (a, rho) in zip(hist.pairs, reversed(alphas)):
+        b = rho * float(jnp.vdot(y, r))
+        r = r + (a - b) * s
+    return -r

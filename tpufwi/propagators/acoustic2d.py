@@ -95,6 +95,25 @@ class AcousticPropagator:
         _, (seis, snaps) = lax.scan(body, state0, wavelet.astype(self.dtype))
         return seis, snaps[::stride] if stride > 1 else snaps
 
+    def illumination(self, vp, geom, wavelet):
+        """Source illumination sum_t p_t^2 on the physical grid (the
+        pseudo-Hessian diagonal for preconditioning [GENRE: Shin 2001])."""
+        params = AcousticParams(
+            c2dt2=self.c2dt2(vp), a=self._a, b=self._b,
+            src_idx=geom.src_idx, rcv_idx=geom.rcv_idx,
+        )
+        interior = self.grid.interior
+
+        def body(carry, w_t):
+            s, acc = carry
+            s, _ = self._step(s, params, w_t)
+            return (s, acc + s.p[interior] ** 2), None
+
+        state0 = zero_state(self.grid.padded_shape, self.grid.ndim, self.dtype)
+        acc0 = jnp.zeros(self.grid.shape, self.dtype)
+        (_, illum), _ = lax.scan(body, (state0, acc0), wavelet.astype(self.dtype))
+        return illum
+
     def wavefield_energy(self, vp, geom, wavelet):
         """Interior energy per step (CPML efficacy diagnostics)."""
         params = AcousticParams(
