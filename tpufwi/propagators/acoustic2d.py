@@ -42,14 +42,32 @@ class AcousticPropagator:
         f0: float,
         c_max: float,
         dtype=jnp.float32,
+        impl: str = "auto",
     ):
+        """impl: 'pallas' (fused TPU kernels), 'jnp' (XLA twin — CPU, fp64,
+        3D), or 'auto' (pallas when 2D+fp32 on a TPU backend)."""
         grid.check_dt(dt, c_max)
         self.grid = grid
         self.dt = float(dt)
         self.f0 = float(f0)
         self.c_max = float(c_max)
         self.dtype = dtype
-        self._simulate = make_simulator(grid, dt, f0, c_max, dtype)
+        if impl == "auto":
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            impl = (
+                "pallas"
+                if (grid.ndim == 2 and dtype == jnp.float32 and on_tpu)
+                else "jnp"
+            )
+        self.impl = impl
+        if impl == "pallas":
+            from ..adjoint_pallas import make_simulator_pallas
+
+            if dtype != jnp.float32:
+                raise ValueError("pallas path is fp32 only")
+            self._simulate = make_simulator_pallas(grid, dt, f0, c_max)
+        else:
+            self._simulate = make_simulator(grid, dt, f0, c_max, dtype)
         profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
         self._a = tuple(jnp.asarray(p[0], dtype) for p in profs)
         self._b = tuple(jnp.asarray(p[1], dtype) for p in profs)
