@@ -57,6 +57,8 @@ def make_simulator(
     c_max: float,
     dtype=jnp.float32,
     use_custom_vjp: bool = True,
+    wavefield_sharding=None,
+    wavefield_sharding_batched=None,
 ):
     """Build ``simulate(c2dt2, wavelet, src_idx, rcv_idx) -> seis`` with a
     custom VJP implementing the boundary-saving adjoint.
@@ -77,6 +79,14 @@ def make_simulator(
     saving custom VJP: plain jax AD through the scan (O(nt * grid) memory).
     Only usable on tiny problems — it is the ground truth the boundary-saving
     gradient is tested against (tests/test_adjoint.py).
+
+    ``wavefield_sharding``: optional NamedSharding for the wavefield state
+    (3D spatial domain decomposition, spec C5). The constraint is applied to
+    the scan carry; XLA's SPMD partitioner then keeps every full-grid op
+    block-local and inserts collective-permute halo exchanges for the
+    stencil's shifted slices over ICI (SURVEY.md §2 "or let XLA SPMD
+    partition the convolution ... automatic halo exchange"). The explicit
+    shard_map/ppermute variant lives in propagators/acoustic3d.py.
     """
     profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
     a_ax = tuple(jnp.asarray(p[0], dtype) for p in profs)
@@ -87,17 +97,35 @@ def make_simulator(
     ndim = grid.ndim
     shape = grid.padded_shape
 
+    def _constrain(tree):
+        if wavefield_sharding is None:
+            return tree
+
+        def c(x):
+            if x.ndim == ndim:
+                return jax.lax.with_sharding_constraint(x, wavefield_sharding)
+            if x.ndim == ndim + 1 and wavefield_sharding_batched is not None:
+                # under vmap over shots: leading batch dim (shot DP axis)
+                return jax.lax.with_sharding_constraint(
+                    x, wavefield_sharding_batched
+                )
+            return x
+
+        return jax.tree.map(c, tree)
+
     def _params(c2dt2, src_idx, rcv_idx):
         return AcousticParams(c2dt2=c2dt2, a=a_ax, b=b_ax, src_idx=src_idx, rcv_idx=rcv_idx)
 
     def simulate_plain(c2dt2, wavelet, src_idx, rcv_idx):
-        params = _params(c2dt2, src_idx, rcv_idx)
+        params = _params(_constrain(c2dt2), src_idx, rcv_idx)
 
         def body(s, w_t):
             s, rec = step(s, params, w_t)
             return s, rec
 
-        _, seis = lax.scan(body, zero_state(shape, ndim, c2dt2.dtype), wavelet)
+        _, seis = lax.scan(
+            body, _constrain(zero_state(shape, ndim, c2dt2.dtype)), wavelet
+        )
         return seis
 
     if not use_custom_vjp:
@@ -106,14 +134,14 @@ def make_simulator(
     simulate = jax.custom_vjp(simulate_plain)
 
     def simulate_fwd(c2dt2, wavelet, src_idx, rcv_idx):
-        params = _params(c2dt2, src_idx, rcv_idx)
+        params = _params(_constrain(c2dt2), src_idx, rcv_idx)
 
         def body(s, w_t):
             s, rec = step(s, params, w_t)
             return s, (rec, rings.extract(s.p))
 
         final, (seis, tape) = lax.scan(
-            body, zero_state(shape, ndim, c2dt2.dtype), wavelet
+            body, _constrain(zero_state(shape, ndim, c2dt2.dtype)), wavelet
         )
         residuals = (c2dt2, wavelet, src_idx, rcv_idx, tape, final.p_prev, final.p)
         return seis, residuals
@@ -152,8 +180,10 @@ def make_simulator(
             sbar_new, c2_inc, w_inc = pullback((sbar, ybar_t))
             return (sbar_new, p_tm1, p_t, c2bar + c2_inc), w_inc
 
-        sbar0 = zero_state(shape, ndim, c2dt2.dtype)
-        carry0 = (sbar0, p_last_prev, p_last, jnp.zeros(shape, c2dt2.dtype))
+        sbar0 = _constrain(zero_state(shape, ndim, c2dt2.dtype))
+        carry0 = _constrain(
+            (sbar0, p_last_prev, p_last, jnp.zeros(shape, c2dt2.dtype))
+        )
         xs = (tape_tm1, wavelet, seis_bar)
         (_, _, _, c2bar), wbar = lax.scan(bwd_body, carry0, xs, reverse=True)
 
