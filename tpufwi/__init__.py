@@ -16,6 +16,8 @@ from .models import Model
 from .wavelets import ricker
 from .acquisition import Geometry, line_geometry, split_spread_survey
 from .propagators.acoustic2d import AcousticPropagator
+from .propagators.elastic2d import ElasticPropagator, elastic_cfl_dt
+from .propagators.acoustic3d import ShardedAcoustic3D, domain_sharding
 
 __version__ = "0.1.0"
 
@@ -28,5 +30,9 @@ __all__ = [
     "line_geometry",
     "split_spread_survey",
     "AcousticPropagator",
+    "ElasticPropagator",
+    "elastic_cfl_dt",
+    "ShardedAcoustic3D",
+    "domain_sharding",
     "__version__",
 ]

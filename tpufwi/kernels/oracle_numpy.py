@@ -155,37 +155,42 @@ def oracle_elastic_2d(
     lam = np.pad(rho * vp**2 - 2 * rho * vs**2, padw, mode="edge")
     buoy = 1.0 / np.pad(rho, padw, mode="edge")
 
-    # Staggered averaging for material params at half positions [GENRE].
-    mu_xz = 0.25 * (mu + np.roll(mu, -1, 0) + np.roll(mu, -1, 1) + np.roll(mu, -1, (0, 1)))
-    bx = 0.5 * (buoy + np.roll(buoy, -1, 1))  # at (i, j+1/2)
-    bz = 0.5 * (buoy + np.roll(buoy, -1, 0))  # at (i+1/2, j)
+    def shift(f, d, axis, mode="constant"):
+        """f shifted so out[i] = f[i + d], zero- (or edge-) extended."""
+        out = np.pad(
+            f,
+            [(max(-d, 0), max(d, 0)) if ax == axis else (0, 0) for ax in range(f.ndim)],
+            mode=mode,
+        )
+        sl = [slice(None)] * f.ndim
+        sl[axis] = slice(max(d, 0), max(d, 0) + f.shape[axis])
+        return out[tuple(sl)]
+
+    # Staggered averaging for material params at half positions [GENRE];
+    # edge extension matches the edge-replicated padding of the materials.
+    mu_xz = 0.25 * (
+        mu
+        + shift(mu, 1, 0, "edge")
+        + shift(mu, 1, 1, "edge")
+        + shift(shift(mu, 1, 0, "edge"), 1, 1, "edge")
+    )
+    bx = 0.5 * (buoy + shift(buoy, 1, 1, "edge"))  # at (i, j+1/2)
+    bz = 0.5 * (buoy + shift(buoy, 1, 0, "edge"))  # at (i+1/2, j)
 
     cs = np.asarray(D1_STAGGERED_COEFFS[grid.order])
-    r = len(cs)
 
     def dplus(f, axis, h):
-        """D+ f at half position i+1/2 from integer samples."""
+        """D+ f at half position i+1/2 from integer samples, zero-extended."""
         out = np.zeros_like(f)
         for k, ck in enumerate(cs):
-            out += ck * (np.roll(f, -(k + 1), axis) - np.roll(f, k, axis))
-        # zero the wrap-around region
-        sl = [slice(None)] * f.ndim
-        sl[axis] = slice(0, r)
-        out[tuple(sl)] = 0.0
-        sl[axis] = slice(f.shape[axis] - r, None)
-        out[tuple(sl)] = 0.0
+            out += ck * (shift(f, k + 1, axis) - shift(f, -k, axis))
         return out / h
 
     def dminus(f, axis, h):
-        """D- f at integer position i from half samples."""
+        """D- f at integer position i from half samples, zero-extended."""
         out = np.zeros_like(f)
         for k, ck in enumerate(cs):
-            out += ck * (np.roll(f, k, axis) - np.roll(f, k + 1, axis))
-        sl = [slice(None)] * f.ndim
-        sl[axis] = slice(0, r)
-        out[tuple(sl)] = 0.0
-        sl[axis] = slice(f.shape[axis] - r, None)
-        out[tuple(sl)] = 0.0
+            out += ck * (shift(f, k, axis) - shift(f, -(k + 1), axis))
         return out / h
 
     profs = _build_axis_profiles(grid, dt, vp.max(), f0)

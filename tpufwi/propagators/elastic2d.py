@@ -1,0 +1,252 @@
+"""Elastic P-SV propagator + Vp/Vs/rho adjoint gradients (spec C4).
+
+Same architecture as the acoustic engine (SURVEY.md §3.4): lax.scan time
+loop, custom VJP with boundary-saving reverse reconstruction (the staggered
+leapfrog is time-reversible in the lossless interior; 5-field rings are
+re-imposed each reverse step), exact transposed step via jax.vjp of the
+affine update. Gradients come out with respect to the derived material
+fields (lam, lam+2mu, mu_xz, 1/rho at the velocity points) and chain
+automatically to Vp/Vs/rho through the (differentiable) padding/averaging
+done outside the custom VJP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..acquisition import Geometry
+from ..cpml import build_profiles
+from ..grid import D1_STAGGERED_COEFFS, Grid
+from ..kernels.elastic2d_jnp import (
+    ElasticParams,
+    ElasticState,
+    make_elastic_reverse_reconstruct,
+    make_elastic_step,
+    zero_elastic_state,
+)
+from ..propagators.boundary import RingSpec
+
+
+def elastic_cfl_dt(h, vp_max: float, order: int = 4, safety: float = 0.8) -> float:
+    """Staggered-grid stability bound dt <= h / (sqrt(2) vp_max sum|c|)
+    [GENRE: Levander 1988] for square cells (general: harmonic in 1/h^2)."""
+    cs = np.abs(np.asarray(D1_STAGGERED_COEFFS[order])).sum()
+    if np.isscalar(h):
+        h = [float(h)] * 2
+    denom = vp_max * cs * np.sqrt(sum(1.0 / hd**2 for hd in h))
+    return safety / denom
+
+
+def _shift_edge(f, axis):
+    """out[i] = f[i+1] with edge extension (material averaging)."""
+    idx = [slice(None)] * f.ndim
+    idx[axis] = slice(1, None)
+    last = [slice(None)] * f.ndim
+    last[axis] = slice(-1, None)
+    return jnp.concatenate([f[tuple(idx)], f[tuple(last)]], axis=axis)
+
+
+def _int_cotangent(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def make_elastic_simulator(
+    grid: Grid,
+    dt: float,
+    f0: float,
+    c_max: float,
+    dtype=jnp.float64,
+    source_type: str = "pressure",
+    record: str = "v",
+    use_custom_vjp: bool = True,
+):
+    """simulate(lam, lam2mu, mu_xz, buoy_x, buoy_z, wavelet, src, rcv) ->
+    seis; differentiable in the five material fields and the wavelet."""
+    profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
+    az, bz_ = (jnp.asarray(p, dtype) for p in profs[0][:2])
+    ax, bx_ = (jnp.asarray(p, dtype) for p in profs[1][:2])
+    step = make_elastic_step(grid, dt, source_type, record)
+    recon_stress, recon_velocity = make_elastic_reverse_reconstruct(
+        grid, dt, source_type
+    )
+    rings = RingSpec.build(grid)
+    shape = grid.padded_shape
+
+    def _params(mats, src_idx, rcv_idx):
+        lam, lam2mu, mu_xz, buoy_x, buoy_z = mats
+        return ElasticParams(
+            lam=lam, lam2mu=lam2mu, mu_xz=mu_xz, buoy_x=buoy_x, buoy_z=buoy_z,
+            az=az, bz=bz_, ax=ax, bx=bx_, src_idx=src_idx, rcv_idx=rcv_idx,
+        )
+
+    def simulate_plain(lam, lam2mu, mu_xz, buoy_x, buoy_z, wavelet, src_idx, rcv_idx):
+        params = _params((lam, lam2mu, mu_xz, buoy_x, buoy_z), src_idx, rcv_idx)
+
+        def body(s, w_t):
+            return step(s, params, w_t)
+
+        _, seis = lax.scan(body, zero_elastic_state(shape, lam.dtype), wavelet)
+        return seis
+
+    if not use_custom_vjp:
+        return simulate_plain
+
+    simulate = jax.custom_vjp(simulate_plain)
+
+    def fwd(lam, lam2mu, mu_xz, buoy_x, buoy_z, wavelet, src_idx, rcv_idx):
+        mats = (lam, lam2mu, mu_xz, buoy_x, buoy_z)
+        params = _params(mats, src_idx, rcv_idx)
+
+        def body(s, w_t):
+            s, rec = step(s, params, w_t)
+            ring = tuple(
+                rings.extract(f) for f in (s.vx, s.vz, s.sxx, s.szz, s.sxz)
+            )
+            return s, (rec, ring)
+
+        final, (seis, tape) = lax.scan(
+            body, zero_elastic_state(shape, lam.dtype), wavelet
+        )
+        res = (mats, wavelet, src_idx, rcv_idx, tape, final)
+        return seis, res
+
+    def bwd(res, seis_bar):
+        mats, wavelet, src_idx, rcv_idx, tape, final = res
+        dtype_ = mats[0].dtype
+        params = _params(mats, src_idx, rcv_idx)
+
+        # tape[k] = rings(state after step k); reverse step t re-imposes
+        # tape[t-1] (zeros for t = 0: quiescent initial state).
+        def shift1(T):
+            z = jnp.zeros((1,) + T.shape[1:], T.dtype)
+            return jnp.concatenate([z, T[:-1]], axis=0)
+
+        tape_tm1 = jax.tree.map(shift1, tape)
+
+        z = jnp.zeros(shape, dtype_)
+        zmem4 = (z, z, z, z)
+
+        def stage_v_m(vx, vz, s3, memV, m, w_t):
+            p = _params(m, src_idx, rcv_idx)
+            return step.stage_v(vx, vz, *s3, memV, p, w_t)
+
+        def stage_s_m(vx, vz, s3, memS, m, w_t):
+            p = _params(m, src_idx, rcv_idx)
+            return step.stage_s(vx, vz, *s3, memS, p, w_t)
+
+        def body(carry, xs):
+            sbar, fields, mbar = carry
+            ring_tm1, w_t, ybar_t = xs
+            vx, vz, sxx, szz, sxz = fields  # (v^{t+1/2}, sigma^{t+1}), exact
+            ring_vx, ring_vz, ring_sxx, ring_szz, ring_sxz = ring_tm1
+            # reconstruct sigma_t (re-imposing stress rings before anything
+            # reads sigma_t near the ring)
+            vxp, vzp, sxx_t, szz_t, sxz_t = recon_stress(
+                vx, vz, sxx, szz, sxz, params, w_t
+            )
+            sxx_t = rings.impose(sxx_t, ring_sxx)
+            szz_t = rings.impose(szz_t, ring_szz)
+            sxz_t = rings.impose(sxz_t, ring_sxz)
+            s3_t = (sxx_t, szz_t, sxz_t)
+
+            # stage-S transpose, with the *carried* exact v^{t+1/2} as primal
+            # (a replay from the before-state would corrupt the strains near
+            # the ring through unreconstructible PML stresses)
+            _, pullS = jax.vjp(stage_s_m, vxp, vzp, s3_t, zmem4, mats, w_t)
+            sbar_s3 = (sbar.sxx, sbar.szz, sbar.sxz)
+            vxb_S, vzb_S, s3b_S, memSb, mb_S, wb_S = pullS(
+                (sbar.vz, *sbar_s3, sbar.mem[4:], ybar_t)
+            )
+
+            # reconstruct v^{t-1/2} from the (ring-imposed) sigma_t
+            vx_t, vz_t = recon_velocity(vxp, vzp, sxx_t, szz_t, sxz_t, params)
+            vx_t = rings.impose(vx_t, ring_vx)
+            vz_t = rings.impose(vz_t, ring_vz)
+
+            # stage-V transpose (sigma_t primal feeds the buoyancy cotangent)
+            _, pullV = jax.vjp(stage_v_m, vx_t, vz_t, s3_t, zmem4, mats, w_t)
+            vxb, vzb, s3b_V, memVb, mb_V, wb_V = pullV(
+                (sbar.vx + vxb_S, vzb_S, sbar.mem[:4])
+            )
+
+            sbar_n = ElasticState(
+                vx=vxb,
+                vz=vzb,
+                sxx=s3b_S[0] + s3b_V[0],
+                szz=s3b_S[1] + s3b_V[1],
+                sxz=s3b_S[2] + s3b_V[2],
+                mem=tuple(memVb) + tuple(memSb),
+            )
+            m_inc = jax.tree.map(jnp.add, mb_S, mb_V)
+            mbar_n = jax.tree.map(jnp.add, mbar, m_inc)
+            return (sbar_n, (vx_t, vz_t, sxx_t, szz_t, sxz_t), mbar_n), wb_S + wb_V
+
+        sbar0 = jax.tree.map(jnp.zeros_like, zero_elastic_state(shape, dtype_))
+        mbar0 = jax.tree.map(jnp.zeros_like, mats)
+        fields0 = (final.vx, final.vz, final.sxx, final.szz, final.sxz)
+        xs = (tape_tm1, wavelet, seis_bar)
+        (_, _, mbar), wbar = lax.scan(body, (sbar0, fields0, mbar0), xs, reverse=True)
+        mbar = tuple(rings.mask_valid(m) for m in mbar)
+        return (*mbar, wbar, _int_cotangent(src_idx), _int_cotangent(rcv_idx))
+
+    simulate.defvjp(fwd, bwd)
+    return simulate
+
+
+class ElasticPropagator:
+    """User-facing elastic propagator: (vp, vs, rho) -> seismograms,
+    differentiable in all three material fields.
+
+    Gradient validity: exact on the interior shrunk by radius+1 cells (one
+    more than acoustic — the staggered material averaging chains each
+    physical cell to staggered cotangents one cell away, and the staggered
+    cotangent adjacent to the boundary ring reads unreconstructible PML
+    cells). See tests/test_elastic.py."""
+
+    def __init__(
+        self,
+        grid: Grid,
+        dt: float,
+        f0: float,
+        vp_max: float,
+        dtype=jnp.float32,
+        source_type: str = "pressure",
+        record: str = "v",
+    ):
+        limit = elastic_cfl_dt(grid.h, vp_max, grid.order, safety=1.0)
+        if dt > limit:
+            raise ValueError(f"dt={dt:.6g} exceeds elastic CFL limit {limit:.6g}")
+        self.grid = grid
+        self.dt = float(dt)
+        self.dtype = dtype
+        self._simulate = make_elastic_simulator(
+            grid, dt, f0, vp_max, dtype, source_type, record
+        )
+
+    def material_fields(self, vp, vs, rho):
+        """Differentiable map to the padded, staggered material fields."""
+        pad = self.grid.pad
+        pd = lambda f: jnp.pad(f.astype(self.dtype), pad, mode="edge")
+        vp_, vs_, rho_ = pd(vp), pd(vs), pd(rho)
+        mu = rho_ * vs_**2
+        lam = rho_ * vp_**2 - 2.0 * mu
+        lam2mu = lam + 2.0 * mu
+        mu_x = _shift_edge(mu, 1)
+        mu_z = _shift_edge(mu, 0)
+        mu_xz = 0.25 * (mu + mu_z + mu_x + _shift_edge(mu_z, 1))
+        buoy = 1.0 / rho_
+        buoy_x = 0.5 * (buoy + _shift_edge(buoy, 1))
+        buoy_z = 0.5 * (buoy + _shift_edge(buoy, 0))
+        return lam, lam2mu, mu_xz, buoy_x, buoy_z
+
+    def __call__(self, vp, vs, rho, geom: Geometry, wavelet):
+        mats = self.material_fields(vp, vs, rho)
+        return self._simulate(
+            *mats, wavelet.astype(self.dtype), geom.src_idx, geom.rcv_idx
+        )
