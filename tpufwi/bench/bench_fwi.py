@@ -1,0 +1,65 @@
+"""FWI throughput: Marmousi2 shots/sec/chip, forward+adjoint — the graded
+metric (BASELINE.json:2). Same relay-safe slope methodology as
+bench_stencil.py."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def bench_fwd_adjoint(
+    nz=351, nx=1701, h=10.0, order=8, pml=20, impl="auto",
+    nt_marmousi=5000, nt_lo=250, nt_hi=1250, reps=3,
+):
+    """Time value_and_grad of a single-shot L2 misfit via the nt-slope;
+    report shots/s/chip extrapolated to the full Marmousi2 nt."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..acquisition import Geometry
+    from ..grid import Grid
+    from ..io import marmousi_like
+    from ..misfit import l2_misfit
+    from ..propagators.acoustic2d import AcousticPropagator
+    from ..wavelets import ricker
+
+    grid = Grid(shape=(nz, nx), h=(h, h), pml=pml, order=order)
+    f0, c_max = 12.0, 4700.0
+    dt = grid.cfl_dt(c_max, safety=0.7)
+    vp_np, _ = marmousi_like(nz=nz, nx=nx, dx=h)
+    vp = jnp.asarray(vp_np, jnp.float32)
+    rx = np.arange(8, nx - 8, 2, dtype=np.int32)
+    rcv = np.stack([np.full_like(rx, 3), rx], 1)
+    geom = Geometry.from_physical(grid, np.array([[3, nx // 2]]), rcv)
+    prop = AcousticPropagator(grid, dt, f0, c_max, impl=impl)
+
+    times = {}
+    for nt in (nt_lo, nt_hi):
+        w = ricker(f0, dt, nt)
+        d_obs = jax.jit(lambda v: prop(v, geom, w))(vp)
+
+        @jax.jit
+        def vg(v):
+            J, g = jax.value_and_grad(
+                lambda v_: l2_misfit(prop(v_, geom, w), d_obs)
+            )(v)
+            return J + jnp.sum(g * g)  # scalar barrier
+
+        float(vg(vp * 1.01))  # compile + warm
+        t0 = time.perf_counter()
+        for i in range(reps):
+            float(vg(vp * (1.01 + 1e-4 * i)))
+        times[nt] = (time.perf_counter() - t0) / reps
+
+    per_step = (times[nt_hi] - times[nt_lo]) / (nt_hi - nt_lo)
+    seconds_per_shot = per_step * nt_marmousi
+    return {
+        "impl": prop.impl,
+        "us_per_step_fwd_adjoint": per_step * 1e6,
+        "seconds_per_shot_nt5000": seconds_per_shot,
+        "shots_per_sec_per_chip": 1.0 / seconds_per_shot,
+        "grid": (nz, nx),
+        "nt": nt_marmousi,
+    }
