@@ -1,0 +1,82 @@
+"""Blocked 3D Pallas leapfrog == jnp twin (interpret mode, CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from tpufwi import Grid
+from tpufwi.cpml import build_profiles
+from tpufwi.kernels.acoustic2d_jnp import AcousticParams, make_acoustic_step, zero_state
+from tpufwi.kernels.acoustic3d_pallas import make_acoustic3d_step, make_leapfrog3d_kernel
+from tpufwi.wavelets import ricker_np
+
+
+def _grid():
+    # padded (40, 36, 44): NY=40 divides BY=8
+    return Grid(shape=(24, 20, 28), h=(15.0, 15.0, 15.0), pml=6, order=4)
+
+
+def test_leapfrog3d_matches_stencil():
+    grid = _grid()
+    NY, NZ, NX = grid.padded_shape
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.standard_normal((NY, NZ, NX)), jnp.float32)
+    p_prev = jnp.asarray(rng.standard_normal((NY, NZ, NX)), jnp.float32)
+    c2 = jnp.full((NY, NZ, NX), 0.02, jnp.float32)
+
+    leap = make_leapfrog3d_kernel(grid, interpret=True)
+    got = np.asarray(leap(p_prev, p, c2))
+
+    from tpufwi.kernels.stencils import apply_stencil, scaled_taps
+    from tpufwi.grid import D2_COEFFS
+
+    lap = sum(
+        apply_stencil(p, scaled_taps(D2_COEFFS[4], grid.h[a], 2), a) for a in range(3)
+    )
+    ref = np.asarray(2.0 * p - p_prev + c2 * lap)
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 1e-6, f"3D leapfrog kernel vs stencil: {err:.3e}"
+
+
+def test_acoustic3d_step_matches_jnp_scan():
+    grid = _grid()
+    c_max, f0, nt = 2500.0, 10.0, 40
+    dt = grid.cfl_dt(c_max, safety=0.7)
+    rng = np.random.default_rng(1)
+    NY, NZ, NX = grid.padded_shape
+    c2 = jnp.asarray(
+        ((2000 + 100 * rng.standard_normal((NY, NZ, NX))) * dt) ** 2, jnp.float32
+    )
+    profs = build_profiles(grid, dt, c_max, f0)
+    a3 = tuple(jnp.asarray(p[0], jnp.float32) for p in profs)
+    b3 = tuple(jnp.asarray(p[1], jnp.float32) for p in profs)
+    w = jnp.asarray(ricker_np(f0, dt, nt), jnp.float32)
+    src = jnp.array([[NY // 2, NZ // 2, NX // 2]])
+
+    # jnp reference scan (with source injection)
+    jstep = make_acoustic_step(grid)
+    params = AcousticParams(c2dt2=c2, a=a3, b=b3, src_idx=src, rcv_idx=src)
+
+    def body_ref(s, w_t):
+        s, _ = jstep(s, params, w_t)
+        return s, None
+
+    s_ref, _ = lax.scan(body_ref, zero_state(grid.padded_shape, 3, jnp.float32), w)
+
+    # pallas-interior scan
+    step = make_acoustic3d_step(grid, dt, f0, c_max, interpret=True)
+    coords = tuple(src[..., d] for d in range(3))
+
+    def body_pal(s, w_t):
+        p_prev, p, phi, psi = step(s, c2, a3, b3)
+        p = p.at[coords].add(c2[coords] * w_t)
+        return (p_prev, p, phi, psi), None
+
+    z = jnp.zeros(grid.padded_shape, jnp.float32)
+    s0 = (z, z, (z, z, z), (z, z, z))
+    (_, p_pal, _, _), _ = lax.scan(body_pal, s0, w)
+
+    ref = np.asarray(s_ref.p)
+    got = np.asarray(p_pal)
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, f"3D fused step vs jnp scan: {err:.3e}"

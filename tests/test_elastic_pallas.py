@@ -1,0 +1,45 @@
+"""Fused elastic Pallas kernels == jnp twin (interpret mode, CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufwi import Geometry, Grid
+from tpufwi.kernels.elastic2d_pallas import make_pallas_elastic_forward
+from tpufwi.propagators.elastic2d import ElasticPropagator, elastic_cfl_dt
+from tpufwi.wavelets import ricker_np
+
+
+@pytest.mark.parametrize("source_type", ["pressure", "force_z"])
+def test_elastic_pallas_matches_jnp(source_type):
+    nz, nx, pml, nt, f0 = 40, 50, 8, 120, 12.0
+    vp = np.full((nz, nx), 2200.0)
+    vp[nz // 2 :] = 2600.0
+    vs = vp / 1.8
+    rho = 1000.0 + 0.3 * vp
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=pml, order=4)
+    dt = elastic_cfl_dt(grid.h, float(vp.max()), 4, safety=0.7)
+    w = ricker_np(f0, dt, nt)
+    src = np.array([[nz // 2 - 6, nx // 2]])
+    rx = np.arange(5, nx - 5, 3)
+    rcv = np.stack([np.full_like(rx, 5), rx], 1)
+    geom = Geometry.from_physical(grid, src, rcv)
+
+    prop = ElasticPropagator(
+        grid, dt, f0, float(vp.max()), dtype=jnp.float32, source_type=source_type
+    )
+    mats = prop.material_fields(
+        jnp.asarray(vp, jnp.float32), jnp.asarray(vs, jnp.float32),
+        jnp.asarray(rho, jnp.float32),
+    )
+    wj = jnp.asarray(w, jnp.float32)
+    seis_ref = np.asarray(prop._simulate(*mats, wj, geom.src_idx, geom.rcv_idx))
+
+    sim_p = make_pallas_elastic_forward(
+        grid, dt, f0, float(vp.max()), source_type=source_type, interpret=True
+    )
+    seis_p = np.asarray(sim_p(mats, wj, geom.src_idx, geom.rcv_idx))
+
+    scale = np.abs(seis_ref).max()
+    err = np.abs(seis_p - seis_ref).max() / scale
+    assert err < 1e-5, f"elastic pallas vs jnp max rel err {err:.3e} ({source_type})"

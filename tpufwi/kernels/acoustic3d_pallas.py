@@ -1,0 +1,170 @@
+"""Grid-blocked Pallas kernel for the 3D acoustic leapfrog stencil
+(SURVEY.md §2 `kernels/acoustic3d_pallas.py`, spec C5).
+
+Design: 3D wavefields do not fit VMEM, so the kernel runs on a 1-D grid of
+y-slabs (grid=(n_blocks,)). Each program receives its (BY, NZ, NX) block
+plus two width-`radius` halo slabs — the halos are materialized OUTSIDE the
+kernel by cheap XLA block-shifts (~1% extra HBM traffic), which makes every
+block self-contained: the same decomposition works under `shard_map` domain
+sharding (the halo build then rides the ppermute exchange). y is the
+leading (non-tiled) dimension, so y-shifts cost no relayout; z rides
+sublanes, x rides lanes behind an aligned scratch border, exactly like the
+2D kernel.
+
+CPML strip corrections are applied at the XLA level on the thin absorbing
+slabs after the kernel (they are strip-local and additive; the interior
+update — all the bandwidth — stays in the fused kernel). The step
+composes as:
+
+    p_next = pallas_leapfrog3d(p_prev, p, c2)          # this module
+    p_next += c2 * cpml_corrections(p, state_strips)   # propagator, XLA
+
+fp32, forward modeling; gradients run on the jnp engine (adjoint.py), which
+is dimension-agnostic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..grid import D2_COEFFS, Grid
+
+
+def _pick_block(ny: int, target: int = 8) -> int:
+    """Largest divisor of ny that is <= max(target, smallest divisor)."""
+    best = 1
+    for b in range(1, ny + 1):
+        if ny % b == 0 and b <= target:
+            best = b
+    return best
+
+
+def make_leapfrog3d_kernel(grid: Grid, by: int | None = None, interpret: bool = False):
+    """Build ``leap3d(p_prev, p, c2) -> p_next`` on (NY, NZ, NX) padded
+    arrays: p_next = 2 p - p_prev + c2 * Lap3d(p), zero Dirichlet borders.
+    """
+    if grid.ndim != 3:
+        raise ValueError("3D kernel needs a 3D grid")
+    NY, NZ, NX = grid.padded_shape
+    r = grid.radius
+    BY = by or _pick_block(NY)
+    if NY % BY:
+        raise ValueError(f"NY={NY} not divisible by block {BY}")
+    n_blocks = NY // BY
+    d2y = tuple(float(c) / grid.h[0] ** 2 for c in D2_COEFFS[grid.order])
+    d2z = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
+    d2x = tuple(float(c) / grid.h[2] ** 2 for c in D2_COEFFS[grid.order])
+    PZ, PX = 8, 128
+    dtype = jnp.float32
+
+    def kernel(p_prev_ref, p_ref, lo_ref, hi_ref, c2_ref, out_ref, scr_ref):
+        # scratch slab (BY+2r, NZ+2PZ, NX+2PX): zero the r-frames actually
+        # read, fill [r:r+BY] with the block and the ends with the halos
+        zrow = jnp.zeros((BY + 2 * r, r, NX + 2 * PX), dtype)
+        scr_ref[:, PZ - r : PZ, :] = zrow
+        scr_ref[:, PZ + NZ : PZ + NZ + r, :] = zrow
+        zcol = jnp.zeros((BY + 2 * r, NZ + 2 * PZ, r), dtype)
+        scr_ref[:, :, PX - r : PX] = zcol
+        scr_ref[:, :, PX + NX : PX + NX + r] = zcol
+        scr_ref[0:r, PZ : PZ + NZ, PX : PX + NX] = lo_ref[:]
+        scr_ref[r : r + BY, PZ : PZ + NZ, PX : PX + NX] = p_ref[:]
+        scr_ref[r + BY : 2 * r + BY, PZ : PZ + NZ, PX : PX + NX] = hi_ref[:]
+
+        lap = None
+        for k, c in enumerate(d2y):
+            if c == 0.0:
+                continue
+            t = c * scr_ref[k : k + BY, PZ : PZ + NZ, PX : PX + NX]
+            lap = t if lap is None else lap + t
+        for k, c in enumerate(d2z):
+            if c == 0.0:
+                continue
+            z0 = PZ + k - r
+            lap = lap + c * scr_ref[r : r + BY, z0 : z0 + NZ, PX : PX + NX]
+        for k, c in enumerate(d2x):
+            if c == 0.0:
+                continue
+            x0 = PX + k - r
+            lap = lap + c * scr_ref[r : r + BY, PZ : PZ + NZ, x0 : x0 + NX]
+        out_ref[:] = 2.0 * p_ref[:] - p_prev_ref[:] + c2_ref[:] * lap
+
+    blk = lambda: pl.BlockSpec(
+        (BY, NZ, NX), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    halo = lambda: pl.BlockSpec(
+        (r, NZ, NX), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((NY, NZ, NX), dtype),
+        in_specs=[blk(), blk(), halo(), halo(), blk()],
+        out_specs=blk(),
+        scratch_shapes=[pltpu.VMEM((BY + 2 * r, NZ + 2 * PZ, NX + 2 * PX), dtype)],
+        input_output_aliases={0: 0},
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def leap3d(p_prev, p, c2):
+        # halo slabs per block: lo[i] = last r y-planes of block i-1 (zeros
+        # for i=0), hi[i] = first r planes of block i+1
+        pb = p.reshape(n_blocks, BY, NZ, NX)
+        zero = jnp.zeros((1, r, NZ, NX), p.dtype)
+        lo = jnp.concatenate([zero, pb[:-1, BY - r :]], axis=0)
+        hi = jnp.concatenate([pb[1:, :r], zero], axis=0)
+        lo = lo.reshape(n_blocks * r, NZ, NX)
+        hi = hi.reshape(n_blocks * r, NZ, NX)
+        return call(p_prev, p, lo, hi, c2)
+
+    return leap3d
+
+
+def make_acoustic3d_step(grid: Grid, dt: float, f0: float, c_max: float,
+                         by: int | None = None, interpret: bool = False):
+    """Full fused-interior 3D step with XLA-level CPML strip corrections.
+
+    Returns (step, zero_state) with
+    step((p_prev, p, phi(3), psi(3)), c2dt2, profiles) -> new state tuple,
+    semantics identical to the dim-agnostic jnp step (acoustic2d_jnp.py) —
+    parity tested in tests/test_acoustic3d_pallas.py. phi/psi are kept as
+    full arrays here for simplicity (they are zero outside the strips; the
+    strip-resident variant follows the 2D kernel's pattern in a later
+    round).
+    """
+    from .acoustic2d_jnp import AcousticParams, AcousticState, make_acoustic_step
+    from .stencils import apply_stencil, scaled_taps
+    from ..grid import D1_COEFFS, D2_COEFFS
+
+    leap3d = make_leapfrog3d_kernel(grid, by=by, interpret=interpret)
+    jstep = make_acoustic_step(grid)
+
+    d1 = [scaled_taps(D1_COEFFS[grid.order], h, 1) for h in grid.h]
+    d2 = [scaled_taps(D2_COEFFS[grid.order], h, 2) for h in grid.h]
+
+    def step(state, c2dt2, a3, b3):
+        """a3/b3: per-axis broadcastable CPML profile arrays."""
+        p_prev, p, phi, psi = state
+        p_next = leap3d(p_prev, p, c2dt2)
+        # CPML corrections (zero in the interior; XLA keeps them strip-local
+        # through the a/b masks)
+        phi_new, psi_new = [], []
+        corr = None
+        for ax in range(3):
+            a, b = a3[ax], b3[ax]
+            ph = b * phi[ax] + a * apply_stencil(p, d1[ax], ax)
+            v_corr = apply_stencil(ph, d1[ax], ax)
+            ps = b * psi[ax] + a * (apply_stencil(p, d2[ax], ax) + v_corr)
+            term = v_corr + ps
+            corr = term if corr is None else corr + term
+            phi_new.append(ph)
+            psi_new.append(ps)
+        p_next = p_next + c2dt2 * corr
+        return (p, p_next, tuple(phi_new), tuple(psi_new))
+
+    return step
