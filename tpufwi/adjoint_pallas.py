@@ -41,7 +41,14 @@ def make_simulator_pallas(
     custom VJP. Drop-in for adjoint.make_simulator (fp32)."""
     step = make_fused_forward_step(grid, interpret=interpret)
     recon = make_recon_kernel(grid, interpret=interpret)
-    step_T = make_fused_adjoint_step(grid, interpret=interpret)
+    _step_T_cache = {}
+
+    def _step_T_for(nrec):
+        if nrec not in _step_T_cache:
+            _step_T_cache[nrec] = make_fused_adjoint_step(
+                grid, interpret=interpret, nrec=nrec
+            )
+        return _step_T_cache[nrec]
     profiles = strip_profiles(grid, dt, c_max, f0)
     rings = RingSpec.build(grid)
     S = profiles[0].shape[1]
@@ -78,6 +85,14 @@ def make_simulator_pallas(
         rcv = _coords(rcv_idx)
         dtype = c2dt2.dtype
 
+        # Receiver-cotangent injection as a one-hot MXU matmul FUSED INTO
+        # the transposed-step kernel (a many-index scatter-add costs
+        # ~57 us/step on TPU; the dense rank-nrec update is ~2 us).
+        nrec = rcv_idx.shape[-2]
+        step_T = _step_T_for(nrec)
+        Mzt = jax.nn.one_hot(rcv_idx[..., 0], NZ, dtype=dtype).T  # (NZ, nrec)
+        Mx = jax.nn.one_hot(rcv_idx[..., 1], NX, dtype=dtype)  # (nrec, NX)
+
         def shift2(T):
             z = jnp.zeros((2,) + T.shape[1:], T.dtype)
             return jnp.concatenate([z, T[:-2]], axis=0)
@@ -96,24 +111,39 @@ def make_simulator_pallas(
             )
         src_amp_mask = src_in_valid.astype(c2dt2.dtype)
 
+        # lambda at the source cells (for wbar/gbar source terms) without
+        # materializing the dense injection: per-source selector over ybar
+        sel = jnp.zeros((nrec, src_idx.shape[-2]), dtype)
+        sel = jnp.where(
+            (rcv_idx[..., 0][:, None] == src_idx[..., 0][None, :])
+            & (rcv_idx[..., 1][:, None] == src_idx[..., 1][None, :]),
+            jnp.ones((), dtype),
+            sel,
+        )
+
         def body(carry, xs):
             q_pm, q_p, strips, gbar, p_t, p_tp1 = carry
             ring_tm1, w_t, ybar_t = xs
-            # receiver cotangent scatter -> lambda
-            q_p_eff = q_p.at[rcv].add(ybar_t, mode="drop")
-            # source-term cotangents (exact, incl. the C w delta term)
-            wbar_t = jnp.sum(c2dt2[src] * q_p_eff[src])
-            gbar = gbar.at[src].add(q_p_eff[src] * w_t, mode="drop")
+            U = ybar_t[:, None] * Mx  # (nrec, NX), feeds the in-kernel MXU
+            # source-term cotangents (exact, incl. the C w delta term);
+            # the gbar source contribution is accumulated as per-step ys and
+            # scattered once after the scan (src is time-independent)
+            lam_src = q_p[src] + ybar_t @ sel
+            wbar_t = jnp.sum(c2dt2[src] * lam_src)
+            gsrc_t = lam_src * w_t
             # reverse reconstruction + ring imposition + Lap(p_t), fused
             p_tm1, lapw = recon(p_tp1, p_t, c2dt2, *ring_tm1)
             p_tm1 = p_tm1.at[src].add(
                 src_amp_mask * c2dt2[src] * w_t, mode="drop"
             )
-            # fused transposed step + imaging accumulation
+            # fused transposed step + receiver injection + imaging
             q_pm_n, q_p_n, gbar_n, pbz, psz, pbx, psx = step_T(
-                q_pm, q_p_eff, c2dt2, lapw, gbar, strips, profiles
+                q_pm, q_p, c2dt2, lapw, gbar, strips, profiles, Mzt, U
             )
-            return (q_pm_n, q_p_n, (pbz, psz, pbx, psx), gbar_n, p_tm1, p_t), wbar_t
+            return (
+                (q_pm_n, q_p_n, (pbz, psz, pbx, psx), gbar_n, p_tm1, p_t),
+                (wbar_t, gsrc_t),
+            )
 
         z2 = jnp.zeros((NZ, NX), dtype)
         strips0 = (
@@ -124,7 +154,10 @@ def make_simulator_pallas(
         )
         carry0 = (z2, z2, strips0, jnp.zeros((NZ, NX), dtype), p_last_prev, p_last)
         xs = (tape_tm1, wavelet, seis_bar)
-        (q_pm, q_p, _, gbar, _, _), wbar = lax.scan(body, carry0, xs, reverse=True)
+        (q_pm, q_p, _, gbar, _, _), (wbar, gsrc) = lax.scan(
+            body, carry0, xs, reverse=True
+        )
+        gbar = gbar.at[src].add(jnp.sum(gsrc, axis=0), mode="drop")
         gbar = rings.mask_valid(gbar)
         return gbar, wbar, _int_cotangent(src_idx), _int_cotangent(rcv_idx)
 

@@ -103,14 +103,18 @@ def make_recon_kernel(grid: Grid, interpret: bool = False):
     )
 
 
-def make_fused_adjoint_step(grid: Grid, interpret: bool = False):
+def make_fused_adjoint_step(grid: Grid, interpret: bool = False, nrec: int | None = None):
     """Build the transposed step kernel.
 
-    step_T(q_pm, q_p, C, lapw, gbar, phib_z, psib_z, phib_x, psib_x,
-           profiles) -> (q_pm', q_p', gbar', phib_z', psib_z', phib_x',
-           psib_x')
+    step_T(q_pm, q_p, C, lapw, gbar, strips, profiles[, Mzt, U]) ->
+    (q_pm', q_p', gbar', phib_z', psib_z', phib_x', psib_x')
 
-    q_p must already include the receiver cotangent scatter.
+    With ``nrec`` set, the receiver-cotangent injection is fused into the
+    kernel as an MXU one-hot matmul: lambda = q_p + Mzt @ U, where
+    Mzt = one_hot(rcv_z, NZ).T (NZ, nrec) and U = ybar_t[:, None] *
+    one_hot(rcv_x, NX) (nrec, NX). A many-index scatter costs ~57 us/step
+    on TPU; the dense rank-nrec MXU update is ~2 us. Without ``nrec``,
+    q_p must already include the receiver cotangent.
     """
     NZ, NX = grid.padded_shape
     r = grid.radius
@@ -122,15 +126,25 @@ def make_fused_adjoint_step(grid: Grid, interpret: bool = False):
     d2x = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
     PZ, PX = 8, 128
 
-    def kernel(
-        q_pm_ref, q_p_ref, c2_ref, lapw_ref, gbar_ref,
-        pbz_ref, psz_ref, pbx_ref, psx_ref,
-        az_ref, bz_ref, ax_ref, bx_ref,
-        q_pm_o_ref, q_p_o_ref, gbar_o_ref,
-        pbz_o_ref, psz_o_ref, pbx_o_ref, psx_o_ref,
-        scr_ref, zs_ref, zs2_ref, xs_ref, xs2_ref,
-    ):
-        lam = q_p_ref[:]
+    def kernel(*refs):
+        if nrec is not None:
+            (q_pm_ref, q_p_ref, c2_ref, lapw_ref, gbar_ref,
+             pbz_ref, psz_ref, pbx_ref, psx_ref,
+             az_ref, bz_ref, ax_ref, bx_ref, mzt_ref, u_ref,
+             q_pm_o_ref, q_p_o_ref, gbar_o_ref,
+             pbz_o_ref, psz_o_ref, pbx_o_ref, psx_o_ref,
+             scr_ref, zs_ref, zs2_ref, xs_ref, xs2_ref) = refs
+            lam = q_p_ref[:] + jnp.dot(
+                mzt_ref[:], u_ref[:], preferred_element_type=jnp.float32
+            )
+        else:
+            (q_pm_ref, q_p_ref, c2_ref, lapw_ref, gbar_ref,
+             pbz_ref, psz_ref, pbx_ref, psx_ref,
+             az_ref, bz_ref, ax_ref, bx_ref,
+             q_pm_o_ref, q_p_o_ref, gbar_o_ref,
+             pbz_o_ref, psz_o_ref, pbx_o_ref, psx_o_ref,
+             scr_ref, zs_ref, zs2_ref, xs_ref, xs2_ref) = refs
+            lam = q_p_ref[:]
         # u = C * lambda into the zero-bordered aligned scratch
         scr_ref[PZ - r : PZ, :] = jnp.zeros((r, NX + 2 * PX), scr_ref.dtype)
         scr_ref[PZ + NZ : PZ + NZ + r, :] = jnp.zeros((r, NX + 2 * PX), scr_ref.dtype)
@@ -234,10 +248,11 @@ def make_fused_adjoint_step(grid: Grid, interpret: bool = False):
         jax.ShapeDtypeStruct((2, NZ, S), dtype),
         jax.ShapeDtypeStruct((2, NZ, S), dtype),
     )
+    n_in = 13 if nrec is None else 15
     call = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[vspec] * 13,
+        in_specs=[vspec] * n_in,
         out_specs=(vspec,) * 7,
         scratch_shapes=[
             pltpu.VMEM((NZ + 16, NX + 256), dtype),
@@ -255,9 +270,23 @@ def make_fused_adjoint_step(grid: Grid, interpret: bool = False):
         interpret=interpret,
     )
 
-    def step_T(q_pm, q_p, c2dt2, lapw, gbar, strips, profiles):
-        pbz, psz, pbx, psx = strips
-        az, bz, ax, bx = profiles
-        return call(q_pm, q_p, c2dt2, lapw, gbar, pbz, psz, pbx, psx, az, bz, ax, bx)
+    if nrec is None:
+
+        def step_T(q_pm, q_p, c2dt2, lapw, gbar, strips, profiles):
+            pbz, psz, pbx, psx = strips
+            az, bz, ax, bx = profiles
+            return call(
+                q_pm, q_p, c2dt2, lapw, gbar, pbz, psz, pbx, psx, az, bz, ax, bx
+            )
+
+    else:
+
+        def step_T(q_pm, q_p, c2dt2, lapw, gbar, strips, profiles, mzt, u):
+            pbz, psz, pbx, psx = strips
+            az, bz, ax, bx = profiles
+            return call(
+                q_pm, q_p, c2dt2, lapw, gbar, pbz, psz, pbx, psx,
+                az, bz, ax, bx, mzt, u,
+            )
 
     return step_T
