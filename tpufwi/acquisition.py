@@ -79,6 +79,80 @@ def record(field: jax.Array, idx: jax.Array) -> jax.Array:
     return field[coords]
 
 
+def kaiser_sinc_weights(offset: float, radius: int = 4, beta: float = 6.31):
+    """Kaiser-windowed sinc interpolation coefficients for an off-grid
+    point at fractional offset `offset` in [0, 1) from the base node
+    [GENRE: Hicks 2002]. Returns (taps,) of length 2*radius for nodes
+    base-radius+1 .. base+radius."""
+    n = np.arange(-radius + 1, radius + 1, dtype=np.float64)
+    x = n - float(offset)
+    w = np.sinc(x)
+    arg = 1.0 - (x / radius) ** 2
+    arg = np.clip(arg, 0.0, None)
+    w = w * np.i0(beta * np.sqrt(arg)) / np.i0(beta)
+    return w
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PointSet:
+    """Off-grid points as sparse (index, weight) stencils (Hicks 2002).
+
+    idx: (npts, K, ndim) int32 padded-grid indices; w: (npts, K) float
+    weights, K = (2*radius)^ndim. Injection scatters amp*w over the
+    stencil; recording is the w-weighted gather — the exact transpose, so
+    adjoint tests hold for off-grid geometry too.
+    """
+
+    idx: jax.Array
+    w: jax.Array
+
+    @staticmethod
+    def from_coords(grid: Grid, coords: np.ndarray, radius: int = 4) -> "PointSet":
+        """coords: (npts, ndim) physical positions in metres (axis order =
+        array layout). Points must be at least `radius` cells inside the
+        physical grid."""
+        coords = np.atleast_2d(np.asarray(coords, np.float64))
+        npts, ndim = coords.shape
+        if ndim != grid.ndim:
+            raise ValueError(f"coords must be (n, {grid.ndim})")
+        cells = coords / np.asarray(grid.h)
+        base = np.floor(cells).astype(np.int64)
+        frac = cells - base
+        lo = base - radius + 1
+        hi = base + radius
+        if (lo < 0).any() or (hi >= np.asarray(grid.shape)).any():
+            raise ValueError(
+                f"off-grid stencil (radius {radius}) exceeds the physical grid"
+            )
+        taps1d = [
+            np.stack([kaiser_sinc_weights(frac[p, d], radius) for p in range(npts)])
+            for d in range(ndim)
+        ]  # per-dim: (npts, 2R)
+        offs = np.arange(-radius + 1, radius + 1)
+        grids = np.meshgrid(*([offs] * ndim), indexing="ij")
+        K = (2 * radius) ** ndim
+        idx = np.empty((npts, K, ndim), np.int64)
+        w = np.ones((npts, K), np.float64)
+        for d in range(ndim):
+            od = grids[d].reshape(-1)
+            idx[:, :, d] = base[:, None, d] + od[None, :] + grid.pad
+            sel = od + radius - 1
+            w *= taps1d[d][:, sel]
+        return PointSet(idx=jnp.asarray(idx, jnp.int32), w=jnp.asarray(w, jnp.float32))
+
+    def inject(self, field: jax.Array, amp) -> jax.Array:
+        """Scatter-add amp (scalar or (npts,)) spread over the stencils."""
+        coords = tuple(self.idx[..., d] for d in range(self.idx.shape[-1]))
+        vals = self.w * (amp if jnp.ndim(amp) == 0 else amp[:, None])
+        return field.at[coords].add(vals.astype(field.dtype), mode="drop")
+
+    def record(self, field: jax.Array) -> jax.Array:
+        """(npts,) weighted gather — transpose of inject."""
+        coords = tuple(self.idx[..., d] for d in range(self.idx.shape[-1]))
+        return jnp.sum(field[coords] * self.w.astype(field.dtype), axis=-1)
+
+
 def line_geometry(
     grid: Grid,
     src_z: int,

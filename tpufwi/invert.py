@@ -107,6 +107,30 @@ class FwiProblem:
         return jnp.sum(jax.lax.map(one, geoms), axis=0)
 
 
+def save_snapshots(run_dir: str, stage: int, vp, g=None):
+    """QC plots per stage (SURVEY.md §5): model and (optionally) gradient
+    PNGs under <run_dir>/figs. No-op if matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover
+        return
+    figdir = os.path.join(run_dir, "figs")
+    os.makedirs(figdir, exist_ok=True)
+    arrs = [("vp", np.asarray(vp))] + ([("grad", np.asarray(g))] if g is not None else [])
+    for name, a in arrs:
+        if a.ndim != 2:
+            continue
+        fig, ax = plt.subplots(figsize=(10, 3))
+        im = ax.imshow(a, aspect="auto", cmap="viridis" if name == "vp" else "seismic")
+        fig.colorbar(im, ax=ax, shrink=0.8)
+        ax.set_title(f"stage {stage}: {name}")
+        fig.savefig(os.path.join(figdir, f"stage{stage:02d}_{name}.png"), dpi=110)
+        plt.close(fig)
+
+
 def invert(
     problem: FwiProblem,
     vp0: jax.Array,
@@ -225,8 +249,80 @@ def _invert_loop(problem, vp, cfg, hist, init_alpha, start_stage, start_iter, ck
         )
         init_alpha = None
         start_iter = 0
+        save_snapshots(os.path.dirname(ckpt_path), si, vp)
 
     return vp
+
+
+@dataclasses.dataclass
+class ElasticFwiProblem:
+    """Multiparameter (Vp, Vs, rho) FWI on the elastic P-SV engine.
+
+    Small-scale driver companion to FwiProblem (spec C4: Vp/Vs gradient):
+    stage-filtered objectives over the (vp, vs, rho) pytree, consumed by
+    optimize.minimize_pytree with per-field box bounds.
+    """
+
+    prop: object  # ElasticPropagator
+    geoms: object
+    d_obs: jax.Array  # (nshot, nt, nrec, 2) or (nshot, nt, nrec)
+    wavelet: jax.Array
+    dt: float
+
+    def _build(self):
+        from .misfit import l2_misfit
+
+        def total(m, geoms, data, w):
+            vp_, vs_, rho_ = m
+
+            def one(args):
+                g, d = args
+                return l2_misfit(self.prop(vp_, vs_, rho_, g, w), d)
+
+            return jnp.sum(jax.lax.map(one, (geoms, data)))
+
+        self._vg = jax.jit(jax.value_and_grad(total))
+        self._loss = jax.jit(total)
+
+    def stage_objectives(self, fmax: Optional[float]):
+        if not hasattr(self, "_vg"):
+            self._build()
+        if fmax is not None:
+            d_f = lowpass(self.d_obs, self.dt, fmax, axis=1)
+            w_f = lowpass(self.wavelet, self.dt, fmax, axis=0)
+        else:
+            d_f, w_f = self.d_obs, self.wavelet
+        vg = lambda m: self._vg(m, self.geoms, d_f, w_f)
+        loss = lambda m: self._loss(m, self.geoms, d_f, w_f)
+        return vg, loss
+
+
+def invert_elastic(
+    problem: ElasticFwiProblem,
+    m0,  # (vp0, vs0, rho0)
+    stages,  # iterable of StageCfg
+    bounds,  # [(vp_lo, vp_hi), (vs_lo, vs_hi), (rho_lo, rho_hi)]
+    lbfgs_m: int = 10,
+    log_fn: Optional[Callable[[dict], None]] = None,
+):
+    """Multiscale multiparameter inversion. Returns (vp, vs, rho)."""
+    from .optimize import minimize_pytree
+
+    m = m0
+    for si, stage in enumerate(stages):
+        vg, loss = problem.stage_objectives(stage.fmax)
+
+        def cb(x, info):
+            if log_fn:
+                log_fn(dict(stage=si, fmax=stage.fmax, iter=info.it, J=info.f,
+                            gnorm=info.gnorm, alpha=info.alpha))
+
+        m, infos, _ = minimize_pytree(
+            vg, m, stage.iterations, bounds_tree=bounds,
+            method=stage.method, lbfgs_m=lbfgs_m,
+            loss_only=loss, callback=cb,
+        )
+    return m
 
 
 def build_synthetic_problem(cfg: FwiConfig, vp_true: np.ndarray, dx: float, mesh=None):

@@ -8,4 +8,4 @@ functions. Box constraints are handled by projection.
 from .linesearch import backtracking_line_search  # noqa: F401
 from .lbfgs import LbfgsHistory, lbfgs_direction  # noqa: F401
 from .nlcg import NlcgState, nlcg_direction  # noqa: F401
-from .driver import minimize  # noqa: F401
+from .driver import minimize, minimize_pytree  # noqa: F401

@@ -8,6 +8,7 @@ import dataclasses
 import time
 from typing import Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .lbfgs import LbfgsHistory, lbfgs_direction
@@ -125,3 +126,48 @@ def minimize(
         if gtol and gnorm < gtol:
             break
     return x, infos
+
+
+def minimize_pytree(
+    value_and_grad: Callable,
+    x0_tree,
+    iterations: int,
+    bounds_tree=None,
+    **kw,
+):
+    """Multiparameter minimize() over a pytree of model fields (e.g. the
+    elastic (vp, vs, rho)) via ravel_pytree. ``bounds_tree`` is a list of
+    (lo, hi) scalar pairs, one per flattened leaf of x0_tree; the box
+    projection then acts per-field. Extra kwargs are forwarded to
+    minimize() (precond/loss_only operate on flat vectors; use the returned
+    `unravel` to map back).
+
+    Returns (x_tree, infos, unravel).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat0, unravel = ravel_pytree(x0_tree)
+    bounds = None
+    if bounds_tree is not None:
+        leaves, treedef = jax.tree.flatten(x0_tree)
+        if len(bounds_tree) != len(leaves):
+            raise ValueError("bounds_tree must give (lo, hi) per model field")
+        lo_tree = treedef.unflatten(
+            [jnp.full_like(x, b[0]) for x, b in zip(leaves, bounds_tree)]
+        )
+        hi_tree = treedef.unflatten(
+            [jnp.full_like(x, b[1]) for x, b in zip(leaves, bounds_tree)]
+        )
+        bounds = (ravel_pytree(lo_tree)[0], ravel_pytree(hi_tree)[0])
+
+    def vg_flat(v):
+        f, g = value_and_grad(unravel(v))
+        return f, ravel_pytree(g)[0]
+
+    loss_only = kw.pop("loss_only", None)
+    if loss_only is not None:
+        lo_fn = loss_only
+        kw["loss_only"] = lambda v: lo_fn(unravel(v))
+
+    x, infos = minimize(vg_flat, flat0, iterations, bounds=bounds, **kw)
+    return unravel(x), infos, unravel
