@@ -25,9 +25,6 @@ float-roundoff when the probe perturbation is supported in the valid region.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

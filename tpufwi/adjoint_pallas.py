@@ -21,7 +21,6 @@ from jax import lax
 
 from .grid import Grid
 from .kernels.acoustic2d_pallas import (
-    StripState,
     make_fused_forward_step,
     strip_profiles,
     zero_strip_state,

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

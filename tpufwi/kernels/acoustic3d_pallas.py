@@ -137,12 +137,10 @@ def make_acoustic3d_step(grid: Grid, dt: float, f0: float, c_max: float,
     strip-resident variant follows the 2D kernel's pattern in a later
     round).
     """
-    from .acoustic2d_jnp import AcousticParams, AcousticState, make_acoustic_step
     from .stencils import apply_stencil, scaled_taps
-    from ..grid import D1_COEFFS, D2_COEFFS
+    from ..grid import D1_COEFFS
 
     leap3d = make_leapfrog3d_kernel(grid, by=by, interpret=interpret)
-    jstep = make_acoustic_step(grid)
 
     d1 = [scaled_taps(D1_COEFFS[grid.order], h, 1) for h in grid.h]
     d2 = [scaled_taps(D2_COEFFS[grid.order], h, 2) for h in grid.h]

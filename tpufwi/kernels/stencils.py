@@ -7,8 +7,6 @@ the shifted adds into a single vectorised loop on TPU/CPU.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax.numpy as jnp
 from jax import lax
 

@@ -10,9 +10,6 @@ shard_map-composable functions of the traced inputs (vp, wavelet, geometry).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

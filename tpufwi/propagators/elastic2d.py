@@ -12,7 +12,6 @@ done outside the custom VJP.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax

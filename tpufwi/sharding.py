@@ -21,8 +21,7 @@ ride ICI within a slice (DCN via standard hybrid meshes for multi-slice).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
