@@ -58,11 +58,23 @@ def make_acoustic_step(grid: Grid):
     """Build ``step(state, params, w_t) -> (state', rec)`` for this grid.
 
     The FD taps (static python floats) are closed over so XLA sees them as
-    compile-time constants.
+    compile-time constants. With ``grid.free_surface`` the pressure is
+    pinned to zero on the physical surface plane (pressure-release
+    boundary; the CPML above it is already disabled by cpml.build_profiles)
+    — a linear constraint, so the adjoint engine transposes it for free.
     """
     d1 = [scaled_taps(D1_COEFFS[grid.order], h, 1) for h in grid.h]
     d2 = [scaled_taps(D2_COEFFS[grid.order], h, 2) for h in grid.h]
     ndim = grid.ndim
+    fs_row = grid.pad if grid.free_surface else None
+    z_axis = 0 if ndim == 2 else 1
+
+    def _pin_surface(p):
+        if fs_row is None:
+            return p
+        idx = [slice(None)] * ndim
+        idx[z_axis] = slice(fs_row, fs_row + 1)
+        return p.at[tuple(idx)].set(0.0)
 
     def step(state: AcousticState, params: AcousticParams, w_t) -> tuple:
         p = state.p
@@ -81,6 +93,7 @@ def make_acoustic_step(grid: Grid):
         p_next = 2.0 * p - state.p_prev + params.c2dt2 * lap
         src = tuple(params.src_idx[..., d] for d in range(ndim))
         p_next = p_next.at[src].add(params.c2dt2[src] * w_t, mode="drop")
+        p_next = _pin_surface(p_next)
         rcv = tuple(params.rcv_idx[..., d] for d in range(ndim))
         rec = p_next[rcv]
         new_state = AcousticState(
@@ -102,6 +115,8 @@ def make_reverse_reconstruct_step(grid: Grid):
     """
     d2 = [scaled_taps(D2_COEFFS[grid.order], h, 2) for h in grid.h]
     ndim = grid.ndim
+    fs_row = grid.pad if grid.free_surface else None
+    z_axis = 0 if ndim == 2 else 1
 
     def recon(p_t, p_tp1, c2dt2, src_idx, w_t):
         lap = None
@@ -111,6 +126,11 @@ def make_reverse_reconstruct_step(grid: Grid):
         p_tm1 = 2.0 * p_t - p_tp1 + c2dt2 * lap
         src = tuple(src_idx[..., d] for d in range(ndim))
         p_tm1 = p_tm1.at[src].add(c2dt2[src] * w_t, mode="drop")
+        if fs_row is not None:
+            # the forward pinned the surface row; re-impose on reconstruction
+            idx = [slice(None)] * ndim
+            idx[z_axis] = slice(fs_row, fs_row + 1)
+            p_tm1 = p_tm1.at[tuple(idx)].set(0.0)
         return p_tm1
 
     return recon

@@ -113,6 +113,11 @@ def oracle_forward(
             lap += v + psi[ax]
         p_next = 2.0 * p - p_prev + c2dt2 * lap
         np.add.at(p_next, src, c2dt2[src] * w[t])
+        if grid.free_surface:  # pressure-release plane at the surface
+            z_axis = 0 if grid.ndim == 2 else 1
+            sl = [slice(None)] * grid.ndim
+            sl[z_axis] = pad
+            p_next[tuple(sl)] = 0.0
         seis[t] = p_next[rcv]
         p_prev, p = p, p_next
         if snapshot_stride and (t + 1) % snapshot_stride == 0:
