@@ -2,14 +2,17 @@
 
 Same contract and same math as tpufwi/adjoint.py (exact discrete transpose,
 ring-tape reconstruction, gradient masked to the valid interior), but every
-full-grid operation is a fused Mosaic kernel:
+full-grid operation is a fused Mosaic kernel riding the extended
+padded-carry layout (acoustic2d_pallas.PZ/PX aligned zero borders,
+persisted through buffer aliasing):
 
   forward:  acoustic2d_pallas.make_fused_forward_step   (one call/step)
-  backward: acoustic2d_pallas.make_leapfrog_kernel      (reconstruction+Lap)
-            acoustic2d_pallas_bwd.make_fused_adjoint_step (transpose+imaging)
+  backward: acoustic2d_pallas_bwd.make_recon_kernel     (reconstruction +
+            ring imposition + Lap(p_t))
+            acoustic2d_pallas_bwd.make_fused_adjoint_step (transpose +
+            receiver MXU injection + imaging)
 
-Scatter/gather (source, receivers, ring tape) stay in XLA — they are
-O(nrec)/O(perimeter) ops. fp32 only (TPU compute dtype).
+Scatter/gather that remains in XLA is O(nsrc) only. fp32.
 """
 
 from __future__ import annotations
@@ -21,8 +24,11 @@ from jax import lax
 
 from .grid import Grid
 from .kernels.acoustic2d_pallas import (
+    PX,
+    PZ,
     make_fused_forward_step,
     strip_profiles,
+    to_ext,
     zero_strip_state,
 )
 from .kernels.acoustic2d_pallas_bwd import make_fused_adjoint_step, make_recon_kernel
@@ -37,7 +43,8 @@ def make_simulator_pallas(
     grid: Grid, dt: float, f0: float, c_max: float, interpret: bool = False
 ):
     """simulate(c2dt2, wavelet, src_idx, rcv_idx) -> seis with the fused
-    custom VJP. Drop-in for adjoint.make_simulator (fp32)."""
+    custom VJP. Drop-in for adjoint.make_simulator (fp32); takes grid-padded
+    (NZ, NX) inputs — the extended carry layout is internal."""
     step = make_fused_forward_step(grid, interpret=interpret)
     recon = make_recon_kernel(grid, interpret=interpret)
     _step_T_cache = {}
@@ -48,45 +55,65 @@ def make_simulator_pallas(
                 grid, interpret=interpret, nrec=nrec
             )
         return _step_T_cache[nrec]
+
     profiles = strip_profiles(grid, dt, c_max, f0)
     rings = RingSpec.build(grid)
     S = profiles[0].shape[1]
     NZ, NX = grid.padded_shape
+    # ring slab positions within the extended layout
+    ext_slices = tuple(
+        (
+            slice(sl[0].start + PZ, sl[0].stop + PZ),
+            slice(sl[1].start + PX, sl[1].stop + PX),
+        )
+        for sl in rings.slices
+    )
 
     def _coords(idx):
-        return tuple(idx[..., d] for d in range(2))
+        return (idx[..., 0] + PZ, idx[..., 1] + PX)
 
-    def _fwd_scan(c2dt2, wavelet, src, rcv, with_tape: bool):
+    def _fwd_scan(c2e, wavelet, src, rcv, with_tape: bool):
         def body(s, w_t):
-            s = step(s, c2dt2, profiles)
-            p = s.p.at[src].add(c2dt2[src] * w_t, mode="drop")
+            s = step(s, c2e, profiles)
+            p = s.p.at[src].add(c2e[src] * w_t, mode="drop")
             s = s._replace(p=p)
-            ys = (p[rcv], rings.extract(p)) if with_tape else p[rcv]
+            if with_tape:
+                ys = (p[rcv], tuple(p[sl] for sl in ext_slices))
+            else:
+                ys = p[rcv]
             return s, ys
 
-        return lax.scan(body, zero_strip_state(grid, c2dt2.dtype), wavelet)
+        return lax.scan(body, zero_strip_state(grid, c2e.dtype), wavelet)
 
     @jax.custom_vjp
     def simulate(c2dt2, wavelet, src_idx, rcv_idx):
-        _, seis = _fwd_scan(c2dt2, wavelet, _coords(src_idx), _coords(rcv_idx), False)
+        _, seis = _fwd_scan(
+            to_ext(c2dt2, "edge"), wavelet, _coords(src_idx), _coords(rcv_idx), False
+        )
         return seis
 
     def simulate_fwd(c2dt2, wavelet, src_idx, rcv_idx):
         final, (seis, tape) = _fwd_scan(
-            c2dt2, wavelet, _coords(src_idx), _coords(rcv_idx), True
+            to_ext(c2dt2, "edge"), wavelet, _coords(src_idx), _coords(rcv_idx), True
         )
         res = (c2dt2, wavelet, src_idx, rcv_idx, tape, final.p_prev, final.p)
         return seis, res
 
     def simulate_bwd(res, seis_bar):
         c2dt2, wavelet, src_idx, rcv_idx, tape, p_last_prev, p_last = res
-        src = _coords(src_idx)
-        rcv = _coords(rcv_idx)
+        # the backward pass runs entirely in the plain (NZ, NX) layout: the
+        # extended carry pays off only in the forward scan (the transposed
+        # step fills a padded u-scratch anyway, and the reconstruction's
+        # scratch fill is cheaper than the +19% array churn)
+        from .kernels.acoustic2d_pallas import from_ext
+
+        p_last_prev = from_ext(p_last_prev, grid)
+        p_last = from_ext(p_last, grid)
+        srcp = (src_idx[..., 0], src_idx[..., 1])
         dtype = c2dt2.dtype
 
-        # Receiver-cotangent injection as a one-hot MXU matmul FUSED INTO
-        # the transposed-step kernel (a many-index scatter-add costs
-        # ~57 us/step on TPU; the dense rank-nrec update is ~2 us).
+        # Receiver-cotangent injection fused into the transposed-step kernel
+        # as an MXU one-hot matmul (see acoustic2d_pallas_bwd).
         nrec = rcv_idx.shape[-2]
         step_T = _step_T_for(nrec)
         Mzt = jax.nn.one_hot(rcv_idx[..., 0], NZ, dtype=dtype).T  # (NZ, nrec)
@@ -108,9 +135,9 @@ def make_simulator_pallas(
                 & (src_idx[..., d] >= valid[d].start)
                 & (src_idx[..., d] < valid[d].stop)
             )
-        src_amp_mask = src_in_valid.astype(c2dt2.dtype)
+        src_amp_mask = src_in_valid.astype(dtype)
 
-        # lambda at the source cells (for wbar/gbar source terms) without
+        # lambda at the source cells (wbar/gbar source terms) without
         # materializing the dense injection: per-source selector over ybar
         sel = jnp.zeros((nrec, src_idx.shape[-2]), dtype)
         sel = jnp.where(
@@ -124,18 +151,17 @@ def make_simulator_pallas(
             q_pm, q_p, strips, gbar, p_t, p_tp1 = carry
             ring_tm1, w_t, ybar_t = xs
             U = ybar_t[:, None] * Mx  # (nrec, NX), feeds the in-kernel MXU
-            # source-term cotangents (exact, incl. the C w delta term);
-            # the gbar source contribution is accumulated as per-step ys and
-            # scattered once after the scan (src is time-independent)
-            lam_src = q_p[src] + ybar_t @ sel
-            wbar_t = jnp.sum(c2dt2[src] * lam_src)
+            lam_src = q_p[srcp] + ybar_t @ sel
+            wbar_t = jnp.sum(c2dt2[srcp] * lam_src)
             gsrc_t = lam_src * w_t
             # reverse reconstruction + ring imposition + Lap(p_t), fused
             p_tm1, lapw = recon(p_tp1, p_t, c2dt2, *ring_tm1)
-            p_tm1 = p_tm1.at[src].add(
-                src_amp_mask * c2dt2[src] * w_t, mode="drop"
+            p_tm1 = p_tm1.at[srcp].add(
+                src_amp_mask * c2dt2[srcp] * w_t, mode="drop"
             )
             # fused transposed step + receiver injection + imaging
+            # (q path stays in the plain (NZ, NX) layout: it fills a padded
+            # u-scratch anyway, so the extended carry would only add HBM)
             q_pm_n, q_p_n, gbar_n, pbz, psz, pbx, psx = step_T(
                 q_pm, q_p, c2dt2, lapw, gbar, strips, profiles, Mzt, U
             )
@@ -156,7 +182,9 @@ def make_simulator_pallas(
         (q_pm, q_p, _, gbar, _, _), (wbar, gsrc) = lax.scan(
             body, carry0, xs, reverse=True
         )
-        gbar = gbar.at[src].add(jnp.sum(gsrc, axis=0), mode="drop")
+        gbar = gbar.at[
+            (src_idx[..., 0], src_idx[..., 1])
+        ].add(jnp.sum(gsrc, axis=0), mode="drop")
         gbar = rings.mask_valid(gbar)
         return gbar, wbar, _int_cotangent(src_idx), _int_cotangent(rcv_idx)
 

@@ -56,13 +56,17 @@ def bench_stencil(nz=351, nx=1701, order=8, pml=20, impl="pallas"):
 
     if impl == "pallas":
         from ..kernels.acoustic2d_pallas import (
+            ext_shape,
             make_fused_forward_step,
             strip_profiles,
+            to_ext,
             zero_strip_state,
         )
 
         step = make_fused_forward_step(grid)
         profiles = strip_profiles(grid, dt, 4700.0, 12.0)
+        c2e = to_ext(c2, "edge")
+        EZ, EX = ext_shape(grid)
 
         def make_run(nt, n_args):
             @jax.jit
@@ -77,11 +81,14 @@ def bench_stencil(nz=351, nx=1701, order=8, pml=20, impl="pallas"):
                 s, _ = lax.scan(body, s0, None, length=nt)
                 return jnp.sum(s.p * s.p)
 
+            def mk_p(k):
+                z = jnp.zeros((EZ, EX), jnp.float32)
+                v = jax.random.normal(k, (NZ, NX), jnp.float32) * 1e-3
+                from ..kernels.acoustic2d_pallas import PX, PZ
+                return z.at[PZ : PZ + NZ, PX : PX + NX].set(v)
+
             keys = [jax.random.PRNGKey(i) for i in range(n_args)]
-            args = [
-                (c2, jax.random.normal(k, (NZ, NX), jnp.float32) * 1e-3)
-                for k in keys
-            ]
+            args = [(c2e, mk_p(k)) for k in keys]
             return run, args
 
     else:  # jnp twin

@@ -12,28 +12,28 @@ axis d (kappa = 1):
     p+   = 2 p - p_prev + C lap (+ C w at src),   C = (c dt)^2
 
 Hand-transposing this affine map (D2^T = D2, D1^T = -D1 under the zero
-Dirichlet border) gives, for incoming cotangents (q_pm, q_p=lambda after
-receiver scatter, phib, psib):
+Dirichlet border) gives, for incoming cotangents (q_pm, q_p, phib, psib)
+and receiver cotangent ybar:
 
-    lambda       = q_p
+    lambda       = q_p + one_hot(rz).T @ (ybar * one_hot(rx))   [MXU]
     q_pm_out     = -lambda
     u            = C * lambda
     psib_tot     = psib_in + u|strip
-    psib_out     = b * psib_tot
-    w_s          = a * psib_tot                      (strip)
+    psib_out     = b * psib_tot;      w_s = a * psib_tot        (strip)
     phib_tot     = phib_in - (D1 u)|strip - (D1 pad(w_s))|strip
-    phib_out     = b * phib_tot
-    y_s          = a * phib_tot                      (strip)
+    phib_out     = b * phib_tot;      y_s = a * phib_tot        (strip)
     q_p_out      = q_pm_in + 2 lambda + D2z u + D2x u
                    + sum_strips [ D2 pad(w_s) - D1 pad(y_s) ]
-    gbar_out     = gbar_in + lambda * lapw           (imaging; lapw = Lap p_t)
+    gbar_out     = gbar_in + lambda * lapw          (imaging; lapw = Lap p_t)
 
 The adjoint field thus propagates through the *exact* transposed CPML
 recursion (absorbing for the adjoint too), and the model cotangent is the
 zero-lag cross-correlation of lambda with Lap(p_t), with p_t recovered by
-the reverse leapfrog kernel (make_leapfrog_kernel(with_lap=True)) plus
-boundary-ring re-imposition. Correctness is pinned against jax.vjp of the
-jnp twin step (tests/test_pallas_adjoint.py).
+the reverse leapfrog + ring re-imposition (make_recon_kernel). Wavefield
+cotangents ride the same extended padded-carry layout as the forward
+kernels (acoustic2d_pallas.PZ/PX borders, persisted through aliasing).
+Correctness is pinned against jax.vjp of the jnp twin step
+(tests/test_pallas_adjoint.py).
 """
 
 from __future__ import annotations
@@ -44,7 +44,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..grid import D1_COEFFS, D2_COEFFS, Grid
-from .acoustic2d_pallas import _shift_sum_cols, _shift_sum_rows, strip_depth
+from .acoustic2d_pallas import (
+    PX,
+    PZ,
+    _shift_sum_cols,
+    _shift_sum_rows,
+    ext_shape,
+    strip_depth,
+)
 
 
 def make_recon_kernel(grid: Grid, interpret: bool = False):
