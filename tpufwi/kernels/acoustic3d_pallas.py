@@ -33,26 +33,41 @@ from jax.experimental.pallas import tpu as pltpu
 from ..grid import D2_COEFFS, Grid
 
 
-def _pick_block(ny: int, target: int = 8) -> int:
-    """Largest divisor of ny that is <= max(target, smallest divisor)."""
-    best = 1
-    for b in range(1, ny + 1):
-        if ny % b == 0 and b <= target:
-            best = b
-    return best
+def y_extended(grid: Grid, by: int = 8) -> int:
+    """NY rounded up to the y-block size. The extension planes carry c2 = 0
+    and zero fields, so they stay identically zero (an extra ghost zone —
+    p_next = 2p - p_prev there) and never pollute the halos."""
+    NY = grid.padded_shape[0]
+    return -(-NY // by) * by
 
 
-def make_leapfrog3d_kernel(grid: Grid, by: int | None = None, interpret: bool = False):
-    """Build ``leap3d(p_prev, p, c2) -> p_next`` on (NY, NZ, NX) padded
-    arrays: p_next = 2 p - p_prev + c2 * Lap3d(p), zero Dirichlet borders.
-    """
+def extend_y(x, grid: Grid, by: int = 8):
+    """Zero-pad dim 0 from NY to y_extended(grid, by)."""
+    NYe = y_extended(grid, by)
+    NY = grid.padded_shape[0]
+    if NYe == NY:
+        return x
+    return jnp.pad(x, ((0, NYe - NY), (0, 0), (0, 0)))
+
+
+def crop_y(x, grid: Grid):
+    return x[: grid.padded_shape[0]]
+
+
+def make_leapfrog3d_kernel(grid: Grid, by: int = 8, interpret: bool = False):
+    """Build ``leap3d(p_prev, p, c2) -> p_next`` on y-extended
+    (y_extended(grid, by), NZ, NX) arrays:
+    p_next = 2 p - p_prev + c2 * Lap3d(p), zero Dirichlet borders.
+    The caller supplies zero-extended fields and a zero-extended c2
+    (see y_extended/extend_y)."""
     if grid.ndim != 3:
         raise ValueError("3D kernel needs a 3D grid")
-    NY, NZ, NX = grid.padded_shape
+    _, NZ, NX = grid.padded_shape
+    NY = y_extended(grid, by)
     r = grid.radius
-    BY = by or _pick_block(NY)
-    if NY % BY:
-        raise ValueError(f"NY={NY} not divisible by block {BY}")
+    BY = by
+    if BY < grid.radius:
+        raise ValueError(f"y-block {BY} must be >= radius {grid.radius}")
     n_blocks = NY // BY
     d2y = tuple(float(c) / grid.h[0] ** 2 for c in D2_COEFFS[grid.order])
     d2z = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
@@ -126,7 +141,7 @@ def make_leapfrog3d_kernel(grid: Grid, by: int | None = None, interpret: bool = 
 
 
 def make_acoustic3d_step(grid: Grid, dt: float, f0: float, c_max: float,
-                         by: int | None = None, interpret: bool = False):
+                         by: int = 8, interpret: bool = False):
     """Full fused-interior 3D step with XLA-level CPML strip corrections.
 
     Returns (step, zero_state) with
@@ -144,9 +159,20 @@ def make_acoustic3d_step(grid: Grid, dt: float, f0: float, c_max: float,
 
     d1 = [scaled_taps(D1_COEFFS[grid.order], h, 1) for h in grid.h]
     d2 = [scaled_taps(D2_COEFFS[grid.order], h, 2) for h in grid.h]
+    NYe = y_extended(grid, by)
+
+    def _extend_prof(p3):
+        # y-axis profile (NY,1,1): zero-extend (a=b=0 on the ghost planes)
+        if p3.shape[0] == grid.padded_shape[0] and p3.shape[0] != NYe:
+            return jnp.pad(p3, ((0, NYe - p3.shape[0]), (0, 0), (0, 0)))
+        return p3
 
     def step(state, c2dt2, a3, b3):
-        """a3/b3: per-axis broadcastable CPML profile arrays."""
+        """State/c2dt2 on the y-extended layout (extend_y); a3/b3 per-axis
+        broadcastable CPML profile arrays on the natural grid (the y
+        profile is zero-extended internally)."""
+        a3 = tuple(_extend_prof(a) for a in a3)
+        b3 = tuple(_extend_prof(b) for b in b3)
         p_prev, p, phi, psi = state
         p_next = leap3d(p_prev, p, c2dt2)
         # CPML corrections (zero in the interior; XLA keeps them strip-local
