@@ -80,3 +80,47 @@ def test_acoustic3d_step_matches_jnp_scan():
     got = np.asarray(p_pal)
     err = np.abs(got - ref).max() / np.abs(ref).max()
     assert err < 1e-5, f"3D fused step vs jnp scan: {err:.3e}"
+
+
+def test_acoustic3d_strip_step_matches_jnp_scan():
+    from tpufwi.kernels.acoustic3d_pallas import (
+        extend_y, crop_y, make_acoustic3d_strip_step, y_extended)
+
+    grid = _grid()
+    c_max, f0, nt = 2500.0, 10.0, 40
+    dt = grid.cfl_dt(c_max, safety=0.7)
+    rng = np.random.default_rng(1)
+    NY, NZ, NX = grid.padded_shape
+    c2 = jnp.asarray(
+        ((2000 + 100 * rng.standard_normal((NY, NZ, NX))) * dt) ** 2, jnp.float32
+    )
+    profs = build_profiles(grid, dt, c_max, f0)
+    a3 = tuple(jnp.asarray(p[0], jnp.float32) for p in profs)
+    b3 = tuple(jnp.asarray(p[1], jnp.float32) for p in profs)
+    w = jnp.asarray(ricker_np(f0, dt, nt), jnp.float32)
+    src = jnp.array([[NY // 2, NZ // 2, NX // 2]])
+
+    jstep = make_acoustic_step(grid)
+    params = AcousticParams(c2dt2=c2, a=a3, b=b3, src_idx=src, rcv_idx=src)
+
+    def body_ref(s, w_t):
+        s, _ = jstep(s, params, w_t)
+        return s, None
+
+    s_ref, _ = lax.scan(body_ref, zero_state(grid.padded_shape, 3, jnp.float32), w)
+
+    step, zero_state3 = make_acoustic3d_strip_step(grid, dt, f0, c_max, by=8,
+                                                   interpret=True)
+    c2e = extend_y(c2, grid, 8)
+    coords = tuple(src[..., d] for d in range(3))
+
+    def body_pal(s, w_t):
+        p_prev, p, strips = step(s, c2e)
+        p = p.at[coords].add(c2e[coords] * w_t)
+        return (p_prev, p, strips), None
+
+    (_, p_pal, _), _ = lax.scan(body_pal, zero_state3(), w)
+    ref = np.asarray(s_ref.p)
+    got = np.asarray(crop_y(p_pal, grid))
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, f"3D strip-CPML step vs jnp scan: {err:.3e}"
