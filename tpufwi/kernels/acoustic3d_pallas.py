@@ -41,33 +41,56 @@ def y_extended(grid: Grid, by: int = 8) -> int:
     return -(-NY // by) * by
 
 
-def extend_y(x, grid: Grid, by: int = 8):
-    """Zero-pad dim 0 from NY to y_extended(grid, by)."""
+def x_extended(grid: Grid, xs: int = 1, lane: int = 128) -> int:
+    """NX rounded up so each of the xs block columns is a lane multiple
+    (Pallas requires last-dim blocks % 128). Extension columns carry
+    c2 = 0 and zero fields — an extra ghost zone, like y_extended."""
+    NX = grid.padded_shape[2]
+    if xs == 1:
+        return NX  # full-dimension block: Pallas exempts it from lane rules
+    bx = -(-NX // (lane * xs)) * lane
+    return bx * xs
+
+
+def extend_y(x, grid: Grid, by: int = 8, xs: int = 1):
+    """Zero-pad dim 0 to y_extended and dim 2 to x_extended."""
     NYe = y_extended(grid, by)
+    NXe = x_extended(grid, xs)
     NY = grid.padded_shape[0]
-    if NYe == NY:
+    NX = grid.padded_shape[2]
+    if NYe == NY and NXe == NX:
         return x
-    return jnp.pad(x, ((0, NYe - NY), (0, 0), (0, 0)))
+    return jnp.pad(x, ((0, NYe - NY), (0, 0), (0, NXe - NX)))
 
 
 def crop_y(x, grid: Grid):
-    return x[: grid.padded_shape[0]]
+    return x[: grid.padded_shape[0], :, : grid.padded_shape[2]]
 
 
-def make_leapfrog3d_kernel(grid: Grid, by: int = 8, interpret: bool = False):
+def make_leapfrog3d_kernel(grid: Grid, by: int = 8, xs: int = 1,
+                           interpret: bool = False):
     """Build ``leap3d(p_prev, p, c2) -> p_next`` on y-extended
     (y_extended(grid, by), NZ, NX) arrays:
     p_next = 2 p - p_prev + c2 * Lap3d(p), zero Dirichlet borders.
     The caller supplies zero-extended fields and a zero-extended c2
-    (see y_extended/extend_y)."""
+    (see y_extended/extend_y).
+
+    ``xs`` splits the x extent into that many block columns (2-D block
+    grid): the axis-aligned Laplacian needs no corner halos, so each
+    program reads its (by, NZ, NX/xs) block plus y-halo slabs and x-halo
+    strips. Larger by amortizes the y-halo re-reads; xs keeps the VMEM
+    footprint under the 128 MB physical budget at production widths.
+    """
     if grid.ndim != 3:
         raise ValueError("3D kernel needs a 3D grid")
-    _, NZ, NX = grid.padded_shape
+    _, NZ, _ = grid.padded_shape
     NY = y_extended(grid, by)
+    NX = x_extended(grid, xs)
     r = grid.radius
     BY = by
     if BY < grid.radius:
         raise ValueError(f"y-block {BY} must be >= radius {grid.radius}")
+    BX = NX // xs
     n_blocks = NY // BY
     d2y = tuple(float(c) / grid.h[0] ** 2 for c in D2_COEFFS[grid.order])
     d2z = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
@@ -75,50 +98,84 @@ def make_leapfrog3d_kernel(grid: Grid, by: int = 8, interpret: bool = False):
     PZ, PX = 8, 128
     dtype = jnp.float32
 
-    def kernel(p_prev_ref, p_ref, lo_ref, hi_ref, c2_ref, out_ref, scr_ref):
-        # scratch slab (BY+2r, NZ+2PZ, NX+2PX): zero the r-frames actually
-        # read, fill [r:r+BY] with the block and the ends with the halos
-        zrow = jnp.zeros((BY + 2 * r, r, NX + 2 * PX), dtype)
+    def kernel(p_prev_ref, p_ref, ylo_ref, yhi_ref, xlo_ref, xhi_ref,
+               c2_ref, out_ref, scr_ref):
+        # scratch slab (BY+2r, NZ+2PZ, BX+2PX): zero the frames actually
+        # read, fill the centre with the block and the margins with halos
+        zrow = jnp.zeros((BY + 2 * r, r, BX + 2 * PX), dtype)
         scr_ref[:, PZ - r : PZ, :] = zrow
         scr_ref[:, PZ + NZ : PZ + NZ + r, :] = zrow
         zcol = jnp.zeros((BY + 2 * r, NZ + 2 * PZ, r), dtype)
         scr_ref[:, :, PX - r : PX] = zcol
-        scr_ref[:, :, PX + NX : PX + NX + r] = zcol
-        scr_ref[0:r, PZ : PZ + NZ, PX : PX + NX] = lo_ref[:]
-        scr_ref[r : r + BY, PZ : PZ + NZ, PX : PX + NX] = p_ref[:]
-        scr_ref[r + BY : 2 * r + BY, PZ : PZ + NZ, PX : PX + NX] = hi_ref[:]
+        scr_ref[:, :, PX + BX : PX + BX + r] = zcol
+        scr_ref[0:r, PZ : PZ + NZ, PX : PX + BX] = ylo_ref[:]
+        scr_ref[r : r + BY, PZ : PZ + NZ, PX : PX + BX] = p_ref[:]
+        scr_ref[r + BY : 2 * r + BY, PZ : PZ + NZ, PX : PX + BX] = yhi_ref[:]
+        if xs > 1:
+            # x halos come from the neighbour blocks (clamped index maps;
+            # Mosaic cannot load at dynamic non-128-multiple lane offsets,
+            # so the whole neighbour block is read and its edge sliced
+            # statically). Outer columns keep zero halos via pl.when.
+            j = pl.program_id(1)
+            zedge = jnp.zeros((BY, NZ, r), dtype)
+            scr_ref[r : r + BY, PZ : PZ + NZ, PX - r : PX] = zedge
+            scr_ref[r : r + BY, PZ : PZ + NZ, PX + BX : PX + BX + r] = zedge
+
+            @pl.when(j > 0)
+            def _():
+                scr_ref[r : r + BY, PZ : PZ + NZ, PX - r : PX] = xlo_ref[
+                    :, :, BX - r : BX
+                ]
+
+            @pl.when(j < xs - 1)
+            def _():
+                scr_ref[r : r + BY, PZ : PZ + NZ, PX + BX : PX + BX + r] = xhi_ref[
+                    :, :, 0:r
+                ]
 
         lap = None
         for k, c in enumerate(d2y):
             if c == 0.0:
                 continue
-            t = c * scr_ref[k : k + BY, PZ : PZ + NZ, PX : PX + NX]
+            t = c * scr_ref[k : k + BY, PZ : PZ + NZ, PX : PX + BX]
             lap = t if lap is None else lap + t
         for k, c in enumerate(d2z):
             if c == 0.0:
                 continue
             z0 = PZ + k - r
-            lap = lap + c * scr_ref[r : r + BY, z0 : z0 + NZ, PX : PX + NX]
+            lap = lap + c * scr_ref[r : r + BY, z0 : z0 + NZ, PX : PX + BX]
         for k, c in enumerate(d2x):
             if c == 0.0:
                 continue
             x0 = PX + k - r
-            lap = lap + c * scr_ref[r : r + BY, PZ : PZ + NZ, x0 : x0 + NX]
+            lap = lap + c * scr_ref[r : r + BY, PZ : PZ + NZ, x0 : x0 + BX]
         out_ref[:] = 2.0 * p_ref[:] - p_prev_ref[:] + c2_ref[:] * lap
 
     blk = lambda: pl.BlockSpec(
-        (BY, NZ, NX), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (BY, NZ, BX), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
-    halo = lambda: pl.BlockSpec(
-        (r, NZ, NX), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    yhalo = lambda: pl.BlockSpec(
+        (r, NZ, BX), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    # neighbour blocks with clamped column index (edges read themselves;
+    # the kernel masks those out)
+    xprev = lambda: pl.BlockSpec(
+        (BY, NZ, BX),
+        lambda i, j: (i, 0, jnp.maximum(j - 1, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    xnext = lambda: pl.BlockSpec(
+        (BY, NZ, BX),
+        lambda i, j: (i, 0, jnp.minimum(j + 1, xs - 1)),
+        memory_space=pltpu.VMEM,
     )
     call = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(n_blocks, xs),
         out_shape=jax.ShapeDtypeStruct((NY, NZ, NX), dtype),
-        in_specs=[blk(), blk(), halo(), halo(), blk()],
+        in_specs=[blk(), blk(), yhalo(), yhalo(), xprev(), xnext(), blk()],
         out_specs=blk(),
-        scratch_shapes=[pltpu.VMEM((BY + 2 * r, NZ + 2 * PZ, NX + 2 * PX), dtype)],
+        scratch_shapes=[pltpu.VMEM((BY + 2 * r, NZ + 2 * PZ, BX + 2 * PX), dtype)],
         input_output_aliases={0: 0},
         compiler_params=None
         if interpret
@@ -127,15 +184,16 @@ def make_leapfrog3d_kernel(grid: Grid, by: int = 8, interpret: bool = False):
     )
 
     def leap3d(p_prev, p, c2):
-        # halo slabs per block: lo[i] = last r y-planes of block i-1 (zeros
-        # for i=0), hi[i] = first r planes of block i+1
+        # y-halo slabs per y-block: lo[i] = last r planes of block i-1
+        # (zeros for i=0), hi[i] = first r planes of block i+1
         pb = p.reshape(n_blocks, BY, NZ, NX)
         zero = jnp.zeros((1, r, NZ, NX), p.dtype)
-        lo = jnp.concatenate([zero, pb[:-1, BY - r :]], axis=0)
-        hi = jnp.concatenate([pb[1:, :r], zero], axis=0)
-        lo = lo.reshape(n_blocks * r, NZ, NX)
-        hi = hi.reshape(n_blocks * r, NZ, NX)
-        return call(p_prev, p, lo, hi, c2)
+        ylo = jnp.concatenate([zero, pb[:-1, BY - r :]], axis=0)
+        yhi = jnp.concatenate([pb[1:, :r], zero], axis=0)
+        ylo = ylo.reshape(n_blocks * r, NZ, NX)
+        yhi = yhi.reshape(n_blocks * r, NZ, NX)
+        # x halos are read as neighbour blocks of p itself
+        return call(p_prev, p, ylo, yhi, p, p, c2)
 
     return leap3d
 
@@ -195,7 +253,7 @@ def make_acoustic3d_step(grid: Grid, dt: float, f0: float, c_max: float,
 
 
 def make_acoustic3d_strip_step(grid: Grid, dt: float, f0: float, c_max: float,
-                               by: int = 8, interpret: bool = False):
+                               by: int = 8, xs: int = 1, interpret: bool = False):
     """Production 3D step: blocked-Pallas interior leapfrog + CPML memory
     variables resident ONLY on the six absorbing slabs (depth pml+radius),
     mirroring the 2D strip design. Full-grid phi/psi would add six 3D
@@ -211,9 +269,9 @@ def make_acoustic3d_strip_step(grid: Grid, dt: float, f0: float, c_max: float,
 
     from ..cpml import CpmlProfile
 
-    leap3d = make_leapfrog3d_kernel(grid, by=by, interpret=interpret)
+    leap3d = make_leapfrog3d_kernel(grid, by=by, xs=xs, interpret=interpret)
     NYe = y_extended(grid, by)
-    shape_e = (NYe, grid.padded_shape[1], grid.padded_shape[2])
+    shape_e = (NYe, grid.padded_shape[1], x_extended(grid, xs))
     r = grid.radius
     S = grid.pml + r
     from .stencils import apply_stencil, scaled_taps
