@@ -43,3 +43,23 @@ def test_elastic_pallas_matches_jnp(source_type):
     scale = np.abs(seis_ref).max()
     err = np.abs(seis_p - seis_ref).max() / scale
     assert err < 1e-5, f"elastic pallas vs jnp max rel err {err:.3e} ({source_type})"
+
+
+def test_propagator_forward_fused_matches_engine():
+    nz, nx = 40, 50
+    vp = np.full((nz, nx), 2300.0)
+    vs = vp / 1.8
+    rho = np.full((nz, nx), 2000.0)
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=8, order=4)
+    dt = elastic_cfl_dt(grid.h, 2300.0, 4, safety=0.7)
+    w = jnp.asarray(ricker_np(12.0, dt, 100), jnp.float32)
+    geom = Geometry.from_physical(grid, np.array([[20, 25]]), np.array([[5, 40]]))
+    prop = ElasticPropagator(grid, dt, 12.0, 2300.0, dtype=jnp.float32)
+    a = np.asarray(prop(jnp.asarray(vp, jnp.float32), jnp.asarray(vs, jnp.float32),
+                        jnp.asarray(rho, jnp.float32), geom, w))
+    b = np.asarray(prop.forward_fused(jnp.asarray(vp, jnp.float32),
+                                      jnp.asarray(vs, jnp.float32),
+                                      jnp.asarray(rho, jnp.float32), geom, w,
+                                      interpret=True))
+    err = np.abs(a - b).max() / np.abs(a).max()
+    assert err < 1e-5, f"forward_fused vs engine {err:.3e}"

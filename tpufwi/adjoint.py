@@ -145,8 +145,6 @@ def make_simulator(
 
     def simulate_bwd(residuals, seis_bar):
         c2dt2, wavelet, src_idx, rcv_idx, tape, p_last_prev, p_last = residuals
-        params = _params(c2dt2, src_idx, rcv_idx)
-        nt = wavelet.shape[0]
 
         # tape[k] holds rings(p_{k+1}); the reverse step at forward index t
         # re-imposes rings(p_{t-1}) = tape[t-2] (zeros for t < 2).

@@ -224,6 +224,10 @@ class ElasticPropagator:
         self.grid = grid
         self.dt = float(dt)
         self.dtype = dtype
+        self._f0 = float(f0)
+        self._vp_max = float(vp_max)
+        self._source_type = source_type
+        self._record = record
         self._simulate = make_elastic_simulator(
             grid, dt, f0, vp_max, dtype, source_type, record
         )
@@ -248,4 +252,25 @@ class ElasticPropagator:
         mats = self.material_fields(vp, vs, rho)
         return self._simulate(
             *mats, wavelet.astype(self.dtype), geom.src_idx, geom.rcv_idx
+        )
+
+    def forward_fused(self, vp, vs, rho, geom: Geometry, wavelet,
+                      interpret: bool = False):
+        """Forward modeling on the fused Pallas kernels
+        (kernels/elastic2d_pallas.py): the fast path for line-search /
+        synthetic-data evaluations on TPU. Not differentiable — gradients
+        go through __call__ (the XLA engine). fp32."""
+        from ..kernels.elastic2d_pallas import make_pallas_elastic_forward
+
+        if not hasattr(self, "_fused"):
+            self._fused = make_pallas_elastic_forward(
+                self.grid, self.dt, self._f0, self._vp_max,
+                source_type=self._source_type, record=self._record,
+                interpret=interpret,
+            )
+        mats = jax.tree.map(
+            lambda m: m.astype(jnp.float32), self.material_fields(vp, vs, rho)
+        )
+        return self._fused(
+            mats, wavelet.astype(jnp.float32), geom.src_idx, geom.rcv_idx
         )
