@@ -62,3 +62,27 @@ def test_offgrid_receiver_matches_shifted_field():
     # absolute bound is loose: the linear-interp "truth" proxy carries its
     # own O(h^2) error of the same order
     assert err_off < 0.05
+
+
+def test_inject_record_are_exact_transposes():
+    # <inject(e), f> == <e, record(f)> for the Kaiser-sinc PointSet, so
+    # off-grid acquisition preserves adjoint exactness
+    grid = Grid(shape=(40, 50), h=(10.0, 10.0), pml=8, order=4)
+    ps = PointSet.from_coords(grid, np.array([[173.3, 261.8], [221.9, 140.2]]))
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.standard_normal(grid.padded_shape))
+    e = jnp.asarray(rng.standard_normal(2))
+    lhs = float(jnp.vdot(ps.inject(jnp.zeros(grid.padded_shape), e), f))
+    rhs = float(jnp.vdot(e, ps.record(f)))
+    assert abs(lhs - rhs) / abs(rhs) < 1e-12
+
+
+def test_normalized_misfit_ignores_scale():
+    from tpufwi.misfit import normalized_l2_misfit
+
+    rng = np.random.default_rng(1)
+    d = jnp.asarray(rng.standard_normal((200, 7)))
+    s = d * 3.7  # pure amplitude error
+    assert float(normalized_l2_misfit(s, d)) < 1e-12
+    s2 = d * 3.7 + 0.5 * jnp.asarray(rng.standard_normal((200, 7)))
+    assert float(normalized_l2_misfit(s2, d)) > 1e-3
