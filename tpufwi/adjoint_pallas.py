@@ -113,11 +113,12 @@ def make_simulator_pallas(
         dtype = c2dt2.dtype
 
         # Receiver-cotangent injection fused into the transposed-step kernel
-        # as an MXU one-hot matmul (see acoustic2d_pallas_bwd).
+        # as an MXU one-hot matmul; the one-hot factors are built in-kernel
+        # from these raw index vectors (see acoustic2d_pallas_bwd).
         nrec = rcv_idx.shape[-2]
         step_T = _step_T_for(nrec)
-        Mzt = jax.nn.one_hot(rcv_idx[..., 0], NZ, dtype=dtype).T  # (NZ, nrec)
-        Mx = jax.nn.one_hot(rcv_idx[..., 1], NX, dtype=dtype)  # (nrec, NX)
+        rz = rcv_idx[..., 0].reshape(1, nrec).astype(jnp.int32)
+        rx = rcv_idx[..., 1].reshape(nrec, 1).astype(jnp.int32)
 
         def shift2(T):
             z = jnp.zeros((2,) + T.shape[1:], T.dtype)
@@ -150,7 +151,6 @@ def make_simulator_pallas(
         def body(carry, xs):
             q_pm, q_p, strips, gbar, p_t, p_tp1 = carry
             ring_tm1, w_t, ybar_t = xs
-            U = ybar_t[:, None] * Mx  # (nrec, NX), feeds the in-kernel MXU
             lam_src = q_p[srcp] + ybar_t @ sel
             wbar_t = jnp.sum(c2dt2[srcp] * lam_src)
             gsrc_t = lam_src * w_t
@@ -163,7 +163,8 @@ def make_simulator_pallas(
             # (q path stays in the plain (NZ, NX) layout: it fills a padded
             # u-scratch anyway, so the extended carry would only add HBM)
             q_pm_n, q_p_n, gbar_n, pbz, psz, pbx, psx = step_T(
-                q_pm, q_p, c2dt2, lapw, gbar, strips, profiles, Mzt, U
+                q_pm, q_p, c2dt2, lapw, gbar, strips, profiles,
+                rz, rx, ybar_t.reshape(nrec, 1),
             )
             return (
                 (q_pm_n, q_p_n, (pbz, psz, pbx, psx), gbar_n, p_tm1, p_t),

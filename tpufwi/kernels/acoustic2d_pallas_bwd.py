@@ -137,12 +137,23 @@ def make_fused_adjoint_step(grid: Grid, interpret: bool = False, nrec: int | Non
         if nrec is not None:
             (q_pm_ref, q_p_ref, c2_ref, lapw_ref, gbar_ref,
              pbz_ref, psz_ref, pbx_ref, psx_ref,
-             az_ref, bz_ref, ax_ref, bx_ref, mzt_ref, u_ref,
+             az_ref, bz_ref, ax_ref, bx_ref, rz_ref, rx_ref, yb_ref,
              q_pm_o_ref, q_p_o_ref, gbar_o_ref,
              pbz_o_ref, psz_o_ref, pbx_o_ref, psx_o_ref,
              scr_ref, zs_ref, zs2_ref, xs_ref, xs2_ref) = refs
+            # receiver injection: build the one-hot factors IN KERNEL from
+            # the raw index vectors (3 KB of inputs) instead of shipping a
+            # ~6 MB dense product through HBM every step
+            mzt = (
+                jax.lax.broadcasted_iota(jnp.int32, (NZ, nrec), 0)
+                == rz_ref[:]  # (1, nrec)
+            ).astype(jnp.float32)
+            u = (
+                jax.lax.broadcasted_iota(jnp.int32, (nrec, NX), 1)
+                == rx_ref[:]  # (nrec, 1)
+            ).astype(jnp.float32) * yb_ref[:]  # (nrec, 1)
             lam = q_p_ref[:] + jnp.dot(
-                mzt_ref[:], u_ref[:], preferred_element_type=jnp.float32
+                mzt, u, preferred_element_type=jnp.float32
             )
         else:
             (q_pm_ref, q_p_ref, c2_ref, lapw_ref, gbar_ref,
@@ -255,7 +266,7 @@ def make_fused_adjoint_step(grid: Grid, interpret: bool = False, nrec: int | Non
         jax.ShapeDtypeStruct((2, NZ, S), dtype),
         jax.ShapeDtypeStruct((2, NZ, S), dtype),
     )
-    n_in = 13 if nrec is None else 15
+    n_in = 13 if nrec is None else 16
     call = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -288,12 +299,13 @@ def make_fused_adjoint_step(grid: Grid, interpret: bool = False, nrec: int | Non
 
     else:
 
-        def step_T(q_pm, q_p, c2dt2, lapw, gbar, strips, profiles, mzt, u):
+        def step_T(q_pm, q_p, c2dt2, lapw, gbar, strips, profiles, rz, rx, yb):
+            """rz: (1, nrec) int32; rx: (nrec, 1) int32; yb: (nrec, 1) f32."""
             pbz, psz, pbx, psx = strips
             az, bz, ax, bx = profiles
             return call(
                 q_pm, q_p, c2dt2, lapw, gbar, pbz, psz, pbx, psx,
-                az, bz, ax, bx, mzt, u,
+                az, bz, ax, bx, rz, rx, yb,
             )
 
     return step_T
