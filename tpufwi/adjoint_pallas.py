@@ -45,9 +45,23 @@ def make_simulator_pallas(
     """simulate(c2dt2, wavelet, src_idx, rcv_idx) -> seis with the fused
     custom VJP. Drop-in for adjoint.make_simulator (fp32); takes grid-padded
     (NZ, NX) inputs — the extended carry layout is internal."""
-    step = make_fused_forward_step(grid, interpret=interpret)
-    recon = make_recon_kernel(grid, interpret=interpret)
+    _step_cache = {}
+    _recon_cache = {}
     _step_T_cache = {}
+
+    def _step_for(nsrc):
+        if nsrc not in _step_cache:
+            _step_cache[nsrc] = make_fused_forward_step(
+                grid, interpret=interpret, nsrc=nsrc
+            )
+        return _step_cache[nsrc]
+
+    def _recon_for(nsrc):
+        if nsrc not in _recon_cache:
+            _recon_cache[nsrc] = make_recon_kernel(
+                grid, interpret=interpret, nsrc=nsrc
+            )
+        return _recon_cache[nsrc]
 
     def _step_T_for(nrec):
         if nrec not in _step_T_cache:
@@ -72,11 +86,23 @@ def make_simulator_pallas(
     def _coords(idx):
         return (idx[..., 0] + PZ, idx[..., 1] + PX)
 
-    def _fwd_scan(c2e, wavelet, src, rcv, with_tape: bool):
+    def _src_vectors(src_idx):
+        nsrc = src_idx.shape[-2]
+        sz = src_idx[..., 0].reshape(1, nsrc).astype(jnp.int32)
+        sx = src_idx[..., 1].reshape(1, nsrc).astype(jnp.int32)
+        return nsrc, sz, sx
+
+    def _fwd_scan(c2e, c2dt2, wavelet, src_idx, rcv, with_tape: bool):
+        nsrc, sz, sx = _src_vectors(src_idx)
+        step = _step_for(nsrc)
+        srcp = (src_idx[..., 0], src_idx[..., 1])
+        c2src = c2dt2[srcp].reshape(1, nsrc)
+
         def body(s, w_t):
-            s = step(s, c2e, profiles)
-            p = s.p.at[src].add(c2e[src] * w_t, mode="drop")
-            s = s._replace(p=p)
+            # source injection happens inside the fused kernel (an XLA
+            # scatter after it would copy the full carry every step)
+            s = step(s, c2e, profiles, sz, sx, c2src * w_t)
+            p = s.p
             if with_tape:
                 ys = (p[rcv], tuple(p[sl] for sl in ext_slices))
             else:
@@ -88,13 +114,13 @@ def make_simulator_pallas(
     @jax.custom_vjp
     def simulate(c2dt2, wavelet, src_idx, rcv_idx):
         _, seis = _fwd_scan(
-            to_ext(c2dt2, "edge"), wavelet, _coords(src_idx), _coords(rcv_idx), False
+            to_ext(c2dt2, "edge"), c2dt2, wavelet, src_idx, _coords(rcv_idx), False
         )
         return seis
 
     def simulate_fwd(c2dt2, wavelet, src_idx, rcv_idx):
         final, (seis, tape) = _fwd_scan(
-            to_ext(c2dt2, "edge"), wavelet, _coords(src_idx), _coords(rcv_idx), True
+            to_ext(c2dt2, "edge"), c2dt2, wavelet, src_idx, _coords(rcv_idx), True
         )
         res = (c2dt2, wavelet, src_idx, rcv_idx, tape, final.p_prev, final.p)
         return seis, res
@@ -126,17 +152,8 @@ def make_simulator_pallas(
 
         tape_tm1 = jax.tree.map(shift2, tape)
 
-        # source cells inside the re-imposed ring are overwritten by the
-        # tape; their scatter must be dropped (exactness for shallow shots)
-        valid = rings.valid
-        src_in_valid = jnp.ones((), bool)
-        for d in range(2):
-            src_in_valid = (
-                src_in_valid
-                & (src_idx[..., d] >= valid[d].start)
-                & (src_idx[..., d] < valid[d].stop)
-            )
-        src_amp_mask = src_in_valid.astype(dtype)
+        nsrc, sz, sx = _src_vectors(src_idx)
+        recon = _recon_for(nsrc)
 
         # lambda at the source cells (wbar/gbar source terms) without
         # materializing the dense injection: per-source selector over ybar
@@ -154,10 +171,12 @@ def make_simulator_pallas(
             lam_src = q_p[srcp] + ybar_t @ sel
             wbar_t = jnp.sum(c2dt2[srcp] * lam_src)
             gsrc_t = lam_src * w_t
-            # reverse reconstruction + ring imposition + Lap(p_t), fused
-            p_tm1, lapw = recon(p_tp1, p_t, c2dt2, *ring_tm1)
-            p_tm1 = p_tm1.at[srcp].add(
-                src_amp_mask * c2dt2[srcp] * w_t, mode="drop"
+            # reverse reconstruction + in-kernel source + ring imposition
+            # + Lap(p_t), all fused (rings win over in-ring sources, which
+            # keeps shallow shots exact with no masking)
+            p_tm1, lapw = recon(
+                p_tp1, p_t, c2dt2, sz, sx,
+                (c2dt2[srcp] * w_t).reshape(1, nsrc), *ring_tm1
             )
             # fused transposed step + receiver injection + imaging
             # (q path stays in the plain (NZ, NX) layout: it fills a padded

@@ -142,9 +142,16 @@ def _shift_sum_cols(p_ref, taps, r, col0, ncols, NZ, pz=PZ, px=PX):
     return out
 
 
-def make_fused_forward_step(grid: Grid, interpret: bool = False):
+def make_fused_forward_step(grid: Grid, interpret: bool = False,
+                            nsrc: int | None = None):
     """Build the fused step over extended-layout carries:
-    (StripState fields..., c2dt2_ext, profiles) -> (p_next_ext, strips')."""
+    (StripState fields..., c2dt2_ext, profiles[, src_z, src_x, amp]) ->
+    (p_next_ext, strips').
+
+    With ``nsrc`` set, source injection happens in-kernel as an iota-mask
+    add (src_z/src_x: (1, nsrc) int32 grid-padded indices; amp: (1, nsrc)
+    = c2dt2[src] * w_t): an XLA scatter after the kernel costs a full-array
+    copy per step."""
     if grid.ndim != 2:
         raise ValueError("pallas fused kernel is 2D; use the jnp path for 3D")
     NZ, NX = grid.padded_shape
@@ -157,12 +164,19 @@ def make_fused_forward_step(grid: Grid, interpret: bool = False):
     d1x = tuple(float(c) / grid.h[1] for c in D1_COEFFS[grid.order])
     d2x = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
 
-    def kernel(
-        p_prev_ref, p_ref, c2_ref, phiz_ref, psiz_ref, phix_ref, psix_ref,
-        az_ref, bz_ref, ax_ref, bx_ref,
-        p_next_ref, phiz_o_ref, psiz_o_ref, phix_o_ref, psix_o_ref,
-        zstrip_ref, xstrip_ref,
-    ):
+    def kernel(*refs):
+        if nsrc is not None:
+            (p_prev_ref, p_ref, c2_ref, phiz_ref, psiz_ref, phix_ref,
+             psix_ref, az_ref, bz_ref, ax_ref, bx_ref,
+             sz_ref, sx_ref, amp_ref,
+             p_next_ref, phiz_o_ref, psiz_o_ref, phix_o_ref, psix_o_ref,
+             zstrip_ref, xstrip_ref) = refs
+        else:
+            (p_prev_ref, p_ref, c2_ref, phiz_ref, psiz_ref, phix_ref,
+             psix_ref, az_ref, bz_ref, ax_ref, bx_ref,
+             p_next_ref, phiz_o_ref, psiz_o_ref, phix_o_ref, psix_o_ref,
+             zstrip_ref, xstrip_ref) = refs
+
         def c2i(zs, xs):
             return c2_ref[PZ + zs.start : PZ + zs.stop, PX + xs.start : PX + xs.stop]
 
@@ -171,11 +185,19 @@ def make_fused_forward_step(grid: Grid, interpret: bool = False):
         lap = _shift_sum_rows(p_ref, d2z, r, 0, NZ, NX) + _shift_sum_cols(
             p_ref, d2x, r, 0, NX, NZ
         )
-        p_next_ref[PZ : PZ + NZ, PX : PX + NX] = (
+        interior = (
             2.0 * p_ref[PZ : PZ + NZ, PX : PX + NX]
             - p_prev_ref[PZ : PZ + NZ, PX : PX + NX]
             + c2_ref[PZ : PZ + NZ, PX : PX + NX] * lap
         )
+        if nsrc is not None:
+            # in-kernel source injection: one iota-mask fma per source
+            ziota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 0)
+            xiota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 1)
+            for j in range(nsrc):
+                mask = (ziota == sz_ref[0, j]) & (xiota == sx_ref[0, j])
+                interior = interior + amp_ref[0, j] * mask.astype(interior.dtype)
+        p_next_ref[PZ : PZ + NZ, PX : PX + NX] = interior
 
         def rmw_rows(zs, val):
             p_next_ref[PZ + zs.start : PZ + zs.stop, PX : PX + NX] = (
@@ -251,7 +273,7 @@ def make_fused_forward_step(grid: Grid, interpret: bool = False):
     call = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[vspec] * 11,
+        in_specs=[vspec] * (11 if nsrc is None else 14),
         out_specs=(vspec,) * 5,
         scratch_shapes=[
             pltpu.VMEM((S + 3 * r, NX), dtype),
@@ -266,16 +288,31 @@ def make_fused_forward_step(grid: Grid, interpret: bool = False):
         interpret=interpret,
     )
 
-    def step(state: StripState, c2dt2_ext, profiles):
-        az, bz, ax, bx = profiles
-        p_next, phiz, psiz, phix, psix = call(
-            state.p_prev, state.p, c2dt2_ext,
-            state.phiz, state.psiz, state.phix, state.psix,
-            az, bz, ax, bx,
-        )
-        return StripState(
-            p_prev=state.p, p=p_next, phiz=phiz, psiz=psiz, phix=phix, psix=psix
-        )
+    if nsrc is None:
+
+        def step(state: StripState, c2dt2_ext, profiles):
+            az, bz, ax, bx = profiles
+            p_next, phiz, psiz, phix, psix = call(
+                state.p_prev, state.p, c2dt2_ext,
+                state.phiz, state.psiz, state.phix, state.psix,
+                az, bz, ax, bx,
+            )
+            return StripState(
+                p_prev=state.p, p=p_next, phiz=phiz, psiz=psiz, phix=phix, psix=psix
+            )
+
+    else:
+
+        def step(state: StripState, c2dt2_ext, profiles, sz, sx, amp):
+            az, bz, ax, bx = profiles
+            p_next, phiz, psiz, phix, psix = call(
+                state.p_prev, state.p, c2dt2_ext,
+                state.phiz, state.psiz, state.phix, state.psix,
+                az, bz, ax, bx, sz, sx, amp,
+            )
+            return StripState(
+                p_prev=state.p, p=p_next, phiz=phiz, psiz=psiz, phix=phix, psix=psix
+            )
 
     return step
 
@@ -329,19 +366,25 @@ def make_pallas_forward(grid: Grid, dt: float, f0: float, c_max: float,
     grid-padded indices; the extended carry layout is internal."""
     from jax import lax
 
-    step = make_fused_forward_step(grid, interpret=interpret)
     profiles = strip_profiles(grid, dt, c_max, f0)
+    cache = {}
 
     def simulate(c2dt2, wavelet, src_idx, rcv_idx):
+        nsrc = src_idx.shape[-2]
+        if nsrc not in cache:
+            cache[nsrc] = make_fused_forward_step(
+                grid, interpret=interpret, nsrc=nsrc
+            )
+        step = cache[nsrc]
         c2e = to_ext(c2dt2, mode="edge")
-        src = (src_idx[..., 0] + PZ, src_idx[..., 1] + PX)
+        sz = src_idx[..., 0].reshape(1, nsrc).astype(jnp.int32)
+        sx = src_idx[..., 1].reshape(1, nsrc).astype(jnp.int32)
+        c2src = c2dt2[(src_idx[..., 0], src_idx[..., 1])].reshape(1, nsrc)
         rcv = (rcv_idx[..., 0] + PZ, rcv_idx[..., 1] + PX)
 
         def body(s, w_t):
-            s = step(s, c2e, profiles)
-            p_inj = s.p.at[src].add(c2e[src] * w_t, mode="drop")
-            s = s._replace(p=p_inj)
-            return s, p_inj[rcv]
+            s = step(s, c2e, profiles, sz, sx, c2src * w_t)
+            return s, s.p[rcv]
 
         _, seis = lax.scan(body, zero_strip_state(grid, c2dt2.dtype), wavelet)
         return seis

@@ -54,16 +54,17 @@ from .acoustic2d_pallas import (
 )
 
 
-def make_recon_kernel(grid: Grid, interpret: bool = False):
+def make_recon_kernel(grid: Grid, interpret: bool = False, nsrc: int | None = None):
     """Reverse reconstruction with fused ring imposition:
 
-      p_tm1 = rings_impose(2 p_t - p_tp1 + C * Lap(p_t), ring_tm1)
+      p_tm1 = rings_impose(2 p_t - p_tp1 + C * Lap(p_t) [+ src], ring_tm1)
       lapw  = Lap(p_t)
 
-    The source term (C w delta at cells in the *valid* region) is added by
-    the caller afterwards — ring cells are overwritten by the tape here, so
-    a source inside the ring must not be re-scattered (adjoint_pallas
-    masks it).
+    With ``nsrc`` set, the source term (amp = C[src] * w_t at grid-padded
+    indices src_z/src_x, each (1, nsrc)) is added in-kernel as an iota-mask
+    fma BEFORE the ring imposition — which also makes in-ring sources exact
+    for free (the tape overwrite wins). Without it the caller must scatter
+    afterwards and mask in-ring sources.
     """
     from .acoustic2d_pallas import make_leapfrog_kernel  # noqa: F401 (doc ref)
     from ..propagators.boundary import RingSpec
@@ -76,6 +77,9 @@ def make_recon_kernel(grid: Grid, interpret: bool = False):
     ring_slices = RingSpec.build(grid).slices
 
     def kernel(p_tp1_ref, p_t_ref, c2_ref, *rest):
+        if nsrc is not None:
+            sz_ref, sx_ref, amp_ref = rest[:3]
+            rest = rest[3:]
         ring_refs = rest[: len(ring_slices)]
         out_ref, lapw_ref, scr_ref = rest[len(ring_slices) :]
         scr_ref[PZ - r : PZ, :] = jnp.zeros((r, NX + 2 * PX), scr_ref.dtype)
@@ -87,7 +91,14 @@ def make_recon_kernel(grid: Grid, interpret: bool = False):
             scr_ref, d2x, r, 0, NX, NZ, PZ, PX
         )
         lapw_ref[:] = lap
-        out_ref[:] = 2.0 * p_t_ref[:] - p_tp1_ref[:] + c2_ref[:] * lap
+        body = 2.0 * p_t_ref[:] - p_tp1_ref[:] + c2_ref[:] * lap
+        if nsrc is not None:
+            ziota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 0)
+            xiota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 1)
+            for j in range(nsrc):
+                mask = (ziota == sz_ref[0, j]) & (xiota == sx_ref[0, j])
+                body = body + amp_ref[0, j] * mask.astype(body.dtype)
+        out_ref[:] = body
         for sl, ring_ref in zip(ring_slices, ring_refs):
             out_ref[sl[0], sl[1]] = ring_ref[:]
 
@@ -99,7 +110,7 @@ def make_recon_kernel(grid: Grid, interpret: bool = False):
             jax.ShapeDtypeStruct((NZ, NX), dtype),
             jax.ShapeDtypeStruct((NZ, NX), dtype),
         ),
-        in_specs=[vspec] * (3 + len(ring_slices)),
+        in_specs=[vspec] * ((3 if nsrc is None else 6) + len(ring_slices)),
         out_specs=(vspec, vspec),
         scratch_shapes=[pltpu.VMEM((NZ + 16, NX + 256), dtype)],
         input_output_aliases={0: 0},  # p_tp1 buffer -> p_tm1
