@@ -71,3 +71,45 @@ def test_pallas_wavelet_gradient_matches_jnp():
     g_j, g_p = np.asarray(g_j), np.asarray(g_p)
     err = np.abs(g_p - g_j).max() / np.abs(g_j).max()
     assert err < 1e-4, f"wavelet grad rel err {err:.3e}"
+
+
+def test_merged_reverse_kernel_matches_two_kernel_path():
+    # make_fused_reverse_step is kept as a documented alternative (slower on
+    # current hardware: its ~35 MB of live VMEM defeats DMA/compute overlap)
+    import jax.numpy as jnp
+    from tpufwi.kernels.acoustic2d_pallas_bwd import (
+        make_fused_adjoint_step, make_fused_reverse_step, make_recon_kernel)
+    from tpufwi.kernels.acoustic2d_pallas import strip_profiles, strip_depth
+    from tpufwi.propagators.boundary import RingSpec
+
+    grid, dt, f0, c_max, c2, w, geom = _setup()
+    NZ, NX = grid.padded_shape
+    S = strip_depth(grid)
+    nsrc, nrec = 1, geom.rcv_idx.shape[-2]
+    profiles = strip_profiles(grid, dt, c_max, f0)
+    rings = RingSpec.build(grid)
+    rng = np.random.default_rng(0)
+    r32 = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    p_t, p_tp1, q_pm, q_p, gbar = (r32(NZ, NX) for _ in range(5))
+    strips = (r32(2, S, NX), r32(2, S, NX), r32(2, NZ, S), r32(2, NZ, S))
+    ring_vals = tuple(r32(*[sl.stop - sl.start for sl in s]) for s in rings.slices)
+    sz = geom.src_idx[..., 0].reshape(1, 1).astype(jnp.int32)
+    sx = geom.src_idx[..., 1].reshape(1, 1).astype(jnp.int32)
+    amp = jnp.ones((1, 1), jnp.float32) * 0.3
+    rz = geom.rcv_idx[..., 0].reshape(1, nrec).astype(jnp.int32)
+    rx = geom.rcv_idx[..., 1].reshape(nrec, 1).astype(jnp.int32)
+    yb = r32(nrec, 1)
+
+    recon = make_recon_kernel(grid, interpret=True, nsrc=1)
+    step_T = make_fused_adjoint_step(grid, interpret=True, nrec=nrec)
+    p_tm1a, lapw = recon(p_tp1, p_t, c2, sz, sx, amp, *ring_vals)
+    outa = step_T(q_pm, q_p, c2, lapw, gbar, strips, profiles, rz, rx, yb)
+
+    rev = make_fused_reverse_step(grid, nsrc=1, nrec=nrec, interpret=True)
+    outb = rev(p_tp1, p_t, c2, sz, sx, amp, ring_vals, q_pm, q_p, gbar,
+               strips, profiles, rz, rx, yb)
+
+    np.testing.assert_allclose(np.asarray(outb[0]), np.asarray(p_tm1a), rtol=0, atol=1e-5)
+    for a, b in zip(outa, outb[1:]):
+        scale = np.abs(np.asarray(a)).max() + 1e-20
+        assert np.abs(np.asarray(b) - np.asarray(a)).max() / scale < 1e-5

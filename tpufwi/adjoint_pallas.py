@@ -31,7 +31,11 @@ from .kernels.acoustic2d_pallas import (
     to_ext,
     zero_strip_state,
 )
-from .kernels.acoustic2d_pallas_bwd import make_fused_adjoint_step, make_recon_kernel
+from .kernels.acoustic2d_pallas_bwd import (
+    make_fused_adjoint_step,
+    make_fused_reverse_step,
+    make_recon_kernel,
+)
 from .propagators.boundary import RingSpec
 
 
@@ -48,6 +52,14 @@ def make_simulator_pallas(
     _step_cache = {}
     _recon_cache = {}
     _step_T_cache = {}
+    _rev_cache = {}
+
+    def _rev_for(nsrc, nrec):
+        if (nsrc, nrec) not in _rev_cache:
+            _rev_cache[(nsrc, nrec)] = make_fused_reverse_step(
+                grid, nsrc=nsrc, nrec=nrec, interpret=interpret
+            )
+        return _rev_cache[(nsrc, nrec)]
 
     def _step_for(nsrc):
         if nsrc not in _step_cache:
@@ -138,11 +150,10 @@ def make_simulator_pallas(
         srcp = (src_idx[..., 0], src_idx[..., 1])
         dtype = c2dt2.dtype
 
-        # Receiver-cotangent injection fused into the transposed-step kernel
-        # as an MXU one-hot matmul; the one-hot factors are built in-kernel
-        # from these raw index vectors (see acoustic2d_pallas_bwd).
+        # Receiver-cotangent injection fused into the transposed-step
+        # kernel as an MXU one-hot matmul; the one-hot factors are built
+        # in-kernel from these raw index vectors (acoustic2d_pallas_bwd).
         nrec = rcv_idx.shape[-2]
-        step_T = _step_T_for(nrec)
         rz = rcv_idx[..., 0].reshape(1, nrec).astype(jnp.int32)
         rx = rcv_idx[..., 1].reshape(nrec, 1).astype(jnp.int32)
 
@@ -154,6 +165,7 @@ def make_simulator_pallas(
 
         nsrc, sz, sx = _src_vectors(src_idx)
         recon = _recon_for(nsrc)
+        step_T = _step_T_for(nrec)
 
         # lambda at the source cells (wbar/gbar source terms) without
         # materializing the dense injection: per-source selector over ybar
@@ -172,15 +184,16 @@ def make_simulator_pallas(
             wbar_t = jnp.sum(c2dt2[srcp] * lam_src)
             gsrc_t = lam_src * w_t
             # reverse reconstruction + in-kernel source + ring imposition
-            # + Lap(p_t), all fused (rings win over in-ring sources, which
-            # keeps shallow shots exact with no masking)
+            # + Lap(p_t), fused (rings win over in-ring sources: shallow
+            # shots stay exact with no masking); then the transposed step
+            # with receiver MXU injection and imaging. Two kernels pipeline
+            # better than the merged variant (make_fused_reverse_step):
+            # measured 108 vs 121 us/step — the merged kernel's ~35 MB of
+            # live VMEM defeats input-DMA/compute overlap across steps.
             p_tm1, lapw = recon(
                 p_tp1, p_t, c2dt2, sz, sx,
                 (c2dt2[srcp] * w_t).reshape(1, nsrc), *ring_tm1
             )
-            # fused transposed step + receiver injection + imaging
-            # (q path stays in the plain (NZ, NX) layout: it fills a padded
-            # u-scratch anyway, so the extended carry would only add HBM)
             q_pm_n, q_p_n, gbar_n, pbz, psz, pbx, psx = step_T(
                 q_pm, q_p, c2dt2, lapw, gbar, strips, profiles,
                 rz, rx, ybar_t.reshape(nrec, 1),

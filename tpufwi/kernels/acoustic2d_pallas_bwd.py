@@ -320,3 +320,209 @@ def make_fused_adjoint_step(grid: Grid, interpret: bool = False, nrec: int | Non
             )
 
     return step_T
+
+
+def make_fused_reverse_step(grid: Grid, nsrc: int, nrec: int,
+                            interpret: bool = False):
+    """One kernel per reverse step: reconstruction (+in-kernel source and
+    ring imposition) AND the transposed CPML step (+receiver MXU injection
+    and imaging), with Lap(p_t) kept as an in-VMEM value — merging
+    make_recon_kernel and make_fused_adjoint_step saves the lapw HBM
+    round-trip and a dispatch per step.
+
+    rev(p_tp1, p_t, c2, sz, sx, amp, rings(4), q_pm, q_p, gbar, strips(4),
+        profiles(4), rz, rx, yb)
+      -> (p_tm1, q_pm', q_p', gbar', strips'(4))
+    """
+    from ..propagators.boundary import RingSpec
+
+    NZ, NX = grid.padded_shape
+    r = grid.radius
+    S = strip_depth(grid)
+    SE = S + r
+    d1z = tuple(float(c) / grid.h[0] for c in D1_COEFFS[grid.order])
+    d2z = tuple(float(c) / grid.h[0] ** 2 for c in D2_COEFFS[grid.order])
+    d1x = tuple(float(c) / grid.h[1] for c in D1_COEFFS[grid.order])
+    d2x = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
+    PZ, PX = 8, 128
+    ring_slices = RingSpec.build(grid).slices
+    NR = len(ring_slices)
+
+    def kernel(*refs):
+        (p_tp1_ref, p_t_ref, c2_ref, sz_ref, sx_ref, amp_ref) = refs[:6]
+        ring_refs = refs[6 : 6 + NR]
+        (q_pm_ref, q_p_ref, gbar_ref,
+         pbz_ref, psz_ref, pbx_ref, psx_ref,
+         az_ref, bz_ref, ax_ref, bx_ref, rz_ref, rx_ref, yb_ref,
+         p_tm1_ref, q_pm_o_ref, q_p_o_ref, gbar_o_ref,
+         pbz_o_ref, psz_o_ref, pbx_o_ref, psx_o_ref,
+         scr_ref, zs_ref, zs2_ref, xs_ref, xs2_ref) = refs[6 + NR :]
+
+        def zero_frame():
+            scr_ref[PZ - r : PZ, :] = jnp.zeros((r, NX + 2 * PX), scr_ref.dtype)
+            scr_ref[PZ + NZ : PZ + NZ + r, :] = jnp.zeros(
+                (r, NX + 2 * PX), scr_ref.dtype
+            )
+            scr_ref[:, PX - r : PX] = jnp.zeros((NZ + 2 * PZ, r), scr_ref.dtype)
+            scr_ref[:, PX + NX : PX + NX + r] = jnp.zeros(
+                (NZ + 2 * PZ, r), scr_ref.dtype
+            )
+
+        # ---- reconstruction: p_tm1 + lapw (in VMEM) ----
+        zero_frame()
+        scr_ref[PZ : PZ + NZ, PX : PX + NX] = p_t_ref[:]
+        lapw = _shift_sum_rows(scr_ref, d2z, r, 0, NZ, NX, PZ, PX) + _shift_sum_cols(
+            scr_ref, d2x, r, 0, NX, NZ, PZ, PX
+        )
+        body = 2.0 * p_t_ref[:] - p_tp1_ref[:] + c2_ref[:] * lapw
+        ziota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 0)
+        xiota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 1)
+        for j in range(nsrc):
+            mask = (ziota == sz_ref[0, j]) & (xiota == sx_ref[0, j])
+            body = body + amp_ref[0, j] * mask.astype(body.dtype)
+        p_tm1_ref[:] = body
+        for sl, ring_ref in zip(ring_slices, ring_refs):
+            p_tm1_ref[sl[0], sl[1]] = ring_ref[:]
+
+        # ---- transposed step (lambda = q_p + receiver MXU injection) ----
+        mzt = (
+            jax.lax.broadcasted_iota(jnp.int32, (NZ, nrec), 0) == rz_ref[:]
+        ).astype(jnp.float32)
+        u_rec = (
+            jax.lax.broadcasted_iota(jnp.int32, (nrec, NX), 1) == rx_ref[:]
+        ).astype(jnp.float32) * yb_ref[:]
+        lam = q_p_ref[:] + jnp.dot(mzt, u_rec, preferred_element_type=jnp.float32)
+
+        scr_ref[PZ : PZ + NZ, PX : PX + NX] = c2_ref[:] * lam
+        q_pm_o_ref[:] = -lam
+        gbar_o_ref[:] = gbar_ref[:] + lam * lapw
+        q_p_o_ref[:] = (
+            q_pm_ref[:]
+            + 2.0 * lam
+            + _shift_sum_rows(scr_ref, d2z, r, 0, NZ, NX, PZ, PX)
+            + _shift_sum_cols(scr_ref, d2x, r, 0, NX, NZ, PZ, PX)
+        )
+
+        for s, R0 in ((0, 0), (1, NZ - S)):
+            a = az_ref[s]
+            b = bz_ref[s]
+            u_strip = scr_ref[PZ + R0 : PZ + R0 + S, PX : PX + NX]
+            ps_tot = psz_ref[s] + u_strip
+            psz_o_ref[s] = b * ps_tot
+            w_s = a * ps_tot
+            d1u = _shift_sum_rows(scr_ref, d1z, r, R0, S, NX, PZ, PX)
+            off = r if s == 0 else 2 * r
+            zs_ref[:] = jnp.zeros_like(zs_ref)
+            zs_ref[off : off + S, :] = w_s
+            d1w = None
+            d2w = None
+            for k, c in enumerate(d1z):
+                if c != 0.0:
+                    t = c * zs_ref[k : k + SE, :]
+                    d1w = t if d1w is None else d1w + t
+            for k, c in enumerate(d2z):
+                if c != 0.0:
+                    t = c * zs_ref[k : k + SE, :]
+                    d2w = t if d2w is None else d2w + t
+            strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
+            pb_tot = pbz_ref[s] - d1u - d1w[strip_in_ext]
+            pbz_o_ref[s] = b * pb_tot
+            y_s = a * pb_tot
+            zs2_ref[:] = jnp.zeros_like(zs2_ref)
+            zs2_ref[off : off + S, :] = y_s
+            d1y = None
+            for k, c in enumerate(d1z):
+                if c != 0.0:
+                    t = c * zs2_ref[k : k + SE, :]
+                    d1y = t if d1y is None else d1y + t
+            ext = slice(0, SE) if s == 0 else slice(NZ - SE, NZ)
+            q_p_o_ref[ext, :] = q_p_o_ref[ext, :] + d2w - d1y
+
+        for s, C0 in ((0, 0), (1, NX - S)):
+            a = ax_ref[s]
+            b = bx_ref[s]
+            u_strip = scr_ref[PZ : PZ + NZ, PX + C0 : PX + C0 + S]
+            ps_tot = psx_ref[s] + u_strip
+            psx_o_ref[s] = b * ps_tot
+            w_s = a * ps_tot
+            d1u = _shift_sum_cols(scr_ref, d1x, r, C0, S, NZ, PZ, PX)
+            off = r if s == 0 else 2 * r
+            xs_ref[:] = jnp.zeros_like(xs_ref)
+            xs_ref[:, off : off + S] = w_s
+            d1w = None
+            d2w = None
+            for k, c in enumerate(d1x):
+                if c != 0.0:
+                    t = c * xs_ref[:, k : k + SE]
+                    d1w = t if d1w is None else d1w + t
+            for k, c in enumerate(d2x):
+                if c != 0.0:
+                    t = c * xs_ref[:, k : k + SE]
+                    d2w = t if d2w is None else d2w + t
+            strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
+            pb_tot = pbx_ref[s] - d1u - d1w[:, strip_in_ext]
+            pbx_o_ref[s] = b * pb_tot
+            y_s = a * pb_tot
+            xs2_ref[:] = jnp.zeros_like(xs2_ref)
+            xs2_ref[:, off : off + S] = y_s
+            d1y = None
+            for k, c in enumerate(d1x):
+                if c != 0.0:
+                    t = c * xs2_ref[:, k : k + SE]
+                    d1y = t if d1y is None else d1y + t
+            ext = slice(0, SE) if s == 0 else slice(NX - SE, NX)
+            q_p_o_ref[:, ext] = q_p_o_ref[:, ext] + d2w - d1y
+
+    dtype = jnp.float32
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((NZ, NX), dtype),  # p_tm1
+        jax.ShapeDtypeStruct((NZ, NX), dtype),  # q_pm'
+        jax.ShapeDtypeStruct((NZ, NX), dtype),  # q_p'
+        jax.ShapeDtypeStruct((NZ, NX), dtype),  # gbar'
+        jax.ShapeDtypeStruct((2, S, NX), dtype),
+        jax.ShapeDtypeStruct((2, S, NX), dtype),
+        jax.ShapeDtypeStruct((2, NZ, S), dtype),
+        jax.ShapeDtypeStruct((2, NZ, S), dtype),
+    )
+    n_in = 6 + NR + 14
+    call = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[vspec] * n_in,
+        out_specs=(vspec,) * 8,
+        scratch_shapes=[
+            pltpu.VMEM((NZ + 16, NX + 256), dtype),
+            pltpu.VMEM((S + 3 * r, NX), dtype),
+            pltpu.VMEM((S + 3 * r, NX), dtype),
+            pltpu.VMEM((NZ, S + 3 * r), dtype),
+            pltpu.VMEM((NZ, S + 3 * r), dtype),
+        ],
+        # p_tp1 -> p_tm1; q_p -> q_pm'; q_pm -> q_p'; gbar -> gbar'; strips
+        input_output_aliases={
+            0: 0,
+            6 + NR + 1: 1,
+            6 + NR + 0: 2,
+            6 + NR + 2: 3,
+            6 + NR + 3: 4,
+            6 + NR + 4: 5,
+            6 + NR + 5: 6,
+            6 + NR + 6: 7,
+        },
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def rev(p_tp1, p_t, c2dt2, sz, sx, amp, rings, q_pm, q_p, gbar, strips,
+            profiles, rz, rx, yb):
+        pbz, psz, pbx, psx = strips
+        az, bz, ax, bx = profiles
+        return call(
+            p_tp1, p_t, c2dt2, sz, sx, amp, *rings,
+            q_pm, q_p, gbar, pbz, psz, pbx, psx,
+            az, bz, ax, bx, rz, rx, yb,
+        )
+
+    return rev
