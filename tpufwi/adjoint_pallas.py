@@ -61,12 +61,13 @@ def make_simulator_pallas(
             )
         return _rev_cache[(nsrc, nrec)]
 
-    def _step_for(nsrc):
-        if nsrc not in _step_cache:
-            _step_cache[nsrc] = make_fused_forward_step(
-                grid, interpret=interpret, nsrc=nsrc
+    def _step_for(nsrc, with_tape=False):
+        key = (nsrc, with_tape)
+        if key not in _step_cache:
+            _step_cache[key] = make_fused_forward_step(
+                grid, interpret=interpret, nsrc=nsrc, with_tape=with_tape
             )
-        return _step_cache[nsrc]
+        return _step_cache[key]
 
     def _recon_for(nsrc):
         if nsrc not in _recon_cache:
@@ -106,20 +107,19 @@ def make_simulator_pallas(
 
     def _fwd_scan(c2e, c2dt2, wavelet, src_idx, rcv, with_tape: bool):
         nsrc, sz, sx = _src_vectors(src_idx)
-        step = _step_for(nsrc)
+        step = _step_for(nsrc, with_tape)
         srcp = (src_idx[..., 0], src_idx[..., 1])
         c2src = c2dt2[srcp].reshape(1, nsrc)
 
         def body(s, w_t):
-            # source injection happens inside the fused kernel (an XLA
-            # scatter after it would copy the full carry every step)
-            s = step(s, c2e, profiles, sz, sx, c2src * w_t)
-            p = s.p
+            # source injection AND (when taping) boundary-ring extraction
+            # happen inside the fused kernel — XLA scatters/slab gathers
+            # around it cost full-carry copies per step
             if with_tape:
-                ys = (p[rcv], tuple(p[sl] for sl in ext_slices))
-            else:
-                ys = p[rcv]
-            return s, ys
+                s, rings_t = step(s, c2e, profiles, sz, sx, c2src * w_t)
+                return s, (s.p[rcv], rings_t)
+            s = step(s, c2e, profiles, sz, sx, c2src * w_t)
+            return s, s.p[rcv]
 
         return lax.scan(body, zero_strip_state(grid, c2e.dtype), wavelet)
 

@@ -143,7 +143,7 @@ def _shift_sum_cols(p_ref, taps, r, col0, ncols, NZ, pz=PZ, px=PX):
 
 
 def make_fused_forward_step(grid: Grid, interpret: bool = False,
-                            nsrc: int | None = None):
+                            nsrc: int | None = None, with_tape: bool = False):
     """Build the fused step over extended-layout carries:
     (StripState fields..., c2dt2_ext, profiles[, src_z, src_x, amp]) ->
     (p_next_ext, strips').
@@ -151,7 +151,10 @@ def make_fused_forward_step(grid: Grid, interpret: bool = False,
     With ``nsrc`` set, source injection happens in-kernel as an iota-mask
     add (src_z/src_x: (1, nsrc) int32 grid-padded indices; amp: (1, nsrc)
     = c2dt2[src] * w_t): an XLA scatter after the kernel costs a full-array
-    copy per step."""
+    copy per step. With ``with_tape``, the four boundary-ring slabs of the
+    post-source p_next are extra outputs (read back after the strip
+    corrections, which do touch the ring rows), removing the per-step XLA
+    slab gathers from the taped forward pass."""
     if grid.ndim != 2:
         raise ValueError("pallas fused kernel is 2D; use the jnp path for 3D")
     NZ, NX = grid.padded_shape
@@ -164,7 +167,16 @@ def make_fused_forward_step(grid: Grid, interpret: bool = False,
     d1x = tuple(float(c) / grid.h[1] for c in D1_COEFFS[grid.order])
     d2x = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
 
+    from ..propagators.boundary import RingSpec
+
+    ring_slices = RingSpec.build(grid).slices if with_tape else ()
+    NRING = len(ring_slices)
+
     def kernel(*refs):
+        ring_o_refs = ()
+        if with_tape:
+            ring_o_refs = refs[-2 - NRING : -2]
+            refs = refs[: -2 - NRING] + refs[-2:]
         if nsrc is not None:
             (p_prev_ref, p_ref, c2_ref, phiz_ref, psiz_ref, phix_ref,
              psix_ref, az_ref, bz_ref, ax_ref, bx_ref,
@@ -260,6 +272,14 @@ def make_fused_forward_step(grid: Grid, interpret: bool = False,
             rmw_cols(ext, corr)
             rmw_cols(slice(C0, C0 + S), ps)
 
+        # boundary-ring tape: read back AFTER the strip corrections (the
+        # extended correction regions cover the ring rows/cols)
+        for sl, ring_ref in zip(ring_slices, ring_o_refs):
+            ring_ref[:] = p_next_ref[
+                PZ + sl[0].start : PZ + sl[0].stop,
+                PX + sl[1].start : PX + sl[1].stop,
+            ]
+
     dtype = jnp.float32
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = (
@@ -268,13 +288,18 @@ def make_fused_forward_step(grid: Grid, interpret: bool = False,
         jax.ShapeDtypeStruct((2, S, NX), dtype),
         jax.ShapeDtypeStruct((2, NZ, S), dtype),
         jax.ShapeDtypeStruct((2, NZ, S), dtype),
+    ) + tuple(
+        jax.ShapeDtypeStruct(
+            tuple(sl.stop - sl.start for sl in s_), dtype
+        )
+        for s_ in ring_slices
     )
 
     call = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=[vspec] * (11 if nsrc is None else 14),
-        out_specs=(vspec,) * 5,
+        out_specs=(vspec,) * (5 + NRING),
         scratch_shapes=[
             pltpu.VMEM((S + 3 * r, NX), dtype),
             pltpu.VMEM((NZ, S + 3 * r), dtype),
@@ -305,14 +330,15 @@ def make_fused_forward_step(grid: Grid, interpret: bool = False,
 
         def step(state: StripState, c2dt2_ext, profiles, sz, sx, amp):
             az, bz, ax, bx = profiles
-            p_next, phiz, psiz, phix, psix = call(
+            p_next, phiz, psiz, phix, psix, *rings_out = call(
                 state.p_prev, state.p, c2dt2_ext,
                 state.phiz, state.psiz, state.phix, state.psix,
                 az, bz, ax, bx, sz, sx, amp,
             )
-            return StripState(
+            new = StripState(
                 p_prev=state.p, p=p_next, phiz=phiz, psiz=psiz, phix=phix, psix=psix
             )
+            return (new, tuple(rings_out)) if with_tape else new
 
     return step
 
