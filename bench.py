@@ -18,6 +18,18 @@ BASELINE_SHOTS_PER_SEC = 4.0  # SURVEY.md §6 70%-of-SoL estimate
 
 
 def main():
+    import os
+
+    import jax
+
+    # persistent compilation cache: repeated driver runs skip the ~2 min
+    # compile (verified working through this sandbox's TPU relay)
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+
     from tpufwi.bench import bench_fwd_adjoint
 
     res = bench_fwd_adjoint()

@@ -355,6 +355,13 @@ def build_synthetic_problem(cfg: FwiConfig, vp_true: np.ndarray, dx: float, mesh
 def main(argv=None):
     import argparse
 
+    # persistent compilation cache (big win for short runs / resume)
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.getcwd(), ".jax_cache"
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+
     ap = argparse.ArgumentParser(description="tpufwi multiscale FWI driver")
     ap.add_argument("--config", type=str, default=None, help="JSON config path")
     ap.add_argument("--resume", action="store_true")
