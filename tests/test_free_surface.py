@@ -87,3 +87,50 @@ def test_free_surface_gradient_exact():
     mask[r:-r, r:-r] = 1.0
     err = np.abs(g_c - g_a * mask).max() / np.abs(g_a * mask).max()
     assert err < 1e-11, f"free-surface gradient rel err {err:.3e}"
+
+
+def test_free_surface_fused_kernels_match_jnp():
+    """Fused single-step AND K-step engines reproduce the jnp free-surface
+    physics and gradient (VERDICT r1 item 5: no more silent jnp fallback)."""
+    from tpufwi.adjoint_pallas import make_simulator_pallas
+    from tpufwi.adjoint_pallas_kstep import make_simulator_pallas_kstep
+    from tpufwi.propagators.boundary import RingSpec
+
+    interpret = jax.default_backend() == "cpu"
+    grid = Grid(shape=(48, 72), h=(10.0, 10.0), pml=10, order=8, free_surface=True)
+    c_max, f0 = 2500.0, 14.0
+    dt = grid.cfl_dt(c_max, safety=0.7)
+    nt = 140
+    rng = np.random.default_rng(0)
+    vp = np.clip(2000 + 200 * rng.standard_normal(grid.shape), 1700, 2500)
+    pad = grid.pad
+    c2 = jnp.asarray((np.pad(vp, pad, mode="edge") * dt) ** 2, jnp.float32)
+    w = jnp.asarray(ricker_np(f0, dt, nt), jnp.float32)
+    geom = Geometry.from_physical(
+        grid, np.array([[10, 36]]), np.stack([np.full(20, 5), np.arange(5, 65, 3)], 1)
+    )
+
+    sim_j = make_simulator(grid, dt, f0, c_max, dtype=jnp.float32)
+    d_obs = sim_j(c2, w, geom.src_idx, geom.rcv_idx)
+
+    def loss(sim):
+        def f(c2_):
+            r = sim(c2_, w, geom.src_idx, geom.rcv_idx) - d_obs
+            return 0.5 * jnp.sum(r * r)
+        return f
+
+    J_j, g_j = jax.value_and_grad(loss(sim_j))(c2 * 1.01)
+    g_j = np.asarray(RingSpec.build(grid).mask_valid(g_j))
+
+    for name, sim in (
+        ("pallas", make_simulator_pallas(grid, dt, f0, c_max, interpret=interpret)),
+        ("kstep", make_simulator_pallas_kstep(
+            grid, dt, f0, c_max, K=4, rcv_rows=16, interpret=interpret)),
+    ):
+        s = sim(c2, w, geom.src_idx, geom.rcv_idx)
+        ds = np.abs(np.asarray(s) - np.asarray(d_obs)).max()
+        assert ds < 1e-5 * float(jnp.abs(d_obs).max()), f"{name} fwd {ds:.3e}"
+        J_p, g_p = jax.value_and_grad(loss(sim))(c2 * 1.01)
+        assert abs(float(J_j) - float(J_p)) / float(J_j) < 1e-4
+        err = np.abs(np.asarray(g_p) - g_j).max() / np.abs(g_j).max()
+        assert err < 1e-4, f"{name} free-surface gradient err {err:.3e}"

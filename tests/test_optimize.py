@@ -50,3 +50,44 @@ def test_preconditioned_descent():
     x0 = jnp.ones(30, jnp.float64)
     x, _ = minimize(vg, x0, iterations=60, method="gd", precond=lambda g: g / d)
     assert float(jnp.linalg.norm(x)) < 1e-6
+
+
+def test_wolfe_lbfgs_rosenbrock():
+    vg = jax.jit(jax.value_and_grad(_rosenbrock))
+    x0 = jnp.full((8,), -1.2, jnp.float64)
+    x, infos = minimize(vg, x0, iterations=200, method="lbfgs", linesearch="wolfe")
+    assert float(_rosenbrock(x)) < 1e-10
+    assert np.allclose(np.asarray(x), 1.0, atol=1e-5)
+
+
+def test_wolfe_satisfies_curvature():
+    # every accepted pair must pass the L-BFGS curvature test when the
+    # strong-Wolfe search is used (that is the point of it)
+    from tpufwi.optimize.linesearch import strong_wolfe_line_search
+
+    vg = jax.jit(jax.value_and_grad(_rosenbrock))
+    x = jnp.full((8,), -1.2, jnp.float64)
+    f, g = vg(x)
+    d = -g
+    ls = strong_wolfe_line_search(vg, x, float(f), g, d, alpha0=1.0, c2=0.9)
+    assert ls.success
+    gd0 = float(jnp.vdot(g, d))
+    f2, g2 = vg(ls.x_new)
+    assert float(f2) <= float(f) + 1e-4 * ls.alpha * gd0  # Armijo
+    assert abs(float(jnp.vdot(g2, d))) <= 0.9 * abs(gd0)  # curvature
+    # s'y > 0 follows
+    s = ls.x_new - x
+    y = g2 - g
+    assert float(jnp.vdot(s, y)) > 0.0
+
+
+def test_wolfe_nlcg_quadratic():
+    rng = np.random.default_rng(0)
+    Q = rng.standard_normal((20, 20))
+    A = jnp.asarray(Q @ Q.T + 20 * np.eye(20))
+    b = jnp.asarray(rng.standard_normal(20))
+    vg = jax.jit(jax.value_and_grad(lambda x: _quadratic(x, A, b)))
+    x0 = jnp.zeros(20, jnp.float64)
+    x, infos = minimize(vg, x0, iterations=120, method="nlcg", linesearch="wolfe")
+    x_star = jnp.linalg.solve(A, b)
+    assert float(jnp.linalg.norm(x - x_star)) < 1e-5

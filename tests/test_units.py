@@ -70,3 +70,32 @@ def test_ricker_peak_frequency():
     W = np.abs(np.fft.rfft(w))
     f = np.fft.rfftfreq(nt, dt)
     assert abs(f[np.argmax(W)] - f0) < 0.5
+
+
+def test_binary_loader_roundtrip(tmp_path):
+    """load_float32_bin / resample2d / load_marmousi2(path=...) on the
+    committed tiny fixture (VERDICT r1: keep the real-data parse path
+    exercised without the 152 MB dataset)."""
+    import os
+
+    import numpy as np
+
+    from tpufwi.io import load_float32_bin, load_marmousi2, resample2d
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "vp_50x80_kms.bin")
+    raw = load_float32_bin(fix, (50, 80))
+    assert raw.shape == (50, 80) and raw.dtype == np.float64
+    assert 1.0 < raw.min() < raw.max() < 5.0  # km/s convention in the file
+
+    with np.testing.assert_raises(ValueError):
+        load_float32_bin(fix, (51, 80))  # size mismatch must be loud
+
+    down = resample2d(raw, 2)
+    assert down.shape == (25, 40)
+    np.testing.assert_allclose(down[0, 0], raw[:2, :2].mean(), rtol=1e-12)
+
+    # full loader path: unit conversion (km/s -> m/s) + resampling
+    vp, dx = load_marmousi2(path=fix, dx_target=2.5, shape=(50, 80), dx_in=1.25)
+    assert vp.shape == (25, 40)
+    assert dx == 2.5
+    assert 1000.0 < vp.min() < vp.max() < 5000.0  # now m/s

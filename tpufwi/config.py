@@ -15,6 +15,7 @@ class StageCfg:
     fmax: float
     iterations: int
     method: str = "lbfgs"  # or "nlcg"
+    linesearch: str = "armijo"  # or "wolfe" (strong-Wolfe bracket+zoom)
 
 
 @dataclasses.dataclass(frozen=True)

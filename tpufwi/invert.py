@@ -245,6 +245,7 @@ def _invert_loop(problem, vp, cfg, hist, init_alpha, start_stage, start_iter, ck
             loss_only=loss_only,
             hist=hist,
             init_alpha=init_alpha,
+            linesearch=stage.linesearch,
         )
         init_alpha = None
         start_iter = 0

@@ -38,16 +38,26 @@ def resample2d(m: np.ndarray, factor: int) -> np.ndarray:
     return m.reshape(nz // factor, factor, nx // factor, factor).mean(axis=(1, 3))
 
 
-def load_marmousi2(path: Optional[str] = None, dx_target: float = 10.0):
+def load_marmousi2(
+    path: Optional[str] = None,
+    dx_target: float = 10.0,
+    shape: Optional[Tuple[int, int]] = None,
+    dx_in: Optional[float] = None,
+):
     """Real Marmousi2 P-velocity if ``path`` (or $MARMOUSI2_VP_BIN) exists,
-    else the synthetic analogue. Returns (vp[nz,nx] m/s, dx m)."""
+    else the synthetic analogue. Returns (vp[nz,nx] m/s, dx m).
+
+    ``shape``/``dx_in`` override the canonical file dimensions (used by the
+    committed tiny fixture in tests/fixtures/, which exercises the
+    load/unit-convert/resample path without the 152 MB dataset)."""
     path = path or os.environ.get("MARMOUSI2_VP_BIN", "")
     if path and os.path.exists(path):
-        vp = load_float32_bin(path, MARMOUSI2_SHAPE)
+        vp = load_float32_bin(path, shape or MARMOUSI2_SHAPE)
         if vp.max() < 10.0:  # km/s convention
             vp = vp * 1000.0
-        factor = max(1, int(round(dx_target / MARMOUSI2_DX)))
-        return resample2d(vp, factor), MARMOUSI2_DX * factor
+        dx0 = dx_in or MARMOUSI2_DX
+        factor = max(1, int(round(dx_target / dx0)))
+        return resample2d(vp, factor), dx0 * factor
     return marmousi_like(dx=dx_target)
 
 

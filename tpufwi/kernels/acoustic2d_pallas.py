@@ -95,7 +95,9 @@ def zero_strip_state(grid: Grid, dtype=jnp.float32) -> StripState:
 
 
 def strip_profiles(grid: Grid, dt: float, c_max: float, f0: float, dtype=np.float32):
-    """(az, bz, ax, bx) sliced to the strips: az/bz (2,S,1), ax/bx (2,1,S)."""
+    """(az, bz, ax, bx) sliced to the strips: az/bz (2,S,1), ax/bx (2,1,S).
+    With ``grid.free_surface`` the top z strip is disabled (a = b = 0), same
+    as cpml.build_profiles for the jnp engine."""
     from ..cpml import CpmlProfile
 
     S = strip_depth(grid)
@@ -104,6 +106,7 @@ def strip_profiles(grid: Grid, dt: float, c_max: float, f0: float, dtype=np.floa
         prof = CpmlProfile.build(
             n=grid.shape[ax_i], pml=grid.pml, radius=grid.radius,
             h=grid.h[ax_i], dt=dt, c_max=c_max, f0=f0,
+            free_lo=(grid.free_surface and ax_i == 0),
         )
         n_pad = grid.padded_shape[ax_i]
         a_lo, a_hi = prof.a[:S], prof.a[n_pad - S:]
@@ -162,6 +165,7 @@ def make_fused_forward_step(grid: Grid, interpret: bool = False,
     r = grid.radius
     S = strip_depth(grid)
     SE = S + r
+    fs = grid.pad if grid.free_surface else None  # pressure-release row
     d1 = tuple(float(c) / grid.h[0] for c in D1_COEFFS[grid.order])
     d2z = tuple(float(c) / grid.h[0] ** 2 for c in D2_COEFFS[grid.order])
     d1x = tuple(float(c) / grid.h[1] for c in D1_COEFFS[grid.order])
@@ -271,6 +275,11 @@ def make_fused_forward_step(grid: Grid, interpret: bool = False,
             ext = slice(0, SE) if s == 0 else slice(NX - SE, NX)
             rmw_cols(ext, corr)
             rmw_cols(slice(C0, C0 + S), ps)
+
+        if fs is not None:  # pressure-release surface: pin the row last
+            p_next_ref[PZ + fs : PZ + fs + 1, PX : PX + NX] = jnp.zeros(
+                (1, NX), jnp.float32
+            )
 
         # boundary-ring tape: read back AFTER the strip corrections (the
         # extended correction regions cover the ring rows/cols)

@@ -74,6 +74,7 @@ def make_recon_kernel(grid: Grid, interpret: bool = False, nsrc: int | None = No
     d2z = tuple(float(c) / grid.h[0] ** 2 for c in D2_COEFFS[grid.order])
     d2x = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
     PZ, PX = 8, 128
+    fs = grid.pad if grid.free_surface else None
     ring_slices = RingSpec.build(grid).slices
 
     def kernel(p_tp1_ref, p_t_ref, c2_ref, *rest):
@@ -143,6 +144,7 @@ def make_fused_adjoint_step(grid: Grid, interpret: bool = False, nrec: int | Non
     d1x = tuple(float(c) / grid.h[1] for c in D1_COEFFS[grid.order])
     d2x = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
     PZ, PX = 8, 128
+    fs = grid.pad if grid.free_surface else None
 
     def kernel(*refs):
         if nrec is not None:
@@ -174,6 +176,10 @@ def make_fused_adjoint_step(grid: Grid, interpret: bool = False, nrec: int | Non
              pbz_o_ref, psz_o_ref, pbx_o_ref, psx_o_ref,
              scr_ref, zs_ref, zs2_ref, xs_ref, xs2_ref) = refs
             lam = q_p_ref[:]
+        if fs is not None:  # transpose of the pressure-release row pin
+            lam = lam * (
+                jax.lax.broadcasted_iota(jnp.int32, (NZ, 1), 0) != fs
+            ).astype(jnp.float32)
         # u = C * lambda into the zero-bordered aligned scratch
         scr_ref[PZ - r : PZ, :] = jnp.zeros((r, NX + 2 * PX), scr_ref.dtype)
         scr_ref[PZ + NZ : PZ + NZ + r, :] = jnp.zeros((r, NX + 2 * PX), scr_ref.dtype)
@@ -345,6 +351,7 @@ def make_fused_reverse_step(grid: Grid, nsrc: int, nrec: int,
     d1x = tuple(float(c) / grid.h[1] for c in D1_COEFFS[grid.order])
     d2x = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
     PZ, PX = 8, 128
+    fs = grid.pad if grid.free_surface else None
     ring_slices = RingSpec.build(grid).slices
     NR = len(ring_slices)
 
@@ -392,6 +399,10 @@ def make_fused_reverse_step(grid: Grid, nsrc: int, nrec: int,
             jax.lax.broadcasted_iota(jnp.int32, (nrec, NX), 1) == rx_ref[:]
         ).astype(jnp.float32) * yb_ref[:]
         lam = q_p_ref[:] + jnp.dot(mzt, u_rec, preferred_element_type=jnp.float32)
+        if fs is not None:  # transpose of the pressure-release row pin
+            lam = lam * (
+                jax.lax.broadcasted_iota(jnp.int32, (NZ, 1), 0) != fs
+            ).astype(jnp.float32)
 
         scr_ref[PZ : PZ + NZ, PX : PX + NX] = c2_ref[:] * lam
         q_pm_o_ref[:] = -lam

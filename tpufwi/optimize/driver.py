@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from .lbfgs import LbfgsHistory, lbfgs_direction
-from .linesearch import backtracking_line_search
+from .linesearch import backtracking_line_search, strong_wolfe_line_search
 from .nlcg import NlcgState, nlcg_direction
 
 
@@ -39,6 +39,8 @@ def minimize(
     gtol: float = 0.0,
     hist: Optional[LbfgsHistory] = None,
     init_alpha: Optional[float] = None,
+    linesearch: str = "armijo",
+    wolfe_c2: float = 0.9,
 ) -> Tuple[jnp.ndarray, list]:
     """Minimize value_and_grad(x) -> (f, g) subject to box bounds.
 
@@ -52,6 +54,10 @@ def minimize(
         one is created if None.
       init_alpha: resume the previous accepted step length (bit-identical
         continuation across restarts).
+      linesearch: "armijo" (cheap loss-only trials) or "wolfe" (strong-Wolfe
+        bracket+zoom; each trial costs a value_and_grad but the curvature
+        condition guarantees accepted L-BFGS pairs).
+      wolfe_c2: curvature constant for linesearch="wolfe".
 
     Returns (x_final, [IterInfo...]).
     """
@@ -65,11 +71,19 @@ def minimize(
         hist = LbfgsHistory(m=lbfgs_m)
     cg = NlcgState()
     infos: list = []
-    f, g = value_and_grad(x)
+    f, g_raw = value_and_grad(x)
     f = float(f)
-    if precond is not None:
-        g = precond(g)
+    g = precond(g_raw) if precond is not None else g_raw
     alpha_prev = init_alpha
+
+    def search(d, alpha0):
+        # Wolfe needs the RAW gradient for the curvature condition
+        # (phi'(alpha) = <grad f, d>, not the preconditioned surrogate)
+        if linesearch == "wolfe":
+            return strong_wolfe_line_search(
+                value_and_grad, x, f, g_raw, d, alpha0, c2=wolfe_c2, bounds=bounds
+            )
+        return backtracking_line_search(f_only, x, f, g, d, alpha0, bounds=bounds)
 
     for it in range(iterations):
         t0 = time.time()
@@ -94,7 +108,7 @@ def minimize(
             xscale = float(jnp.max(jnp.abs(x))) or 1.0
             alpha0 = 0.01 * xscale / max(dmax, 1e-300)
 
-        ls = backtracking_line_search(f_only, x, f, g, d, alpha0, bounds=bounds)
+        ls = search(d, alpha0)
         if not ls.success:
             # reset memory and retry once with steepest descent
             hist.reset()
@@ -102,24 +116,25 @@ def minimize(
             d = -g
             dmax = float(jnp.max(jnp.abs(d)))
             xscale = float(jnp.max(jnp.abs(x))) or 1.0
-            ls = backtracking_line_search(
-                f_only, x, f, g, d, 0.01 * xscale / max(dmax, 1e-300), bounds=bounds
-            )
+            ls = search(d, 0.01 * xscale / max(dmax, 1e-300))
             if not ls.success:
                 infos.append(IterInfo(it, f, float(jnp.linalg.norm(g)), 0.0, ls.n_evals, time.time() - t0))
                 break
 
         x_new = ls.x_new
-        f_new, g_new = value_and_grad(x_new)
+        g_new_raw = getattr(ls, "g_new", None)
+        if g_new_raw is not None:
+            f_new, extra = ls.f_new, 0  # Wolfe already evaluated (f, g) here
+        else:
+            (f_new, g_new_raw), extra = value_and_grad(x_new), 1
         f_new = float(f_new)
-        if precond is not None:
-            g_new = precond(g_new)
+        g_new = precond(g_new_raw) if precond is not None else g_new_raw
         if method == "lbfgs":
             hist.update(x_new - x, g_new - g)
         alpha_prev = ls.alpha
-        x, f, g = x_new, f_new, g_new
+        x, f, g, g_raw = x_new, f_new, g_new, g_new_raw
         gnorm = float(jnp.linalg.norm(g))
-        info = IterInfo(it, f, gnorm, ls.alpha, ls.n_evals + 1, time.time() - t0)
+        info = IterInfo(it, f, gnorm, ls.alpha, ls.n_evals + extra, time.time() - t0)
         infos.append(info)
         if callback is not None:
             callback(x, info)

@@ -53,12 +53,7 @@ class AcousticPropagator:
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
             impl = (
                 "pallas"
-                if (
-                    grid.ndim == 2
-                    and dtype == jnp.float32
-                    and on_tpu
-                    and not grid.free_surface  # fused kernels: round 2
-                )
+                if (grid.ndim == 2 and dtype == jnp.float32 and on_tpu)
                 else "jnp"
             )
         self.impl = impl
