@@ -46,7 +46,13 @@ from .acoustic2d_pallas import (
     strip_depth,
 )
 
-CH = 8  # time sub-steps per grid iteration (sublane-aligned output rows)
+# Default time sub-steps per grid iteration. The kernel body unrolls CH
+# sub-steps, so Mosaic compile time scales ~linearly with it; at Marmousi
+# scale (~800 native tiles per full-grid op) CH=8 pushed a single kernel
+# compile past 30 minutes while CH=2 compiles in minutes. Streaming
+# granularity (tape/seis chunk size) also equals CH; the HBM traffic per
+# step is CH-independent, so small CH costs only per-grid-step overhead.
+CH = 2
 
 
 def _taps(grid):

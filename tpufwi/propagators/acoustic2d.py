@@ -41,8 +41,11 @@ class AcousticPropagator:
         dtype=jnp.float32,
         impl: str = "auto",
     ):
-        """impl: 'pallas' (fused TPU kernels), 'jnp' (XLA twin — CPU, fp64,
-        3D), or 'auto' (pallas when 2D+fp32 on a TPU backend)."""
+        """impl: 'pallas' (fused single-step TPU kernels),
+        'pallas_scanres' (whole-scan-resident kernels — fastest; requires
+        all receivers of a shot within a 16-row slab, e.g. surface
+        acquisition), 'jnp' (XLA twin — CPU, fp64, 3D), or 'auto'
+        (pallas when 2D+fp32 on a TPU backend)."""
         grid.check_dt(dt, c_max)
         self.grid = grid
         self.dt = float(dt)
@@ -63,6 +66,12 @@ class AcousticPropagator:
             if dtype != jnp.float32:
                 raise ValueError("pallas path is fp32 only")
             self._simulate = make_simulator_pallas(grid, dt, f0, c_max)
+        elif impl == "pallas_scanres":
+            from ..adjoint_pallas_scanres import make_simulator_pallas_scanres
+
+            if dtype != jnp.float32:
+                raise ValueError("pallas path is fp32 only")
+            self._simulate = make_simulator_pallas_scanres(grid, dt, f0, c_max)
         else:
             self._simulate = make_simulator(grid, dt, f0, c_max, dtype)
         profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)

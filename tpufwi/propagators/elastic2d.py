@@ -198,6 +198,158 @@ def make_elastic_simulator(
     return simulate
 
 
+def make_elastic_simulator_fused(
+    grid: Grid,
+    dt: float,
+    f0: float,
+    c_max: float,
+    source_type: str = "pressure",
+    record: str = "v",
+    interpret: bool = False,
+):
+    """Elastic simulator on the fused Pallas kernels, differentiable via
+    the fused backward kernels (kernels/elastic2d_pallas_bwd.py): forward
+    V/S stages and the reverse reconstruct+transpose+imaging stages are
+    all single pallas_calls; only the O(nrec) source/receiver scatter-
+    gathers and the per-step ring extraction run on XLA. Same contract as
+    make_elastic_simulator: simulate(lam, lam2mu, mu_xz, buoy_x, buoy_z,
+    wavelet, src_idx, rcv_idx) -> seis. Pressure sources only; fp32."""
+    from ..kernels.elastic2d_pallas import (
+        make_elastic_fused_step,
+        zero_elastic_strip_state,
+    )
+    from ..kernels.elastic2d_pallas_bwd import make_elastic_bwd_kernels
+    from ..kernels.acoustic2d_pallas import strip_profiles, strip_depth
+
+    if source_type != "pressure":
+        raise ValueError("fused elastic path supports pressure sources only")
+    step = make_elastic_fused_step(grid, dt, interpret=interpret)
+    call_rs, call_rv = make_elastic_bwd_kernels(
+        grid, dt, source_type, interpret=interpret
+    )
+    profiles = strip_profiles(grid, dt, c_max, f0)
+    rings = RingSpec.build(grid)
+    NZ, NX = grid.padded_shape
+    S = strip_depth(grid)
+    dtf = float(dt)
+    dtype = jnp.float32
+
+    def _fwd_scan(mats, wavelet, src_idx, rcv_idx, with_tape):
+        src = (src_idx[..., 0], src_idx[..., 1])
+        rcv = (rcv_idx[..., 0], rcv_idx[..., 1])
+
+        def body(s, w_t):
+            s = step(s, mats, profiles)
+            s = s._replace(
+                sxx=s.sxx.at[src].add(dtf * w_t, mode="drop"),
+                szz=s.szz.at[src].add(dtf * w_t, mode="drop"),
+            )
+            if record == "v":
+                rec = jnp.stack([s.vz[rcv], s.vx[rcv]], axis=-1)
+            else:
+                rec = -(s.sxx[rcv] + s.szz[rcv]) / 2.0
+            if with_tape:
+                ring = tuple(
+                    rings.extract(f) for f in (s.vx, s.vz, s.sxx, s.szz, s.sxz)
+                )
+                return s, (rec, ring)
+            return s, rec
+
+        final, out = lax.scan(body, zero_elastic_strip_state(grid), wavelet)
+        return final, out
+
+    def simulate_plain(lam, lam2mu, mu_xz, buoy_x, buoy_z, wavelet, src_idx, rcv_idx):
+        mats = (lam, lam2mu, mu_xz, buoy_x, buoy_z)
+        _, seis = _fwd_scan(mats, wavelet, src_idx, rcv_idx, False)
+        return seis
+
+    simulate = jax.custom_vjp(simulate_plain)
+
+    def fwd(lam, lam2mu, mu_xz, buoy_x, buoy_z, wavelet, src_idx, rcv_idx):
+        mats = (lam, lam2mu, mu_xz, buoy_x, buoy_z)
+        final, (seis, tape) = _fwd_scan(mats, wavelet, src_idx, rcv_idx, True)
+        return seis, (mats, wavelet, src_idx, rcv_idx, tape, final)
+
+    def bwd(res, seis_bar):
+        mats, wavelet, src_idx, rcv_idx, tape, final = res
+        lam, lam2mu, mu_xz, buoy_x, buoy_z = mats
+        az, bzp, ax, bxp = profiles
+        src = (src_idx[..., 0], src_idx[..., 1])
+        rcv = (rcv_idx[..., 0], rcv_idx[..., 1])
+        sz = src_idx[..., 0].reshape(-1).astype(jnp.int32)
+        sx = src_idx[..., 1].reshape(-1).astype(jnp.int32)
+
+        # tape[k] = rings(state after step k); reverse step t re-imposes
+        # tape[t-1] (zeros at t=0: quiescent initial state).
+        def shift1(T):
+            z = jnp.zeros((1,) + T.shape[1:], T.dtype)
+            return jnp.concatenate([z, T[:-1]], axis=0)
+
+        tape_tm1 = jax.tree.map(shift1, tape)
+
+        zf = jnp.zeros((NZ, NX), dtype)
+        zxs = jnp.zeros((2, NZ, S), dtype)
+        zzs = jnp.zeros((2, S, NX), dtype)
+
+        def body(carry, xs):
+            (fields, cot, memb, g) = carry
+            ring_tm1, w_t, ybar_t = xs
+            vx, vz, sxx, szz, sxz = fields
+            vxb, vzb, sxxb, szzb, sxzb = cot
+            mS = memb[4:]
+            mV = memb[:4]
+            r_vx, r_vz, r_sxx, r_szz, r_sxz = ring_tm1
+
+            # receiver cotangent scatter (O(nrec), XLA)
+            if record == "v":
+                vzb = vzb.at[rcv].add(ybar_t[..., 0], mode="drop")
+                vxb = vxb.at[rcv].add(ybar_t[..., 1], mode="drop")
+            else:
+                sxxb = sxxb.at[rcv].add(-0.5 * ybar_t, mode="drop")
+                szzb = szzb.at[rcv].add(-0.5 * ybar_t, mode="drop")
+            # wavelet cotangent (pressure source transpose)
+            wb_t = dtf * jnp.sum(sxxb[src] + szzb[src])
+
+            (sxx_t, szz_t, sxz_t, vxb, vzb, mS0, mS1, mS2, mS3,
+             glam, gl2m, gmuxz) = call_rs(
+                vx, vz, sxx, szz, sxz,
+                *r_sxx, *r_szz, *r_sxz,
+                w_t.reshape(1), lam, lam2mu, mu_xz,
+                sxxb, szzb, sxzb, vxb, vzb,
+                *mS, g[0], g[1], g[2],
+                az, bzp, ax, bxp, sz, sx,
+            )
+            (vx_t, vz_t, sxxb, szzb, sxzb, mV0, mV1, mV2, mV3,
+             gbx, gbz) = call_rv(
+                sxx_t, szz_t, sxz_t, vx, vz,
+                *r_vx, *r_vz, buoy_x, buoy_z,
+                vxb, vzb, sxxb, szzb, sxzb,
+                *mV, g[3], g[4],
+                az, bzp, ax, bxp,
+            )
+            carry_n = (
+                (vx_t, vz_t, sxx_t, szz_t, sxz_t),
+                (vxb, vzb, sxxb, szzb, sxzb),
+                (mV0, mV1, mV2, mV3, mS0, mS1, mS2, mS3),
+                (glam, gl2m, gmuxz, gbx, gbz),
+            )
+            return carry_n, wb_t
+
+        fields0 = (final.vx, final.vz, final.sxx, final.szz, final.sxz)
+        cot0 = (zf,) * 5
+        memb0 = (zxs, zzs, zxs, zzs, zxs, zzs, zzs, zxs)
+        g0 = (zf,) * 5
+        xs = (tape_tm1, wavelet, seis_bar)
+        (_, _, _, g), wbar = lax.scan(
+            body, (fields0, cot0, memb0, g0), xs, reverse=True
+        )
+        mbar = tuple(rings.mask_valid(m) for m in g)
+        return (*mbar, wbar, _int_cotangent(src_idx), _int_cotangent(rcv_idx))
+
+    simulate.defvjp(fwd, bwd)
+    return simulate
+
+
 class ElasticPropagator:
     """User-facing elastic propagator: (vp, vs, rho) -> seismograms,
     differentiable in all three material fields.
