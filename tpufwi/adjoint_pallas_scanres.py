@@ -87,8 +87,8 @@ def make_simulator_pallas_scanres(
         valid = (rzr >= 0) & (rzr < RH)
         return (
             nsrc, nrec, sz, sx, c2src,
-            rz.reshape(1, nrec), rx.reshape(nrec, 1),
-            jnp.clip(rzr, 0, RH - 1).reshape(nrec, 1),
+            rx.reshape(1, nrec),
+            jnp.clip(rzr, 0, RH - 1).reshape(1, nrec),
             r0.reshape(1), valid,
         )
 
@@ -96,19 +96,19 @@ def make_simulator_pallas_scanres(
         nt = wavelet.shape[0]
         ntp = -(-nt // CH) * CH
         w_pad = jnp.pad(wavelet, (0, ntp - nt))
-        (nsrc, nrec, sz, sx, c2src, rz, rxc, rzr, r0, valid) = _geom(
+        (nsrc, nrec, sz, sx, c2src, rxr, rzr, r0, valid) = _geom(
             c2dt2, src_idx, rcv_idx
         )
         fwd = _fwd_for(ntp, nsrc, nrec, with_tape)
         az, bz, ax, bx = profiles
         outs = fwd(
             to_ext(c2dt2, "edge"), az, bz, ax, bx,
-            w_pad, c2src, sz, sx, rz, rxc, rzr, r0,
+            w_pad, c2src, sz, sx, rxr, rzr, r0,
         )
-        seis3 = outs[0]  # (nC, nrec, CH): chunk-streamed, time on lanes
+        seis3 = outs[0]  # (nC, CH, nrec): chunk-streamed
         tape = outs[1:-2] if with_tape else None
         ppen, plast = outs[-2], outs[-1]
-        seis = seis3.transpose(0, 2, 1).reshape(ntp, nrec)[:nt]
+        seis = seis3.reshape(ntp, nrec)[:nt]
         # out-of-window receivers poison their traces (see kstep docstring)
         seis = jnp.where(valid[None, :], seis, jnp.float32(jnp.nan))
         return seis, tape, ppen, plast, w_pad, c2src, ntp
@@ -129,22 +129,18 @@ def make_simulator_pallas_scanres(
         nt = wavelet.shape[0]
         ntp = -(-nt // CH) * CH
         w_pad = jnp.pad(wavelet, (0, ntp - nt))
-        (nsrc, nrec, sz, sx, c2src, rz, rxc, rzr, r0, _valid) = _geom(
+        (nsrc, nrec, sz, sx, c2src, rxr, rzr, r0, _valid) = _geom(
             c2dt2, src_idx, rcv_idx
         )
         rev = _rev_for(ntp, nsrc, nrec)
         az, bz, ax, bx = profiles
         nC = ntp // CH
-        ybar3 = (
-            jnp.pad(seis_bar, ((0, ntp - nt), (0, 0)))
-            .reshape(nC, CH, nrec)
-            .transpose(0, 2, 1)
-        )  # (nC, nrec, CH)
+        ybar3 = jnp.pad(seis_bar, ((0, ntp - nt), (0, 0))).reshape(nC, CH, nrec)
         gbar, lam_src3 = rev(
             c2dt2, az, bz, ax, bx, w_pad, c2src, sz, sx,
-            rz, rxc, rzr, r0, ybar3, *tape, ppen, plast,
+            rxr, rzr, r0, ybar3, *tape, ppen, plast,
         )
-        lam_src = lam_src3.transpose(0, 2, 1).reshape(ntp, nsrc)
+        lam_src = lam_src3.reshape(ntp, nsrc)
         wbar = (lam_src * c2src[None, :]).sum(-1)[:nt]
         gsrc = (lam_src * w_pad[:, None]).sum(0)
         srcp = (src_idx[..., 0], src_idx[..., 1])

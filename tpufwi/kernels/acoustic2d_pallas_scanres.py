@@ -48,11 +48,38 @@ from .acoustic2d_pallas import (
 
 # Default time sub-steps per grid iteration. The kernel body unrolls CH
 # sub-steps, so Mosaic compile time scales ~linearly with it; at Marmousi
-# scale (~800 native tiles per full-grid op) CH=8 pushed a single kernel
-# compile past 30 minutes while CH=2 compiles in minutes. Streaming
-# granularity (tape/seis chunk size) also equals CH; the HBM traffic per
-# step is CH-independent, so small CH costs only per-grid-step overhead.
-CH = 2
+# scale (~800 native tiles per full-grid op) CH=8 of the original
+# VPU-strip body pushed a single kernel compile past 30 minutes. With the
+# MXU-banded strip algebra (few ops per strip) CH=4 compiles in minutes.
+# Streaming granularity (tape/seis chunk size) also equals CH; the HBM
+# traffic per step is CH-independent, so small CH costs only per-grid-step
+# pipeline overhead.
+CH = 4
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _banded_kz(d1, d2, S, r, dtype):
+    """(2S, S+2r) stacked-band matrix: rows [0,S) apply d1, rows [S,2S)
+    apply d2 — out = K @ p_slab gives [d1p; d2p] in one MXU product."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * S, S + 2 * r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (2 * S, S + 2 * r), 1)
+    out = jnp.zeros((2 * S, S + 2 * r), dtype)
+    for k in range(2 * r + 1):
+        m1 = (rows < S) & (cols - rows == k)
+        m2 = (rows >= S) & (cols - (rows - S) == k)
+        out = out + d1[k] * m1.astype(dtype) + d2[k] * m2.astype(dtype)
+    return out
+
+
+def _banded_kcz(d1, SE, S3, dtype):
+    """(SE, S3) band: corr = K @ zbuf, corr[i] = sum_k d1[k] zbuf[i+k]."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SE, S3), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (SE, S3), 1)
+    out = jnp.zeros((SE, S3), dtype)
+    for k in range(len(d1)):
+        out = out + d1[k] * ((cols - rows) == k).astype(dtype)
+    return out
 
 
 def _taps(grid):
@@ -70,17 +97,25 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
     """Build the whole-scan forward.
 
     fwd(c2_ext, profiles(4), w (nt,), c2src (nsrc,), sz, sx (nsrc,),
-        rz (1,nrec), rxc (nrec,1), rzr (nrec,1), r0 (1,))
-      -> (seis3 (nC,nrec,CH), [tape_tm1 rings x4 (nt,h,w)], p_penult, p_last)
+        rxr (1,nrec), rzr (1,nrec), r0 (1,))
+      -> (seis3 (nC,CH,nrec), [tape_tm1 rings x4 (nt,h,w)], p_penult, p_last)
 
     nt must be a multiple of CH (caller zero-pads the wavelet). rzr is the
     receiver row relative to the slab start r0 (grid-padded minus r0).
-    seis3 is chunk-streamed and TRANSPOSED (receivers on sublanes, time on
-    lanes): the in-kernel row-wise gather reduction lands on sublanes
-    naturally, so a (nrec, 1) column store avoids a per-step
-    lane<->sublane relayout; and Mosaic requires the minormost block dim
-    to be the full array dim or a multiple of 128, hence the (1,nrec,CH)
-    chunk blocks. The wrapper reassembles (nt, nrec) once at the end.
+    seis3 is chunk-streamed (Mosaic requires the minormost block dim to be
+    the full array dim or a multiple of 128, hence the (1,CH,nrec) chunk
+    blocks); the wrapper reshapes to (nt, nrec) once at the end.
+
+    Performance design (round-2 measurements): per-sub-step cost is VPU
+    compute, not HBM — and the CPML strip algebra dominated it when done
+    as many small shifted-slice ops (the x-strips especially: lane dim
+    S~24, unaligned offsets). All strip derivative work therefore runs as
+    tiny banded MXU matmuls (e.g. (NZ,S+2r)@(S+2r,2S) for the x-side
+    d1+d2 in one product, ~1e7 MACs per sub-step even at
+    precision=HIGHEST). The seismogram gather is slab@one-hot^T on the MXU
+    followed by an RH-sublane masked reduce — no 128-lane-wide reduction.
+    HIGHEST everywhere: the MXU default f32 path rounds through bf16
+    (~2e-3 relative), unacceptable for physics values.
     """
     if nt % CH != 0:
         raise ValueError(f"nt must be a multiple of {CH}")
@@ -91,6 +126,7 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
     r = grid.radius
     S = strip_depth(grid)
     SE = S + r
+    S3 = S + 3 * r
     RH = rcv_rows
     d1z, d2z, d1x, d2x = _taps(grid)
     fs = grid.pad if grid.free_surface else None
@@ -107,9 +143,9 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
 
     def kernel(*refs):
         (c2_ref, az_ref, bz_ref, ax_ref, bx_ref,
-         w_ref, c2src_ref, sz_ref, sx_ref, rz_ref, rxc_ref, rzr_ref,
-         r0_ref) = refs[:13]
-        refs = refs[13:]
+         w_ref, c2src_ref, sz_ref, sx_ref, rxr_ref, rzr_ref,
+         r0_ref) = refs[:12]
+        refs = refs[12:]
         seis_ref = refs[0]
         ring_o = refs[1 : 1 + NRING]
         ppen_ref, plast_ref = refs[1 + NRING], refs[2 + NRING]
@@ -117,8 +153,9 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
         pa, pb = scr[0], scr[1]
         phiz, psiz, phix, psix = scr[2:6]
         zc0, zc1, xc0, xc1 = scr[6:10]
-        ohz_ref, ohx_ref = scr[10], scr[11]
-        ring_delay = scr[12 : 12 + 2 * NRING]  # [slab][delay slot]
+        ohzT_ref, ohxT_ref = scr[10], scr[11]
+        kz_ref, kcz_ref, kx_ref, kcx_ref = scr[12:16]
+        ring_delay = scr[16 : 16 + 2 * NRING]  # [slab][delay slot]
 
         c = pl.program_id(0)
         tb = c * CH  # first time index of this chunk (w is whole in SMEM)
@@ -136,20 +173,22 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
                 zbuf[off + S :, :] = jnp.zeros((3 * r - off, NX), dtype)
                 xbuf[:, 0:off] = jnp.zeros((NZ, off), dtype)
                 xbuf[:, off + S :] = jnp.zeros((NZ, 3 * r - off), dtype)
-            # receiver one-hot factors (slab-relative rows)
-            ohz_ref[:] = (
-                jax.lax.broadcasted_iota(jnp.int32, (nrec, RH), 1)
+            # receiver one-hot factors, receivers on lanes
+            ohzT_ref[:] = (
+                jax.lax.broadcasted_iota(jnp.int32, (RH, nrec), 0)
                 == rzr_ref[:]
             ).astype(dtype)
-            ohx_ref[:] = (
-                jax.lax.broadcasted_iota(jnp.int32, (nrec, NX), 1)
-                == rxc_ref[:]
+            ohxT_ref[:] = (
+                jax.lax.broadcasted_iota(jnp.int32, (NX, nrec), 0)
+                == rxr_ref[:]
             ).astype(dtype)
+            # banded strip-derivative matrices (z: left product, x: right)
+            kz_ref[:] = _banded_kz(d1z, d2z, S, r, dtype)
+            kcz_ref[:] = _banded_kcz(d1z, SE, S3, dtype)
+            kx_ref[:] = _banded_kz(d1x, d2x, S, r, dtype)
+            kcx_ref[:] = _banded_kcz(d1x, SE, S3, dtype)
             for dref in ring_delay:
                 dref[:] = jnp.zeros_like(dref)
-
-        ziota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 0)
-        xiota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 1)
 
         def c2i(zs, xs):
             return c2_ref[PZ + zs.start : PZ + zs.stop, PX + xs.start : PX + xs.stop]
@@ -163,11 +202,18 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
                 - prev_ref[PZ : PZ + NZ, PX : PX + NX]
                 + c2_ref[PZ : PZ + NZ, PX : PX + NX] * lap
             )
+            dst_ref[PZ : PZ + NZ, PX : PX + NX] = interior
+            # point source: 8-row slab iota-mask fma (not a full-grid mask)
+            i8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 0)
+            x8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 1)
             for i in range(nsrc):
                 amp = c2src_ref[i] * w_ref[tb + j]
-                mask = (ziota == sz_ref[i]) & (xiota == sx_ref[i])
-                interior = interior + amp * mask.astype(dtype)
-            dst_ref[PZ : PZ + NZ, PX : PX + NX] = interior
+                sz8 = pl.multiple_of((sz_ref[i] // 8) * 8, 8)
+                mask = (i8 == sz_ref[i] - sz8) & (x8 == sx_ref[i])
+                dst_ref[pl.ds(PZ + sz8, 8), PX : PX + NX] = (
+                    dst_ref[pl.ds(PZ + sz8, 8), PX : PX + NX]
+                    + amp * mask.astype(dtype)
+                )
 
             def rmw_rows(zs, val):
                 dst_ref[PZ + zs.start : PZ + zs.stop, PX : PX + NX] = (
@@ -185,19 +231,18 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
                 a, b = az_ref[s], bz_ref[s]
                 zbuf = zc0 if s == 0 else zc1
                 off = r if s == 0 else 2 * r
-                d1p = _shift_sum_rows(cur_ref, d1z, r, R0, S, NX)
+                p_slab = cur_ref[PZ + R0 - r : PZ + R0 - r + S + 2 * r,
+                                 PX : PX + NX]
+                d12 = jnp.dot(kz_ref[:], p_slab, preferred_element_type=dtype,
+                              precision=HIGHEST)
+                d1p, d2p = d12[:S], d12[S:]
                 ph = b * phiz[s] + a * d1p
                 phiz[s] = ph
                 zbuf[off : off + S, :] = ph
-                corr = None
-                for k, cc in enumerate(d1z):
-                    if cc == 0.0:
-                        continue
-                    t = cc * zbuf[k : k + SE, :]
-                    corr = t if corr is None else corr + t
-                d2p_strip = _shift_sum_rows(cur_ref, d2z, r, R0, S, NX)
+                corr = jnp.dot(kcz_ref[:], zbuf[:],
+                               preferred_element_type=dtype, precision=HIGHEST)
                 strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
-                ps = b * psiz[s] + a * (d2p_strip + corr[strip_in_ext])
+                ps = b * psiz[s] + a * (d2p + corr[strip_in_ext])
                 psiz[s] = ps
                 ext = slice(0, SE) if s == 0 else slice(NZ - SE, NZ)
                 rmw_rows(ext, corr)
@@ -207,19 +252,22 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
                 a, b = ax_ref[s], bx_ref[s]
                 xbuf = xc0 if s == 0 else xc1
                 off = r if s == 0 else 2 * r
-                d1p = _shift_sum_cols(cur_ref, d1x, r, C0, S, NZ)
+                p_slab = cur_ref[PZ : PZ + NZ,
+                                 PX + C0 - r : PX + C0 - r + S + 2 * r]
+                d12 = jax.lax.dot_general(
+                    p_slab, kx_ref[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype, precision=HIGHEST,
+                )
+                d1p, d2p = d12[:, :S], d12[:, S:]
                 ph = b * phix[s] + a * d1p
                 phix[s] = ph
                 xbuf[:, off : off + S] = ph
-                corr = None
-                for k, cc in enumerate(d1x):
-                    if cc == 0.0:
-                        continue
-                    t = cc * xbuf[:, k : k + SE]
-                    corr = t if corr is None else corr + t
-                d2p_strip = _shift_sum_cols(cur_ref, d2x, r, C0, S, NZ)
+                corr = jax.lax.dot_general(
+                    xbuf[:], kcx_ref[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype, precision=HIGHEST,
+                )
                 strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
-                ps = b * psix[s] + a * (d2p_strip + corr[:, strip_in_ext])
+                ps = b * psix[s] + a * (d2p + corr[:, strip_in_ext])
                 psix[s] = ps
                 ext = slice(0, SE) if s == 0 else slice(NX - SE, NX)
                 rmw_cols(ext, corr)
@@ -241,17 +289,13 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
                         PX + sl[1].start : PX + sl[1].stop,
                     ]
 
-            # seismogram column (transposed layout): slab one-hot MXU gather.
-            # precision=HIGHEST: the MXU's default f32 path rounds through
-            # bf16, which would put ~2e-3 relative error on every recorded
-            # sample; 3-pass fp32 on this tiny product is free.
+            # seismogram row: slab @ one-hot^T on the MXU, then a masked
+            # RH-sublane reduce picks each receiver's row
             slab = dst_ref[pl.ds(PZ + r0, RH), PX : PX + NX]
-            G = jnp.dot(
-                ohz_ref[:], slab, preferred_element_type=dtype,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            seis_ref[0, :, j : j + 1] = jnp.sum(
-                G * ohx_ref[:], axis=1, keepdims=True
+            M = jnp.dot(slab, ohxT_ref[:], preferred_element_type=dtype,
+                        precision=HIGHEST)  # (RH, nrec)
+            seis_ref[0, j : j + 1, :] = jnp.sum(
+                M * ohzT_ref[:], axis=0, keepdims=True
             )
 
         prev_ref, cur_ref = pa, pb
@@ -265,14 +309,10 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
             ppen_ref[:] = prev_ref[:]
             plast_ref[:] = cur_ref[:]
 
-    # seismogram streams as (nC, nrec, CH) chunks: Mosaic requires the
-    # minormost block dim to be a multiple of 128 or the full array dim,
-    # so the lane dim is the CH sub-steps of ONE chunk (full) and the
-    # chunk index is a leading grid-mapped dim. Wrapper reassembles time.
     out_specs = [
-        pl.BlockSpec((1, nrec, CH), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, CH, nrec), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
     ]
-    out_shape = [jax.ShapeDtypeStruct((nC, nrec, CH), dtype)]
+    out_shape = [jax.ShapeDtypeStruct((nC, CH, nrec), dtype)]
     for dims in ring_dims:
         out_specs.append(
             pl.BlockSpec((CH,) + dims, lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
@@ -296,9 +336,8 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
         pl.BlockSpec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # c2src
         pl.BlockSpec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # sz
         pl.BlockSpec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # sx
-        pl.BlockSpec((1, nrec), const2, memory_space=pltpu.VMEM),  # rz
-        pl.BlockSpec((nrec, 1), const2, memory_space=pltpu.VMEM),  # rxc
-        pl.BlockSpec((nrec, 1), const2, memory_space=pltpu.VMEM),  # rzr
+        pl.BlockSpec((1, nrec), const2, memory_space=pltpu.VMEM),  # rxr
+        pl.BlockSpec((1, nrec), const2, memory_space=pltpu.VMEM),  # rzr
         pl.BlockSpec((1,), lambda c: (0,), memory_space=pltpu.SMEM),  # r0
     ]
     scratch = [
@@ -308,12 +347,16 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
         pltpu.VMEM((2, S, NX), dtype),  # psiz
         pltpu.VMEM((2, NZ, S), dtype),  # phix
         pltpu.VMEM((2, NZ, S), dtype),  # psix
-        pltpu.VMEM((S + 3 * r, NX), dtype),  # zc0
-        pltpu.VMEM((S + 3 * r, NX), dtype),  # zc1
-        pltpu.VMEM((NZ, S + 3 * r), dtype),  # xc0
-        pltpu.VMEM((NZ, S + 3 * r), dtype),  # xc1
-        pltpu.VMEM((nrec, RH), dtype),  # ohz
-        pltpu.VMEM((nrec, NX), dtype),  # ohx
+        pltpu.VMEM((S3, NX), dtype),  # zc0
+        pltpu.VMEM((S3, NX), dtype),  # zc1
+        pltpu.VMEM((NZ, S3), dtype),  # xc0
+        pltpu.VMEM((NZ, S3), dtype),  # xc1
+        pltpu.VMEM((RH, nrec), dtype),  # ohzT
+        pltpu.VMEM((NX, nrec), dtype),  # ohxT
+        pltpu.VMEM((2 * S, S + 2 * r), dtype),  # kz (d1;d2 stacked)
+        pltpu.VMEM((SE, S3), dtype),  # kcz
+        pltpu.VMEM((2 * S, S + 2 * r), dtype),  # kx (d1;d2 stacked)
+        pltpu.VMEM((SE, S3), dtype),  # kcx
     ] + [pltpu.VMEM(dims, dtype) for dims in ring_dims for _ in range(2)]
 
     return pl.pallas_call(
@@ -331,17 +374,21 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
 
 
 def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
-                         rcv_rows: int, interpret: bool = False):
+                         rcv_rows: int, interpret: bool = False,
+                         _debug_parts: str = "all"):
     """Build the whole-scan reverse (reconstruction + exact transposed CPML
     step + imaging), grid iterations walking time chunks DESCENDING.
 
-    rev(c2 (NZ,NX), profiles(4), w (nt,), c2src, sz, sx, rz (1,nrec),
-        rxc (nrec,1), rzr (nrec,1), r0 (1,), ybar3 (nC,nrec,CH),
+    rev(c2 (NZ,NX), profiles(4), w (nt,), c2src, sz, sx, rxr (1,nrec),
+        rzr (1,nrec), r0 (1,), ybar3 (nC,CH,nrec),
         tape_tm1 rings x4 (nt,h,w), p_penult, p_last)
-      -> (gbar (NZ,NX), lam_src3 (nC,nsrc,CH))
+      -> (gbar (NZ,NX), lam_src3 (nC,CH,nsrc))
 
-    ybar3 / lam_src3 are chunk-streamed and transposed (time on lanes) for
-    the same relayout-free column access as the forward's seis3.
+    Same MXU-banded strip treatment as the forward (see its docstring):
+    the transposed-step strip convolutions (d1u, d1w/d2w, d1y per side)
+    run as banded matmuls, the receiver-cotangent injection is a one-hot
+    MXU product, and the adjoint-at-source gather is a one-hot column
+    product + sublane reduce. All at precision=HIGHEST.
     """
     if nt % CH != 0:
         raise ValueError(f"nt must be a multiple of {CH}")
@@ -350,6 +397,7 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
     r = grid.radius
     S = strip_depth(grid)
     SE = S + r
+    S3 = S + 3 * r
     RH = rcv_rows
     d1z, d2z, d1x, d2x = _taps(grid)
     fs = grid.pad if grid.free_surface else None
@@ -366,17 +414,19 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
 
     def kernel(*refs):
         (c2_ref, az_ref, bz_ref, ax_ref, bx_ref,
-         w_ref, c2src_ref, sz_ref, sx_ref, rz_ref, rxc_ref, rzr_ref,
-         r0_ref, yb_ref) = refs[:14]
-        ring_i = refs[14 : 14 + NRING]
-        ppen_ref, plast_ref = refs[14 + NRING], refs[15 + NRING]
-        gbar_ref, lam_src_ref = refs[16 + NRING], refs[17 + NRING]
-        scr = refs[18 + NRING :]
+         w_ref, c2src_ref, sz_ref, sx_ref, rxr_ref, rzr_ref,
+         r0_ref, yb_ref) = refs[:13]
+        ring_i = refs[13 : 13 + NRING]
+        ppen_ref, plast_ref = refs[13 + NRING], refs[14 + NRING]
+        gbar_ref, lam_src_ref = refs[15 + NRING], refs[16 + NRING]
+        scr = refs[17 + NRING :]
         pa, pb, u_ref = scr[0], scr[1], scr[2]
         qa, qb, gacc_ref = scr[3], scr[4], scr[5]
         pbz, psz, pbx, psx = scr[6:10]
         zw0, zw1, zy0, zy1, xw0, xw1, xy0, xy1 = scr[10:18]
-        ohz_ref, ohx_ref = scr[18], scr[19]
+        ohzT_ref, ohx_ref = scr[18], scr[19]
+        kz_ref, kcz2_ref, kx_ref, kcx2_ref = scr[20:24]
+        szT_ref, sxT_ref = scr[24], scr[25]
 
         c = pl.program_id(0)
         tb = (nC - 1 - c) * CH  # first time index of this (descending) chunk
@@ -401,20 +451,39 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
                 for xbuf in (xw, xy):
                     xbuf[:, 0:off] = jnp.zeros((NZ, off), dtype)
                     xbuf[:, off + S :] = jnp.zeros((NZ, 3 * r - off), dtype)
-            ohz_ref[:] = (
+            ohzT_ref[:] = (
                 jax.lax.broadcasted_iota(jnp.int32, (RH, nrec), 0)
-                == (rz_ref[:] - r0)
+                == rzr_ref[:]
             ).astype(dtype)
             ohx_ref[:] = (
                 jax.lax.broadcasted_iota(jnp.int32, (nrec, NX), 1)
-                == rxc_ref[:]
+                == jnp.reshape(rxr_ref[:], (nrec, 1))
             ).astype(dtype)
-
-        ziota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 0)
-        xiota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 1)
+            kz_ref[:] = _banded_kz(d1z, d2z, S, r, dtype)
+            kcz2_ref[:] = jnp.concatenate(
+                [_banded_kcz(d1z, SE, S3, dtype), _banded_kcz(d2z, SE, S3, dtype)], 0
+            )
+            kx_ref[:] = _banded_kz(d1x, d2x, S, r, dtype)
+            kcx2_ref[:] = jnp.concatenate(
+                [_banded_kcz(d1x, SE, S3, dtype), _banded_kcz(d2x, SE, S3, dtype)], 0
+            )
+            # source one-hots from SMEM scalars (no SMEM vector reads)
+            zr = jax.lax.broadcasted_iota(jnp.int32, (NZ, nsrc), 0)
+            zc = jax.lax.broadcasted_iota(jnp.int32, (NZ, nsrc), 1)
+            xr = jax.lax.broadcasted_iota(jnp.int32, (NX, nsrc), 0)
+            xc = jax.lax.broadcasted_iota(jnp.int32, (NX, nsrc), 1)
+            szT = jnp.zeros((NZ, nsrc), dtype)
+            sxT = jnp.zeros((NX, nsrc), dtype)
+            for i in range(nsrc):
+                szT = szT + ((zr == sz_ref[i]) & (zc == i)).astype(dtype)
+                sxT = sxT + ((xr == sx_ref[i]) & (xc == i)).astype(dtype)
+            szT_ref[:] = szT
+            sxT_ref[:] = sxT
 
         # chunk processes times descending: j = CH-1 .. 0
         p_tp1, p_t = pa, pb
+        i8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 0)
+        x8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 1)
         for step_i in range(CH):
             j = CH - 1 - step_i
             dst = pa if step_i % 2 == 0 else pb
@@ -423,40 +492,45 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
             lapw = _shift_sum_rows(p_t, d2z, r, 0, NZ, NX) + _shift_sum_cols(
                 p_t, d2x, r, 0, NX, NZ
             )
-            body = (
+            dst[PZ : PZ + NZ, PX : PX + NX] = (
                 2.0 * p_t[PZ : PZ + NZ, PX : PX + NX]
                 - p_tp1[PZ : PZ + NZ, PX : PX + NX]
                 + c2_ref[:] * lapw
             )
             for i in range(nsrc):
                 amp = c2src_ref[i] * w_ref[tb + j]
-                mask = (ziota == sz_ref[i]) & (xiota == sx_ref[i])
-                body = body + amp * mask.astype(dtype)
-            dst[PZ : PZ + NZ, PX : PX + NX] = body
+                sz8 = pl.multiple_of((sz_ref[i] // 8) * 8, 8)
+                mask = (i8 == sz_ref[i] - sz8) & (x8 == sx_ref[i])
+                dst[pl.ds(PZ + sz8, 8), PX : PX + NX] = (
+                    dst[pl.ds(PZ + sz8, 8), PX : PX + NX]
+                    + amp * mask.astype(dtype)
+                )
             for m, sl in enumerate(ring_slices):
                 dst[PZ + sl[0].start : PZ + sl[0].stop,
                     PX + sl[1].start : PX + sl[1].stop] = ring_i[m][j]
 
+            if _debug_parts == "recon":
+                lam_src_ref[0, j : j + 1, :] = jnp.zeros((1, nsrc), dtype)
+                p_tp1, p_t = p_t, dst
+                continue
+
             # ---- transposed step ----
-            u_rec = ohx_ref[:] * yb_ref[0, :, j : j + 1]  # (nrec, NX)
-            inj = jnp.dot(
-                ohz_ref[:], u_rec, preferred_element_type=dtype,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            # receiver-cotangent injection: one-hot MXU product into the
+            # RH-row slab; yb row j broadcasts over the RH sublanes
+            u_rec = ohzT_ref[:] * yb_ref[0, j : j + 1, :]  # (RH, nrec)
+            inj = jnp.dot(u_rec, ohx_ref[:], preferred_element_type=dtype,
+                          precision=HIGHEST)  # (RH, NX)
             qb[pl.ds(r0, RH), :] = qb[pl.ds(r0, RH), :] + inj
             lam = qb[:]
             if fs is not None:  # transpose of the pressure-release row pin
                 lam = lam * (
                     jax.lax.broadcasted_iota(jnp.int32, (NZ, 1), 0) != fs
                 ).astype(dtype)
-            lam_cells = []
-            for i in range(nsrc):
-                mask = (ziota == sz_ref[i]) & (xiota == sx_ref[i])
-                lam_cells.append(jnp.sum(lam * mask.astype(dtype)).reshape(1, 1))
-            lam_src_ref[0, :, j : j + 1] = (
-                lam_cells[0]
-                if nsrc == 1
-                else jnp.concatenate(lam_cells, axis=0)
+            # adjoint-at-source gather: one-hot column product + sublane sum
+            col = jnp.dot(lam, sxT_ref[:], preferred_element_type=dtype,
+                          precision=HIGHEST)  # (NZ, nsrc)
+            lam_src_ref[0, j : j + 1, :] = jnp.sum(
+                col * szT_ref[:], axis=0, keepdims=True
             )
             u_ref[PZ : PZ + NZ, PX : PX + NX] = c2_ref[:] * lam
             gacc_ref[:] = gacc_ref[:] + lam * lapw
@@ -467,6 +541,11 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
                 + _shift_sum_cols(u_ref, d2x, r, 0, NX, NZ)
             )
 
+            if _debug_parts == "nostrips":
+                qa[:] = -lam
+                p_tp1, p_t = p_t, dst
+                continue
+
             for s, R0 in ((0, 0), (1, NZ - S)):
                 a, b = az_ref[s], bz_ref[s]
                 zw = zw0 if s == 0 else zw1
@@ -476,28 +555,21 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
                 ps_tot = psz[s] + u_strip
                 psz[s] = b * ps_tot
                 w_s = a * ps_tot
-                d1u = _shift_sum_rows(u_ref, d1z, r, R0, S, NX)
+                u_slab = u_ref[PZ + R0 - r : PZ + R0 - r + S + 2 * r,
+                               PX : PX + NX]
+                d1u = jnp.dot(kz_ref[:], u_slab, preferred_element_type=dtype,
+                              precision=HIGHEST)[:S]
                 zw[off : off + S, :] = w_s
-                d1w = None
-                d2w = None
-                for k, cc in enumerate(d1z):
-                    if cc != 0.0:
-                        t = cc * zw[k : k + SE, :]
-                        d1w = t if d1w is None else d1w + t
-                for k, cc in enumerate(d2z):
-                    if cc != 0.0:
-                        t = cc * zw[k : k + SE, :]
-                        d2w = t if d2w is None else d2w + t
+                dw12 = jnp.dot(kcz2_ref[:], zw[:],
+                               preferred_element_type=dtype, precision=HIGHEST)
+                d1w, d2w = dw12[:SE], dw12[SE:]
                 strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
                 pb_tot = pbz[s] - d1u - d1w[strip_in_ext]
                 pbz[s] = b * pb_tot
                 y_s = a * pb_tot
                 zy[off : off + S, :] = y_s
-                d1y = None
-                for k, cc in enumerate(d1z):
-                    if cc != 0.0:
-                        t = cc * zy[k : k + SE, :]
-                        d1y = t if d1y is None else d1y + t
+                d1y = jnp.dot(kcz2_ref[:SE], zy[:],
+                              preferred_element_type=dtype, precision=HIGHEST)
                 ext = slice(0, SE) if s == 0 else slice(NZ - SE, NZ)
                 qb[ext, :] = qb[ext, :] + d2w - d1y
 
@@ -510,28 +582,27 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
                 ps_tot = psx[s] + u_strip
                 psx[s] = b * ps_tot
                 w_s = a * ps_tot
-                d1u = _shift_sum_cols(u_ref, d1x, r, C0, S, NZ)
+                u_slab = u_ref[PZ : PZ + NZ,
+                               PX + C0 - r : PX + C0 - r + S + 2 * r]
+                d1u = jax.lax.dot_general(
+                    u_slab, kx_ref[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype, precision=HIGHEST,
+                )[:, :S]
                 xw[:, off : off + S] = w_s
-                d1w = None
-                d2w = None
-                for k, cc in enumerate(d1x):
-                    if cc != 0.0:
-                        t = cc * xw[:, k : k + SE]
-                        d1w = t if d1w is None else d1w + t
-                for k, cc in enumerate(d2x):
-                    if cc != 0.0:
-                        t = cc * xw[:, k : k + SE]
-                        d2w = t if d2w is None else d2w + t
+                dw12 = jax.lax.dot_general(
+                    xw[:], kcx2_ref[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype, precision=HIGHEST,
+                )
+                d1w, d2w = dw12[:, :SE], dw12[:, SE:]
                 strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
                 pb_tot = pbx[s] - d1u - d1w[:, strip_in_ext]
                 pbx[s] = b * pb_tot
                 y_s = a * pb_tot
                 xy[:, off : off + S] = y_s
-                d1y = None
-                for k, cc in enumerate(d1x):
-                    if cc != 0.0:
-                        t = cc * xy[:, k : k + SE]
-                        d1y = t if d1y is None else d1y + t
+                d1y = jax.lax.dot_general(
+                    xy[:], kcx2_ref[0:SE], (((1,), (1,)), ((), ())),
+                    preferred_element_type=dtype, precision=HIGHEST,
+                )
                 ext = slice(0, SE) if s == 0 else slice(NX - SE, NX)
                 qb[:, ext] = qb[:, ext] + d2w - d1y
 
@@ -556,11 +627,10 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
         pl.BlockSpec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),
         pl.BlockSpec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),
         pl.BlockSpec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, nrec), const2, memory_space=pltpu.VMEM),  # rz
-        pl.BlockSpec((nrec, 1), const2, memory_space=pltpu.VMEM),  # rxc
-        pl.BlockSpec((nrec, 1), const2, memory_space=pltpu.VMEM),  # rzr
+        pl.BlockSpec((1, nrec), const2, memory_space=pltpu.VMEM),  # rxr
+        pl.BlockSpec((1, nrec), const2, memory_space=pltpu.VMEM),  # rzr
         pl.BlockSpec((1,), lambda c: (0,), memory_space=pltpu.SMEM),  # r0
-        pl.BlockSpec((1, nrec, CH), rev_idx3, memory_space=pltpu.VMEM),  # ybarT
+        pl.BlockSpec((1, CH, nrec), rev_idx3, memory_space=pltpu.VMEM),  # ybar3
     ] + [
         pl.BlockSpec((CH,) + dims, rev_idx3, memory_space=pltpu.VMEM)
         for dims in ring_dims
@@ -570,11 +640,11 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
     ]
     out_specs = (
         pl.BlockSpec((NZ, NX), const2, memory_space=pltpu.VMEM),  # gbar
-        pl.BlockSpec((1, nsrc, CH), rev_idx3, memory_space=pltpu.VMEM),  # lam_src
+        pl.BlockSpec((1, CH, nsrc), rev_idx3, memory_space=pltpu.VMEM),  # lam_src
     )
     out_shape = (
         jax.ShapeDtypeStruct((NZ, NX), dtype),
-        jax.ShapeDtypeStruct((nC, nsrc, CH), dtype),
+        jax.ShapeDtypeStruct((nC, CH, nsrc), dtype),
     )
     scratch = [
         pltpu.VMEM((EZ, EX), dtype),  # pa
@@ -587,11 +657,17 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
         pltpu.VMEM((2, S, NX), dtype),  # psz
         pltpu.VMEM((2, NZ, S), dtype),  # pbx
         pltpu.VMEM((2, NZ, S), dtype),  # psx
-    ] + [pltpu.VMEM((S + 3 * r, NX), dtype) for _ in range(4)] + [
-        pltpu.VMEM((NZ, S + 3 * r), dtype) for _ in range(4)
+    ] + [pltpu.VMEM((S3, NX), dtype) for _ in range(4)] + [
+        pltpu.VMEM((NZ, S3), dtype) for _ in range(4)
     ] + [
-        pltpu.VMEM((RH, nrec), dtype),  # ohz (slab-transposed)
+        pltpu.VMEM((RH, nrec), dtype),  # ohzT
         pltpu.VMEM((nrec, NX), dtype),  # ohx
+        pltpu.VMEM((2 * S, S + 2 * r), dtype),  # kz
+        pltpu.VMEM((2 * SE, S3), dtype),  # kcz2 (d1;d2 stacked)
+        pltpu.VMEM((2 * S, S + 2 * r), dtype),  # kx
+        pltpu.VMEM((2 * SE, S3), dtype),  # kcx2
+        pltpu.VMEM((NZ, nsrc), dtype),  # szT
+        pltpu.VMEM((NX, nsrc), dtype),  # sxT
     ]
 
     return pl.pallas_call(

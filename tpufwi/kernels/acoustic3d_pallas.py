@@ -198,6 +198,127 @@ def make_leapfrog3d_kernel(grid: Grid, by: int = 8, xs: int = 1,
     return leap3d
 
 
+def z_extended(grid: Grid, bz: int) -> int:
+    """NZ rounded up to the z-block size (ghost rows carry c2 = 0)."""
+    NZ = grid.padded_shape[1]
+    return -(-NZ // bz) * bz
+
+
+def extend_yz(x, grid: Grid, by: int = 8, bz: int = 64):
+    """Zero-pad dim 0 to y_extended and dim 1 to z_extended."""
+    NYe = y_extended(grid, by)
+    NZe = z_extended(grid, bz)
+    NY, NZ = grid.padded_shape[0], grid.padded_shape[1]
+    if NYe == NY and NZe == NZ:
+        return x
+    return jnp.pad(x, ((0, NYe - NY), (0, NZe - NZ), (0, 0)))
+
+
+def crop_yz(x, grid: Grid):
+    return x[: grid.padded_shape[0], : grid.padded_shape[1], :]
+
+
+def make_leapfrog3d_zsplit(grid: Grid, by: int = 8, bz: int = 64,
+                           interpret: bool = False):
+    """z-split blocked 3D leapfrog: ``leap3d(p_prev, p, c2) -> p_next`` on
+    (y_extended, z_extended, NX) arrays.
+
+    Replaces the x-split variant's whole-neighbour-block x-halo reads
+    (the 3x read tax, BASELINE round 1) with 8-sublane-packed z-halo slabs
+    materialized outside the kernel: blocks are (by, bz, NX) with x the
+    full lane extent (full-dimension blocks are exempt from the 128-lane
+    block rule), y-halos of depth r and z-halos packed to 8 sublanes.
+    Extra HBM read = r/by (y) + 8/bz (z) of one field.
+    """
+    if grid.ndim != 3:
+        raise ValueError("3D kernel needs a 3D grid")
+    if bz % 8 != 0:
+        raise ValueError("bz must be a multiple of 8")
+    NY = y_extended(grid, by)
+    NZ = z_extended(grid, bz)
+    NX = grid.padded_shape[2]
+    r = grid.radius
+    BY, BZ = by, bz
+    if BY < r:
+        raise ValueError(f"y-block {BY} must be >= radius {r}")
+    nyb, nzb = NY // BY, NZ // BZ
+    d2y = tuple(float(c) / grid.h[0] ** 2 for c in D2_COEFFS[grid.order])
+    d2z = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
+    d2x = tuple(float(c) / grid.h[2] ** 2 for c in D2_COEFFS[grid.order])
+    PX = 128
+    HZ = 8  # sublane-packed z-halo depth (last/first r rows are live)
+    dtype = jnp.float32
+
+    def kernel(p_prev_ref, p_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref,
+               c2_ref, out_ref, scr_ref):
+        # scratch (BY+2r, BZ+2HZ, NX+2PX): zero x frame, halo z/y margins
+        zcol = jnp.zeros((BY + 2 * r, BZ + 2 * HZ, r), dtype)
+        scr_ref[:, :, PX - r : PX] = zcol
+        scr_ref[:, :, PX + NX : PX + NX + r] = zcol
+        scr_ref[0:r, HZ : HZ + BZ, PX : PX + NX] = ylo_ref[:]
+        scr_ref[r : r + BY, 0:HZ, PX : PX + NX] = zlo_ref[:]
+        scr_ref[r : r + BY, HZ : HZ + BZ, PX : PX + NX] = p_ref[:]
+        scr_ref[r : r + BY, HZ + BZ : HZ + BZ + HZ, PX : PX + NX] = zhi_ref[:]
+        scr_ref[r + BY : 2 * r + BY, HZ : HZ + BZ, PX : PX + NX] = yhi_ref[:]
+
+        lap = None
+        for k, c in enumerate(d2y):
+            if c == 0.0:
+                continue
+            t = c * scr_ref[k : k + BY, HZ : HZ + BZ, PX : PX + NX]
+            lap = t if lap is None else lap + t
+        for k, c in enumerate(d2z):
+            if c == 0.0:
+                continue
+            z0 = HZ + k - r
+            lap = lap + c * scr_ref[r : r + BY, z0 : z0 + BZ, PX : PX + NX]
+        for k, c in enumerate(d2x):
+            if c == 0.0:
+                continue
+            x0 = PX + k - r
+            lap = lap + c * scr_ref[r : r + BY, HZ : HZ + BZ, x0 : x0 + NX]
+        out_ref[:] = 2.0 * p_ref[:] - p_prev_ref[:] + c2_ref[:] * lap
+
+    blk = pl.BlockSpec((BY, BZ, NX), lambda i, j: (i, j, 0),
+                       memory_space=pltpu.VMEM)
+    yhalo = pl.BlockSpec((r, BZ, NX), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    zhalo = pl.BlockSpec((BY, HZ, NX), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nyb, nzb),
+        out_shape=jax.ShapeDtypeStruct((NY, NZ, NX), dtype),
+        in_specs=[blk, blk, yhalo, yhalo, zhalo, zhalo, blk],
+        out_specs=blk,
+        scratch_shapes=[
+            pltpu.VMEM((BY + 2 * r, BZ + 2 * HZ, NX + 2 * PX), dtype)
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def leap3d(p_prev, p, c2):
+        pb = p.reshape(nyb, BY, NZ, NX)
+        zero = jnp.zeros((1, r, NZ, NX), p.dtype)
+        ylo = jnp.concatenate([zero, pb[:-1, BY - r :]], axis=0)
+        yhi = jnp.concatenate([pb[1:, :r], zero], axis=0)
+        ylo = ylo.reshape(nyb * r, NZ, NX)
+        yhi = yhi.reshape(nyb * r, NZ, NX)
+        pz = p.reshape(NY, nzb, BZ, NX)
+        zzero = jnp.zeros((NY, 1, HZ, NX), p.dtype)
+        zlo = jnp.concatenate([zzero, pz[:, :-1, BZ - HZ :]], axis=1)
+        zhi = jnp.concatenate([pz[:, 1:, :HZ], zzero], axis=1)
+        zlo = zlo.reshape(NY, nzb * HZ, NX)
+        zhi = zhi.reshape(NY, nzb * HZ, NX)
+        return call(p_prev, p, ylo, yhi, zlo, zhi, c2)
+
+    return leap3d
+
+
 def make_acoustic3d_step(grid: Grid, dt: float, f0: float, c_max: float,
                          by: int = 8, interpret: bool = False):
     """Full fused-interior 3D step with XLA-level CPML strip corrections.
