@@ -124,3 +124,48 @@ def test_acoustic3d_strip_step_matches_jnp_scan():
     got = np.asarray(crop_y(p_pal, grid))
     err = np.abs(got - ref).max() / np.abs(ref).max()
     assert err < 1e-5, f"3D strip-CPML step vs jnp scan: {err:.3e}"
+
+
+def test_fused_strip_step_matches_xla_strip_step():
+    """Fully fused 3D step (z-split leapfrog + six single-call CPML slab
+    kernels, kernels/acoustic3d_strips_pallas.py) == the proven XLA-strip
+    step over 30 steps from an impulse."""
+    from tpufwi.kernels.acoustic3d_pallas import (
+        crop_y,
+        crop_yz,
+        extend_y,
+        extend_yz,
+        make_acoustic3d_strip_step,
+    )
+    from tpufwi.kernels.acoustic3d_strips_pallas import (
+        make_acoustic3d_fused_step,
+    )
+
+    grid = Grid(shape=(24, 30, 40), h=(10.0, 10.0, 10.0), pml=8, order=8)
+    c_max, f0 = 3000.0, 10.0
+    dt = grid.cfl_dt(c_max, safety=0.6)
+    rng = np.random.default_rng(1)
+    NY, NZ, NX = grid.padded_shape
+    vp = 2500.0 + 200 * rng.standard_normal((NY, NZ, NX)).astype(np.float32)
+    c2 = jnp.asarray(((vp * dt) ** 2).astype(np.float32))
+
+    step_a, zs_a = make_acoustic3d_strip_step(grid, dt, f0, c_max, by=8,
+                                              interpret=True)
+    step_b, zs_b = make_acoustic3d_fused_step(grid, dt, f0, c_max, by=8,
+                                              bz=16, interpret=True)
+    c2a = extend_y(c2, grid, 8)
+    c2b = extend_yz(c2, grid, bz=16)
+    imp = jnp.zeros(grid.padded_shape, jnp.float32).at[
+        NY // 2, NZ // 2, NX // 2
+    ].set(1.0)
+    sa = zs_a()
+    sb = zs_b()
+    sa = (sa[0], extend_y(imp, grid, 8), sa[2])
+    sb = (sb[0], extend_yz(imp, grid, bz=16), sb[2])
+    for _ in range(30):
+        sa = step_a(sa, c2a)
+        sb = step_b(sb, c2b)
+    pa = np.asarray(crop_y(sa[1], grid))
+    pb = np.asarray(crop_yz(sb[1], grid))
+    err = np.abs(pa - pb).max() / np.abs(pa).max()
+    assert err < 1e-6, f"fused vs XLA-strip 3D step: {err:.3e}"

@@ -24,6 +24,9 @@ class PropCfg:
     pml: int = 20
     cfl_safety: float = 0.7
     dtype: str = "float32"
+    # engine: 'auto', 'pallas', 'pallas_scanres' (fastest; needs all
+    # receivers of a shot within a 16-row slab), or 'jnp'
+    impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

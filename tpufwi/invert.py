@@ -338,7 +338,9 @@ def build_synthetic_problem(cfg: FwiConfig, vp_true: np.ndarray, dx: float, mesh
     dt = grid.cfl_dt(c_max, safety=cfg.prop.cfl_safety)
     nt = int(cfg.acq.t_max / dt)
     w = ricker(cfg.acq.f0, dt, nt, dtype=dtype)
-    prop = AcousticPropagator(grid, dt, cfg.acq.f0, c_max, dtype=dtype)
+    prop = AcousticPropagator(
+        grid, dt, cfg.acq.f0, c_max, dtype=dtype, impl=cfg.prop.impl
+    )
     geoms = split_spread_survey(
         grid, cfg.acq.n_shots, src_z=cfg.acq.src_z, rcv_z=cfg.acq.rcv_z, rcv_dx=cfg.acq.rcv_dx
     )

@@ -557,8 +557,8 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
                 w_s = a * ps_tot
                 u_slab = u_ref[PZ + R0 - r : PZ + R0 - r + S + 2 * r,
                                PX : PX + NX]
-                d1u = jnp.dot(kz_ref[:], u_slab, preferred_element_type=dtype,
-                              precision=HIGHEST)[:S]
+                d1u = jnp.dot(kz_ref[0:S], u_slab,
+                              preferred_element_type=dtype, precision=HIGHEST)
                 zw[off : off + S, :] = w_s
                 dw12 = jnp.dot(kcz2_ref[:], zw[:],
                                preferred_element_type=dtype, precision=HIGHEST)
@@ -585,9 +585,9 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
                 u_slab = u_ref[PZ : PZ + NZ,
                                PX + C0 - r : PX + C0 - r + S + 2 * r]
                 d1u = jax.lax.dot_general(
-                    u_slab, kx_ref[:], (((1,), (1,)), ((), ())),
+                    u_slab, kx_ref[0:S], (((1,), (1,)), ((), ())),
                     preferred_element_type=dtype, precision=HIGHEST,
-                )[:, :S]
+                )
                 xw[:, off : off + S] = w_s
                 dw12 = jax.lax.dot_general(
                     xw[:], kcx2_ref[:], (((1,), (1,)), ((), ())),
