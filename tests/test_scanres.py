@@ -136,6 +136,11 @@ def test_scanres_rcv_window_poisons_traced_violation():
     assert bool(jnp.isnan(seis).any())
 
 
+@pytest.mark.skipif(
+    not INTERPRET,
+    reason="compiled scanres does not batch its scalar-prefetch inputs "
+    "under vmap; multi-shot runs use lax.map (invert.py) or shard_map",
+)
 def test_scanres_vmap_multishot_matches_sequential():
     grid, dt, f0, c_max, c2, w, _ = _setup(nt=64)
     sim_s = make_simulator_pallas_scanres(

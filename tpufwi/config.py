@@ -30,6 +30,15 @@ class PropCfg:
 
 
 @dataclasses.dataclass(frozen=True)
+class ModelCfg:
+    """Synthetic true-model size (io.marmousi_like arguments)."""
+
+    nz: int = 176
+    nx: int = 851
+    dx: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
 class AcqCfg:
     n_shots: int = 16
     src_z: int = 2
@@ -64,6 +73,7 @@ class FwiConfig:
         StageCfg(12.0, 13),
     )
     prop: PropCfg = PropCfg()
+    model: ModelCfg = ModelCfg()
     acq: AcqCfg = AcqCfg()
     precond: PrecondCfg = PrecondCfg()
     opt: OptCfg = OptCfg()
@@ -113,6 +123,7 @@ def _from_dict(cls, raw):
         return FwiConfig(
             stages=stages or FwiConfig().stages,
             prop=PropCfg(**raw.get("prop", {})),
+            model=ModelCfg(**raw.get("model", {})),
             acq=AcqCfg(**raw.get("acq", {})),
             precond=PrecondCfg(**raw.get("precond", {})),
             opt=OptCfg(**raw.get("opt", {})),

@@ -345,7 +345,10 @@ def build_synthetic_problem(cfg: FwiConfig, vp_true: np.ndarray, dx: float, mesh
         grid, cfg.acq.n_shots, src_z=cfg.acq.src_z, rcv_z=cfg.acq.rcv_z, rcv_dx=cfg.acq.rcv_dx
     )
     vp_t = jnp.asarray(vp_true, dtype)
-    d_obs = jax.jit(jax.vmap(lambda g: prop(vp_t, g, w)))(geoms)
+    # lax.map, not vmap: the per-shot kernels run sequentially on a chip
+    # either way, and the scanres engine's scalar-prefetch inputs do not
+    # batch under vmap when compiled
+    d_obs = jax.jit(lambda gs: jax.lax.map(lambda g: prop(vp_t, g, w), gs))(geoms)
     vp0_np = gaussian_filter(np.asarray(vp_true, np.float64), sigma=12.0)
     wd = int(np.sum(np.asarray(vp_true)[:, 0] <= 1500.0 + 1e-3)) if vp_true.ndim == 2 else 0
     if wd > 0:
@@ -381,7 +384,9 @@ def main(argv=None):
 
     from .io import marmousi_like
 
-    vp_true, dx = marmousi_like()
+    vp_true, dx = marmousi_like(
+        nz=cfg.model.nz, nx=cfg.model.nx, dx=cfg.model.dx
+    )
     mesh = make_mesh({"shot": args.mesh}) if args.mesh else None
     problem, vp0 = build_synthetic_problem(cfg, vp_true, dx, mesh=mesh)
 

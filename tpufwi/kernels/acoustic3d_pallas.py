@@ -218,81 +218,126 @@ def crop_yz(x, grid: Grid):
     return x[: grid.padded_shape[0], : grid.padded_shape[1], :]
 
 
-def make_leapfrog3d_zsplit(grid: Grid, by: int = 8, bz: int = 64,
+def make_leapfrog3d_zsplit(grid: Grid, by: int = 16, bz: int = 64,
                            interpret: bool = False):
     """z-split blocked 3D leapfrog: ``leap3d(p_prev, p, c2) -> p_next`` on
     (y_extended, z_extended, NX) arrays.
 
     Replaces the x-split variant's whole-neighbour-block x-halo reads
-    (the 3x read tax, BASELINE round 1) with 8-sublane-packed z-halo slabs
-    materialized outside the kernel: blocks are (by, bz, NX) with x the
-    full lane extent (full-dimension blocks are exempt from the 128-lane
-    block rule), y-halos of depth r and z-halos packed to 8 sublanes.
-    Extra HBM read = r/by (y) + 8/bz (z) of one field.
+    (the 3x read tax, BASELINE round 1) with 8-packed halo SLABS READ
+    DIRECTLY FROM ``p`` via extra block specs whose index maps address
+    8-row sub-blocks of the neighbouring blocks (y is the untiled leading
+    dim, z's 8-row granularity matches the sublane tile) — no XLA-side
+    halo materialization at all (which measured as ~2.5 extra fields of
+    HBM traffic per step in the materialized variant). Edge blocks clamp
+    the index map and zero the margin with pl.when. Extra HBM read =
+    2*8/by (y) + 2*8/bz (z) of one field.
     """
     if grid.ndim != 3:
         raise ValueError("3D kernel needs a 3D grid")
-    if bz % 8 != 0:
-        raise ValueError("bz must be a multiple of 8")
+    if bz % 8 != 0 or by % 8 != 0:
+        raise ValueError("by and bz must be multiples of 8")
     NY = y_extended(grid, by)
     NZ = z_extended(grid, bz)
     NX = grid.padded_shape[2]
     r = grid.radius
     BY, BZ = by, bz
-    if BY < r:
-        raise ValueError(f"y-block {BY} must be >= radius {r}")
     nyb, nzb = NY // BY, NZ // BZ
+    YB8, ZB8 = BY // 8, BZ // 8  # block sizes in 8-row units
     d2y = tuple(float(c) / grid.h[0] ** 2 for c in D2_COEFFS[grid.order])
     d2z = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
     d2x = tuple(float(c) / grid.h[2] ** 2 for c in D2_COEFFS[grid.order])
     PX = 128
-    HZ = 8  # sublane-packed z-halo depth (last/first r rows are live)
+    H = 8  # packed halo slab depth (r=4 live rows inside)
     dtype = jnp.float32
 
     def kernel(p_prev_ref, p_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref,
                c2_ref, out_ref, scr_ref):
-        # scratch (BY+2r, BZ+2HZ, NX+2PX): zero x frame, halo z/y margins
-        zcol = jnp.zeros((BY + 2 * r, BZ + 2 * HZ, r), dtype)
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        # scratch (BY+2r, BZ+2H, NX+2PX): zero x frame; halo margins from
+        # the packed slabs (live rows are the r nearest the block)
+        zcol = jnp.zeros((BY + 2 * r, BZ + 2 * H, r), dtype)
         scr_ref[:, :, PX - r : PX] = zcol
         scr_ref[:, :, PX + NX : PX + NX + r] = zcol
-        scr_ref[0:r, HZ : HZ + BZ, PX : PX + NX] = ylo_ref[:]
-        scr_ref[r : r + BY, 0:HZ, PX : PX + NX] = zlo_ref[:]
-        scr_ref[r : r + BY, HZ : HZ + BZ, PX : PX + NX] = p_ref[:]
-        scr_ref[r : r + BY, HZ + BZ : HZ + BZ + HZ, PX : PX + NX] = zhi_ref[:]
-        scr_ref[r + BY : 2 * r + BY, HZ : HZ + BZ, PX : PX + NX] = yhi_ref[:]
+        scr_ref[r : r + BY, H : H + BZ, PX : PX + NX] = p_ref[:]
+
+        zy = jnp.zeros((r, BZ, NX), dtype)
+        scr_ref[0:r, H : H + BZ, PX : PX + NX] = zy
+        scr_ref[r + BY : 2 * r + BY, H : H + BZ, PX : PX + NX] = zy
+
+        @pl.when(i > 0)
+        def _():
+            scr_ref[0:r, H : H + BZ, PX : PX + NX] = ylo_ref[H - r : H]
+
+        @pl.when(i < nyb - 1)
+        def _():
+            scr_ref[r + BY : 2 * r + BY, H : H + BZ, PX : PX + NX] = (
+                yhi_ref[0:r]
+            )
+
+        zz = jnp.zeros((BY, H, NX), dtype)
+        scr_ref[r : r + BY, 0:H, PX : PX + NX] = zz
+        scr_ref[r : r + BY, H + BZ : H + BZ + H, PX : PX + NX] = zz
+
+        @pl.when(j > 0)
+        def _():
+            scr_ref[r : r + BY, 0:H, PX : PX + NX] = zlo_ref[:]
+
+        @pl.when(j < nzb - 1)
+        def _():
+            scr_ref[r : r + BY, H + BZ : H + BZ + H, PX : PX + NX] = zhi_ref[:]
 
         lap = None
         for k, c in enumerate(d2y):
             if c == 0.0:
                 continue
-            t = c * scr_ref[k : k + BY, HZ : HZ + BZ, PX : PX + NX]
+            t = c * scr_ref[k : k + BY, H : H + BZ, PX : PX + NX]
             lap = t if lap is None else lap + t
         for k, c in enumerate(d2z):
             if c == 0.0:
                 continue
-            z0 = HZ + k - r
+            z0 = H + k - r
             lap = lap + c * scr_ref[r : r + BY, z0 : z0 + BZ, PX : PX + NX]
         for k, c in enumerate(d2x):
             if c == 0.0:
                 continue
             x0 = PX + k - r
-            lap = lap + c * scr_ref[r : r + BY, HZ : HZ + BZ, x0 : x0 + NX]
+            lap = lap + c * scr_ref[r : r + BY, H : H + BZ, x0 : x0 + NX]
         out_ref[:] = 2.0 * p_ref[:] - p_prev_ref[:] + c2_ref[:] * lap
 
     blk = pl.BlockSpec((BY, BZ, NX), lambda i, j: (i, j, 0),
                        memory_space=pltpu.VMEM)
-    yhalo = pl.BlockSpec((r, BZ, NX), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM)
-    zhalo = pl.BlockSpec((BY, HZ, NX), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM)
+    # packed halo slabs addressed in 8-row block units of p itself;
+    # clamped at the edges (the kernel zeroes those margins instead)
+    ylo = pl.BlockSpec(
+        (H, BZ, NX),
+        lambda i, j: (jnp.maximum(i * YB8 - 1, 0), j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    yhi = pl.BlockSpec(
+        (H, BZ, NX),
+        lambda i, j: (jnp.minimum((i + 1) * YB8, nyb * YB8 - 1), j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    zlo = pl.BlockSpec(
+        (BY, H, NX),
+        lambda i, j: (i, jnp.maximum(j * ZB8 - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    zhi = pl.BlockSpec(
+        (BY, H, NX),
+        lambda i, j: (i, jnp.minimum((j + 1) * ZB8, nzb * ZB8 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
     call = pl.pallas_call(
         kernel,
         grid=(nyb, nzb),
         out_shape=jax.ShapeDtypeStruct((NY, NZ, NX), dtype),
-        in_specs=[blk, blk, yhalo, yhalo, zhalo, zhalo, blk],
+        in_specs=[blk, blk, ylo, yhi, zlo, zhi, blk],
         out_specs=blk,
         scratch_shapes=[
-            pltpu.VMEM((BY + 2 * r, BZ + 2 * HZ, NX + 2 * PX), dtype)
+            pltpu.VMEM((BY + 2 * r, BZ + 2 * H, NX + 2 * PX), dtype)
         ],
         input_output_aliases={0: 0},
         compiler_params=None
@@ -302,19 +347,7 @@ def make_leapfrog3d_zsplit(grid: Grid, by: int = 8, bz: int = 64,
     )
 
     def leap3d(p_prev, p, c2):
-        pb = p.reshape(nyb, BY, NZ, NX)
-        zero = jnp.zeros((1, r, NZ, NX), p.dtype)
-        ylo = jnp.concatenate([zero, pb[:-1, BY - r :]], axis=0)
-        yhi = jnp.concatenate([pb[1:, :r], zero], axis=0)
-        ylo = ylo.reshape(nyb * r, NZ, NX)
-        yhi = yhi.reshape(nyb * r, NZ, NX)
-        pz = p.reshape(NY, nzb, BZ, NX)
-        zzero = jnp.zeros((NY, 1, HZ, NX), p.dtype)
-        zlo = jnp.concatenate([zzero, pz[:, :-1, BZ - HZ :]], axis=1)
-        zhi = jnp.concatenate([pz[:, 1:, :HZ], zzero], axis=1)
-        zlo = zlo.reshape(NY, nzb * HZ, NX)
-        zhi = zhi.reshape(NY, nzb * HZ, NX)
-        return call(p_prev, p, ylo, yhi, zlo, zhi, c2)
+        return call(p_prev, p, p, p, p, p, c2)
 
     return leap3d
 

@@ -85,31 +85,36 @@ def make_strip3d_z(grid: Grid, side: int, by: int, NYe: int, NZe: int,
 
     def kernel(p_ref, pn_ref, phi_ref, psi_ref, a_ref, b_ref, c2_ref,
                k12_ref, kc_ref, pn_o, phi_o, psi_o):
+        # all BY y-rows in ONE block-diagonal MXU product each (sequential
+        # per-row dots were MXU-latency-bound): K12 is (BY*2S, BY*W)
+        # block-diagonal, operating on the (BY*W, NX) leading-dim-merged
+        # slab; Kc likewise (BY*(S+r), BY*S) on the merged phi.
         a = a_ref[0]  # (S, 1)
         b = b_ref[0]
-        for yb in range(BY):
-            slab = p_ref[yb]  # (W, NX)
-            d12 = jnp.dot(k12_ref[:], slab, preferred_element_type=dtype,
-                          precision=HIGHEST)  # (2S, NX)
-            d1p, d2p = d12[:S], d12[S:]
-            ph = b * phi_ref[yb] + a * d1p
-            phi_o[yb] = ph
-            corr = jnp.dot(kc_ref[:], ph, preferred_element_type=dtype,
-                           precision=HIGHEST)  # (S+r, NX)
-            # v = d2p + corr restricted to the strip rows
-            v = d2p + corr[C0 - E0 : C0 - E0 + S]
-            ps = b * psi_ref[yb] + a * v
-            psi_o[yb] = ps
-            # total on the correction region [E0, E0+S+r) = corr plus ps
-            # on the strip rows — applied as two RMWs of p_next
-            pn_o[yb, E0 : E0 + S + r, :] = (
-                pn_ref[yb, E0 : E0 + S + r, :]
-                + c2_ref[yb, E0 : E0 + S + r, :] * corr
-            )
-            pn_o[yb, C0 : C0 + S, :] = (
-                pn_o[yb, C0 : C0 + S, :]
-                + c2_ref[yb, C0 : C0 + S, :] * ps
-            )
+        slab = jnp.reshape(p_ref[:], (BY * W, NX))
+        d12 = jnp.reshape(
+            jnp.dot(k12_ref[:], slab, preferred_element_type=dtype,
+                    precision=HIGHEST),
+            (BY, 2 * S, NX),
+        )
+        d1p, d2p = d12[:, :S], d12[:, S:]
+        ph = b * phi_ref[:] + a * d1p
+        phi_o[:] = ph
+        corr = jnp.reshape(
+            jnp.dot(kc_ref[:], jnp.reshape(ph, (BY * S, NX)),
+                    preferred_element_type=dtype, precision=HIGHEST),
+            (BY, S + r, NX),
+        )
+        v = d2p + corr[:, C0 - E0 : C0 - E0 + S]
+        ps = b * psi_ref[:] + a * v
+        psi_o[:] = ps
+        pn_o[:, E0 : E0 + S + r, :] = (
+            pn_ref[:, E0 : E0 + S + r, :]
+            + c2_ref[:, E0 : E0 + S + r, :] * corr
+        )
+        pn_o[:, C0 : C0 + S, :] = (
+            pn_o[:, C0 : C0 + S, :] + c2_ref[:, C0 : C0 + S, :] * ps
+        )
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     blkW = pl.BlockSpec((BY, W, NX), lambda i: (i, 0, 0),
@@ -213,7 +218,11 @@ def make_strip3d_y(grid: Grid, side: int, bz: int, NZe: int,
       -> (pn_slab', phi', psi')
 
     Slabs are (W, NZe, NX) with W = S+2r (rows [0,W) low / [NY-W, NY)
-    high); phi/psi (S, NZe, NX); a/b (S, 1, 1).
+    high); phi/psi (S, NZe, NX); a/b (S, 1, 1). ``bz`` here is this
+    kernel's own z-chunk: the windows are (W, bz, NX) and double-buffered,
+    and the body holds several (S, bz, NX) live values, so bz must be
+    small (16 fits the 128 MB VMEM at Overthrust widths; the leapfrog's
+    z-split block size is independent).
     """
     r = grid.radius
     S = grid.pml + r
@@ -350,7 +359,7 @@ def make_acoustic3d_fused_step(grid: Grid, dt: float, f0: float,
             E0 = (0 if side == 0 else r) if ax == 1 else (
                 0 if side == 0 else WL - S - r
             )
-            k12 = jnp.asarray(_band([d1, d2], S, WL, [C0, C0], r))
+            k12 = _band([d1, d2], S, WL, [C0, C0], r)
             # corr: input is ph (S rows at strip offset 0 in its own
             # buffer); output over the S+r correction region whose origin
             # is E0; ph row m sits at absolute C0+m
@@ -360,11 +369,18 @@ def make_acoustic3d_fused_step(grid: Grid, dt: float, f0: float,
                     m = (E0 + i + k - r) - C0
                     if 0 <= m < S:
                         kc[i, m] = d1[k]
-            bands[(ax, side)] = (k12, jnp.asarray(kc))
+            if ax == 1:
+                # z-slab kernel batches all BY y-rows in one product:
+                # block-diagonal bands over the leading-dim-merged slab
+                eye = np.eye(by, dtype=np.float32)
+                k12 = np.kron(eye, k12)
+                kc = np.kron(eye, kc)
+            bands[(ax, side)] = (jnp.asarray(k12), jnp.asarray(kc))
 
+    bz_y = min(16, bz)  # y-slab kernel's own z-chunk (VMEM budget)
     calls = {}
     for side in (0, 1):
-        calls[(0, side)] = make_strip3d_y(grid, side, bz, NZe, interpret)
+        calls[(0, side)] = make_strip3d_y(grid, side, bz_y, NZe, interpret)
         calls[(1, side)] = make_strip3d_z(grid, side, by, NYe, NZe, interpret)
         calls[(2, side)] = make_strip3d_x(grid, side, by, NYe, NZe, interpret)
 
