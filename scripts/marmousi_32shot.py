@@ -39,6 +39,7 @@ def main():
     vp_true, dx = marmousi_like(nz=cfg.model.nz, nx=cfg.model.nx, dx=cfg.model.dx)
     t0 = time.time()
     problem, vp0 = build_synthetic_problem(cfg, vp_true, dx, mesh=None)
+    problem.shot_loop = "python"  # see FwiProblem._build
     recs = []
 
     def log(rec):

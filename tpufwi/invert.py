@@ -51,6 +51,7 @@ class FwiProblem:
     wavelet: jax.Array  # (nt,)
     dt: float
     mesh: Optional[object] = None
+    shot_loop: str = "map"  # "map" (lax.map) or "python" (per-shot jit)
 
     def __post_init__(self):
         if self.mesh is not None:
@@ -67,14 +68,46 @@ class FwiProblem:
 
         if self.mesh is not None:
             total = shot_parallel_loss(one_shot_loss, self.mesh)
-        else:
+            self._vg = jax.jit(jax.value_and_grad(total))
+            self._loss = jax.jit(total)
+            return
+        if self.shot_loop == "python":
+            # per-shot jitted vg, accumulated on device from a host loop:
+            # one dispatch per shot (~negligible vs the propagation), and
+            # no while-loop wrapping of the whole-scan pallas calls (whose
+            # fused output staging overflows XLA's scoped-vmem budget
+            # inside lax.map bodies on this toolchain)
+            vg1 = jax.jit(jax.value_and_grad(one_shot_loss))
+            l1 = jax.jit(one_shot_loss)
 
-            def total(vp, geoms, data, w):
-                def one(args):
-                    g, d = args
-                    return one_shot_loss(vp, g, d, w)
+            def _vg(vp, geoms, data, w):
+                J = 0.0
+                g = None
+                n = data.shape[0]
+                for i in range(n):
+                    gm = jax.tree.map(lambda x: x[i], geoms)
+                    Ji, gi = vg1(vp, gm, data[i], w)
+                    J = J + Ji
+                    g = gi if g is None else g + gi
+                return J, g
 
-                return jnp.sum(jax.lax.map(one, (geoms, data)))
+            def _loss(vp, geoms, data, w):
+                n = data.shape[0]
+                return sum(
+                    l1(vp, jax.tree.map(lambda x: x[i], geoms), data[i], w)
+                    for i in range(n)
+                )
+
+            self._vg = _vg
+            self._loss = _loss
+            return
+
+        def total(vp, geoms, data, w):
+            def one(args):
+                g, d = args
+                return one_shot_loss(vp, g, d, w)
+
+            return jnp.sum(jax.lax.map(one, (geoms, data)))
 
         self._vg = jax.jit(jax.value_and_grad(total))
         self._loss = jax.jit(total)
@@ -345,10 +378,14 @@ def build_synthetic_problem(cfg: FwiConfig, vp_true: np.ndarray, dx: float, mesh
         grid, cfg.acq.n_shots, src_z=cfg.acq.src_z, rcv_z=cfg.acq.rcv_z, rcv_dx=cfg.acq.rcv_dx
     )
     vp_t = jnp.asarray(vp_true, dtype)
-    # lax.map, not vmap: the per-shot kernels run sequentially on a chip
-    # either way, and the scanres engine's scalar-prefetch inputs do not
-    # batch under vmap when compiled
-    d_obs = jax.jit(lambda gs: jax.lax.map(lambda g: prop(vp_t, g, w), gs))(geoms)
+    # host loop, not vmap/lax.map: per-shot kernels run sequentially on a
+    # chip either way; compiled scanres neither batches under vmap nor
+    # tolerates while-body fusion of its streamed outputs (scoped vmem)
+    fwd1 = jax.jit(lambda g: prop(vp_t, g, w))
+    d_obs = jnp.stack([
+        fwd1(jax.tree.map(lambda x: x[i], geoms))
+        for i in range(cfg.acq.n_shots)
+    ])
     vp0_np = gaussian_filter(np.asarray(vp_true, np.float64), sigma=12.0)
     wd = int(np.sum(np.asarray(vp_true)[:, 0] <= 1500.0 + 1e-3)) if vp_true.ndim == 2 else 0
     if wd > 0:
