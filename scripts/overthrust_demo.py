@@ -56,7 +56,8 @@ def hardware_phase():
     )
     geoms = [
         Geometry.from_physical(grid, np.array([[y, 2, x]]), rcv)
-        for y, x in ((30, 50), (30, 150), (70, 50), (70, 150))
+        for y in (20, 50, 80)
+        for x in (40, 100, 160)
     ]
     sim = make_simulator(grid, dt, f0, c_max, dtype=jnp.float32)
     pad = grid.pad
@@ -71,7 +72,7 @@ def hardware_phase():
     from scipy.ndimage import gaussian_filter
 
     vp0 = jnp.asarray(
-        np.clip(gaussian_filter(vp_true.astype(np.float64), 8.0), 2000, 6000),
+        np.clip(gaussian_filter(vp_true.astype(np.float64), 5.0), 2000, 6000),
         jnp.float32,
     )
 
@@ -93,18 +94,26 @@ def hardware_phase():
     t0 = time.time()
     J0 = float(vg(vp0)[0])
     vp, infos = minimize(
-        vg, vp0, iterations=6, method="lbfgs", bounds=(2000.0, 6000.0)
+        vg, vp0, iterations=12, method="lbfgs", bounds=(2000.0, 6000.0)
     )
     J1 = float(vg(vp)[0])
     t1 = time.time()
     err0 = float(np.sqrt(np.mean((np.asarray(vp0) - vp_true) ** 2)))
     err1 = float(np.sqrt(np.mean((np.asarray(vp) - vp_true) ** 2)))
+    # illuminated-region error: 4 surface shots at 6 Hz constrain the top
+    # of the model; the deep basement is outside the acquisition's reach,
+    # so the whole-volume RMSE mostly measures the unilluminated half
+    zt = vp_true.shape[1] // 3
+    errt0 = float(np.sqrt(np.mean((np.asarray(vp0)[:, :zt] - vp_true[:, :zt]) ** 2)))
+    errt1 = float(np.sqrt(np.mean((np.asarray(vp)[:, :zt] - vp_true[:, :zt]) ** 2)))
     return {
+        "err_ratio_illuminated_third": errt1 / errt0,
         "grid_yzx": list(vp_true.shape),
         "padded_cells": int(NYp * NZp * NXp),
         "nt": nt,
         "n_shots": len(geoms),
-        "iters": 6,
+        "iters": 12,
+        "note": "raw gradient, single 6 Hz band",
         "J_ratio": J1 / J0,
         "err_ratio": err1 / err0,
         "wall_seconds": round(t1 - t0, 1),

@@ -17,12 +17,20 @@ traffic ~4x but bought almost nothing (fwd 42.5 -> 30.1 us/step, reverse
   ~25 MB (carry round trips) to ~65 KB (tape rings) and the step cost is
   pure VPU compute.
 
-Sub-step semantics are IDENTICAL (same op order) to the proven fused
-kernels (acoustic2d_pallas.py / _kstep.py); parity is pinned against the
-jnp engine in tests/test_scanres.py. The tape this engine writes is
-ALREADY time-shifted (row t holds rings(P_{t-2}), realized with a 2-deep
-in-VMEM ring-delay), which is exactly what the reverse recursion consumes
-— no O(nt * perimeter) host-side shift.
+Sub-step semantics match the proven fused kernels (acoustic2d_pallas.py)
+to fp32 reassociation (the CPML strip algebra runs as banded MXU matmuls
+here — see make_scanres_forward — so the op order differs); parity is
+pinned against the jnp engine in tests/test_scanres.py and against CPU
+truth on hardware (1.7e-6 relative gradients). The tape this engine
+writes is ALREADY time-shifted (row t holds rings(P_{t-2}), realized with
+a 2-deep in-VMEM ring-delay), which is exactly what the reverse recursion
+consumes — no O(nt * perimeter) host-side shift.
+
+Composition contract: compiled, this engine neither batches under vmap
+(its scalar-prefetch inputs don't) nor tolerates lax.map while-body
+fusion of its streamed outputs (XLA scoped-vmem overflow) — multi-shot
+callers loop shots from the host (FwiProblem.shot_loop='python') or use
+shard_map for data parallelism.
 
 Receiver contract: same row-slab window as the K-step engine (rows
 [r0, r0+RH), r0 8-aligned); the in-kernel gather is a slab one-hot MXU
