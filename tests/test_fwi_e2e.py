@@ -58,3 +58,27 @@ def test_fwi_nlcg_reduces_misfit(tmp_path):
     vp = invert(problem, vp0, cfg)
     J1 = float(loss(vp))
     assert J1 < 0.65 * J0  # measured ~0.50
+
+
+def test_shot_loop_python_matches_map(tmp_path):
+    """FwiProblem.shot_loop='python' (per-shot jitted vg, device-side
+    accumulation — required for the compiled scanres engine, which neither
+    vmaps nor tolerates lax.map while-body fusion) computes the same loss
+    and gradient as the default lax.map path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    vp_true = _tiny_true_model()
+    cfg = _cfg(tmp_path)
+    problem, vp0 = build_synthetic_problem(cfg, vp_true, dx=10.0)
+    vg_map, loss_map = problem.stage_objectives(cfg.stages[-1].fmax)
+    J_m, g_m = vg_map(vp0)
+
+    problem2 = dataclasses.replace(problem, shot_loop="python")
+    vg_py, loss_py = problem2.stage_objectives(cfg.stages[-1].fmax)
+    J_p, g_p = vg_py(vp0)
+
+    assert abs(float(J_m) - float(J_p)) / abs(float(J_m)) < 1e-12
+    rel = float(jnp.abs(g_m - g_p).max() / jnp.abs(g_m).max())
+    assert rel < 1e-12, f"python vs map gradient rel {rel:.2e}"
