@@ -16,6 +16,9 @@ class StageCfg:
     iterations: int
     method: str = "lbfgs"  # or "nlcg"
     linesearch: str = "armijo"  # or "wolfe" (strong-Wolfe bracket+zoom)
+    # re-estimate the source wavelet at stage start from the current model
+    # (frequency-domain Wiener correction; source_estimation.py)
+    source_est: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,16 +26,48 @@ def _lowpass_response(nt: int, dt: float, fmax: float, order: int) -> np.ndarray
     return h2
 
 
+def lowpass_response(nt: int, dt: float, fmax: float, order: int = 6) -> np.ndarray:
+    """Zero-phase response for apply_response() on length-nt signals
+    (sampled at the 2*nt padded rFFT frequencies; see apply_response)."""
+    return _lowpass_response(2 * nt, float(dt), float(fmax), order)
+
+
+def apply_response(x: jnp.ndarray, h2, axis: int = 0) -> jnp.ndarray:
+    """Apply a precomputed real spectral response as a LINEAR (2x zero-
+    padded) convolution along ``axis``; differentiable, TPU-resident.
+
+    ``h2`` must be sampled at ``rfftfreq(2*nt, dt)`` (lowpass_response).
+    Padding matters: a circular application wraps the zero-phase filter's
+    pre-ring around the trace ends. An all-ones ``h2`` is an exact
+    identity.
+    """
+    nt = x.shape[axis]
+    nfft = 2 * nt
+    h2 = jnp.asarray(h2, x.dtype)
+    shape = [1] * x.ndim
+    shape[axis] = h2.shape[0]
+    X = jnp.fft.rfft(x, n=nfft, axis=axis)
+    X = X * h2.reshape(shape)
+    y = jnp.fft.irfft(X, n=nfft, axis=axis).astype(x.dtype)
+    return jax.lax.slice_in_dim(y, 0, nt, axis=axis)
+
+
 def lowpass(x: jnp.ndarray, dt: float, fmax: float, order: int = 6, axis: int = 0):
     """Zero-phase Butterworth low-pass along ``axis`` (default: time).
 
     Works for wavelets (nt,), seismograms (nt, nrec), and shot gathers
     (nshot, nt, nrec) with the appropriate ``axis``.
+
+    NOTE on multiscale consistency: band-limiting the *source wavelet* is
+    NOT equivalent to band-limiting the *seismograms* — the zero-phase
+    filter pre-rings (~1.6% of energy before t=0 for an 8 Hz cut on an
+    11 Hz Ricker) and the wavelet's pre-ring clips at t=0, a measured 10%
+    relative commutator ||lowpass(forward(w)) - forward(lowpass(w))||.
+    The stage objectives therefore propagate the FULL-BAND wavelet and
+    filter the synthetics inside the misfit (invert.FwiProblem._build:
+    J = 0.5 ||H R p - H d||^2 via apply_response), which treats both
+    sides of the residual identically by construction.
     """
     nt = x.shape[axis]
-    h2 = jnp.asarray(_lowpass_response(nt, float(dt), float(fmax), order), x.dtype)
-    shape = [1] * x.ndim
-    shape[axis] = h2.shape[0]
-    X = jnp.fft.rfft(x, axis=axis)
-    X = X * h2.reshape(shape)
-    return jnp.fft.irfft(X, n=nt, axis=axis).astype(x.dtype)
+    h2 = lowpass_response(nt, float(dt), float(fmax), order)
+    return apply_response(x, h2, axis=axis)

@@ -27,7 +27,7 @@ import numpy as np
 
 from .acquisition import split_spread_survey
 from .config import FwiConfig
-from .filters import lowpass
+from .filters import apply_response, lowpass, lowpass_response
 from .grid import Grid
 from .misfit import l2_misfit
 from .optimize import LbfgsHistory, minimize
@@ -52,19 +52,48 @@ class FwiProblem:
     dt: float
     mesh: Optional[object] = None
     shot_loop: str = "map"  # "map" (lax.map) or "python" (per-shot jit)
+    # optional misfit trace weights (window.py masks): (nt, nrec) shared
+    # across shots, or (nshot, nt, nrec) per shot. Multiplies the residual
+    # inside l2_misfit, so the adjoint source is automatically masked.
+    trace_weights: Optional[jax.Array] = None
 
     def __post_init__(self):
         if self.mesh is not None:
             self.geoms = shard_shots(self.geoms, self.mesh)
             self.d_obs = shard_shots(self.d_obs, self.mesh)
+            if self.trace_weights is not None and self.trace_weights.ndim == 3:
+                self.trace_weights = shard_shots(self.trace_weights, self.mesh)
 
     def _build(self):
         """One jitted objective reused by every stage (filtered data and
-        wavelet are arguments, not baked-in constants — a single compile
-        serves all frequency bands)."""
+        the stage's filter response are arguments, not baked-in constants
+        — a single compile serves all frequency bands).
 
-        def one_shot_loss(vp, geom, d, w):
-            return l2_misfit(self.prop(vp, geom, w), d)
+        Stage misfit: J = 0.5 ||H R p(w) - H d||^2 — the forward runs the
+        FULL-BAND wavelet and the synthetics are band-limited in-graph
+        (filters.apply_response), exactly matching the pre-filtered data.
+        Band-limiting the wavelet instead is NOT equivalent (the filter's
+        pre-ring clips at t=0 — see filters.lowpass docstring); with this
+        formulation the stage objective vanishes at the true model and
+        true source. The adjoint source is H^T r automatically via AD
+        through the filter."""
+
+        # weights: 2D (nt,nrec) masks close over the loss; per-shot 3D
+        # masks ride inside the data pytree so every shot-loop flavour
+        # (lax.map / python / shard_map) slices them alongside d_obs
+        w2d = (
+            self.trace_weights
+            if self.trace_weights is not None and self.trace_weights.ndim == 2
+            else None
+        )
+
+        def one_shot_loss(vp, geom, d, w, h2):
+            if isinstance(d, tuple):
+                d, wt = d
+            else:
+                wt = w2d
+            seis = apply_response(self.prop(vp, geom, w), h2, axis=0)
+            return l2_misfit(seis, d, weights=wt)
 
         if self.mesh is not None:
             total = shot_parallel_loss(one_shot_loss, self.mesh)
@@ -80,21 +109,28 @@ class FwiProblem:
             vg1 = jax.jit(jax.value_and_grad(one_shot_loss))
             l1 = jax.jit(one_shot_loss)
 
-            def _vg(vp, geoms, data, w):
+            def _vg(vp, geoms, data, w, h2):
                 J = 0.0
                 g = None
-                n = data.shape[0]
+                n = jax.tree.leaves(data)[0].shape[0]
                 for i in range(n):
                     gm = jax.tree.map(lambda x: x[i], geoms)
-                    Ji, gi = vg1(vp, gm, data[i], w)
+                    di = jax.tree.map(lambda x: x[i], data)
+                    Ji, gi = vg1(vp, gm, di, w, h2)
                     J = J + Ji
                     g = gi if g is None else g + gi
                 return J, g
 
-            def _loss(vp, geoms, data, w):
-                n = data.shape[0]
+            def _loss(vp, geoms, data, w, h2):
+                n = jax.tree.leaves(data)[0].shape[0]
                 return sum(
-                    l1(vp, jax.tree.map(lambda x: x[i], geoms), data[i], w)
+                    l1(
+                        vp,
+                        jax.tree.map(lambda x: x[i], geoms),
+                        jax.tree.map(lambda x: x[i], data),
+                        w,
+                        h2,
+                    )
                     for i in range(n)
                 )
 
@@ -102,28 +138,77 @@ class FwiProblem:
             self._loss = _loss
             return
 
-        def total(vp, geoms, data, w):
+        def total(vp, geoms, data, w, h2):
             def one(args):
                 g, d = args
-                return one_shot_loss(vp, g, d, w)
+                return one_shot_loss(vp, g, d, w, h2)
 
             return jnp.sum(jax.lax.map(one, (geoms, data)))
 
         self._vg = jax.jit(jax.value_and_grad(total))
         self._loss = jax.jit(total)
 
-    def stage_objectives(self, fmax: Optional[float]):
-        """Returns (value_and_grad(vp), loss(vp)) for one frequency stage."""
+    def stage_objectives(self, fmax: Optional[float], wavelet=None):
+        """Returns (value_and_grad(vp), loss(vp)) for one frequency stage.
+
+        The forward always runs a full-band wavelet; the stage band limit
+        is the in-misfit response H (see _build). ``wavelet`` overrides
+        the (full-band) source — e.g. the estimate from stage_wavelet().
+        """
         if not hasattr(self, "_vg"):
             self._build()
+        nt = int(self.wavelet.shape[0])
         if fmax is not None:
             d_f = lowpass(self.d_obs, self.dt, fmax, axis=1)
-            w_f = lowpass(self.wavelet, self.dt, fmax, axis=0)
+            h2 = jnp.asarray(
+                lowpass_response(nt, self.dt, fmax), self.d_obs.dtype
+            )
         else:
-            d_f, w_f = self.d_obs, self.wavelet
-        vg = lambda vp: self._vg(vp, self.geoms, d_f, w_f)
-        loss = lambda vp: self._loss(vp, self.geoms, d_f, w_f)
+            d_f = self.d_obs
+            h2 = jnp.ones(nt + 1, self.d_obs.dtype)
+        w_use = self.wavelet if wavelet is None else wavelet
+        if self.trace_weights is not None and self.trace_weights.ndim == 3:
+            d_f = (d_f, self.trace_weights)
+        vg = lambda vp: self._vg(vp, self.geoms, d_f, w_use, h2)
+        loss = lambda vp: self._loss(vp, self.geoms, d_f, w_use, h2)
         return vg, loss
+
+    def forward_all(self, vp, w) -> jax.Array:
+        """(nshot, nt, nrec) synthetics, forward only, host-looped (the
+        scanres engine does not batch under vmap/lax.map — see module
+        docstring of kernels/acoustic2d_pallas_scanres.py)."""
+        geoms = self.geoms
+        if self.mesh is not None:
+            geoms = jax.tree.map(
+                lambda x: jnp.asarray(jax.device_get(x)), geoms
+            )
+        if not hasattr(self, "_fwd1"):
+            self._fwd1 = jax.jit(lambda v, g, w_: self.prop(v, g, w_))
+        n = int(jax.tree.leaves(geoms)[0].shape[0])
+        return jnp.stack([
+            self._fwd1(vp, jax.tree.map(lambda x: x[i], geoms), w)
+            for i in range(n)
+        ])
+
+    def stage_wavelet(self, vp, fmax: Optional[float],
+                      eps_rel: float = 1e-4) -> jax.Array:
+        """Source-estimated wavelet (StageCfg.source_est): one forward
+        pass with the base wavelet on the current model, then the
+        closed-form Wiener correction fitted between the band-limited
+        synthetics and the band-limited data (source_estimation.py).
+        Returns a FULL-BAND corrected wavelet (the correction spectrum is
+        only constrained in-band, where the misfit looks) — feed it to
+        stage_objectives(wavelet=...)."""
+        from .source_estimation import estimate_wavelet
+
+        d_f = self.d_obs
+        seis = self.forward_all(vp, self.wavelet)
+        if fmax is not None:
+            d_f = lowpass(d_f, self.dt, fmax, axis=1)
+            seis = lowpass(seis, self.dt, fmax, axis=1)
+        if self.mesh is not None:
+            d_f = jnp.asarray(jax.device_get(d_f))
+        return estimate_wavelet(seis, d_f, self.wavelet, eps_rel=eps_rel)
 
     def stage_illumination(self, vp, fmax: Optional[float]):
         """Total source illumination over shots (for preconditioning)."""
@@ -213,7 +298,12 @@ def _invert_loop(problem, vp, cfg, hist, init_alpha, start_stage, start_iter, ck
         it0 = start_iter if si == start_stage else 0
         if it0 >= stage.iterations:
             continue
-        vg, loss_only = problem.stage_objectives(stage.fmax)
+        w_est = (
+            problem.stage_wavelet(vp, stage.fmax)
+            if getattr(stage, "source_est", False)
+            else None
+        )
+        vg, loss_only = problem.stage_objectives(stage.fmax, wavelet=w_est)
 
         pc = cfg.precond
         illum = (
@@ -305,12 +395,15 @@ class ElasticFwiProblem:
     def _build(self):
         from .misfit import l2_misfit
 
-        def total(m, geoms, data, w):
+        def total(m, geoms, data, w, h2):
             vp_, vs_, rho_ = m
 
             def one(args):
                 g, d = args
-                return l2_misfit(self.prop(vp_, vs_, rho_, g, w), d)
+                seis = apply_response(
+                    self.prop(vp_, vs_, rho_, g, w), h2, axis=0
+                )
+                return l2_misfit(seis, d)
 
             return jnp.sum(jax.lax.map(one, (geoms, data)))
 
@@ -318,15 +411,21 @@ class ElasticFwiProblem:
         self._loss = jax.jit(total)
 
     def stage_objectives(self, fmax: Optional[float]):
+        """Full-band forward + in-misfit band limit (same formulation and
+        rationale as FwiProblem._build)."""
         if not hasattr(self, "_vg"):
             self._build()
+        nt = int(self.wavelet.shape[0])
         if fmax is not None:
             d_f = lowpass(self.d_obs, self.dt, fmax, axis=1)
-            w_f = lowpass(self.wavelet, self.dt, fmax, axis=0)
+            h2 = jnp.asarray(
+                lowpass_response(nt, self.dt, fmax), self.wavelet.dtype
+            )
         else:
-            d_f, w_f = self.d_obs, self.wavelet
-        vg = lambda m: self._vg(m, self.geoms, d_f, w_f)
-        loss = lambda m: self._loss(m, self.geoms, d_f, w_f)
+            d_f = self.d_obs
+            h2 = jnp.ones(nt + 1, self.wavelet.dtype)
+        vg = lambda m: self._vg(m, self.geoms, d_f, self.wavelet, h2)
+        loss = lambda m: self._loss(m, self.geoms, d_f, self.wavelet, h2)
         return vg, loss
 
 

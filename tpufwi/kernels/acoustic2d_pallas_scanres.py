@@ -90,6 +90,18 @@ def _banded_kcz(d1, SE, S3, dtype):
     return out
 
 
+def _blockdiag2(A, B):
+    """[[A, 0], [0, B]]: one MXU product applies A and B to the stacked
+    ring buffers of BOTH strip sides (the per-side dots are tiny and
+    dispatch-bound; the zero blocks cost nothing at these sizes — packed
+    contraction dim 2*S3 <= 128 stays a single MXU pass)."""
+    za = jnp.zeros((A.shape[0], B.shape[1]), A.dtype)
+    zb = jnp.zeros((B.shape[0], A.shape[1]), B.dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([A, za], 1), jnp.concatenate([zb, B], 1)], 0
+    )
+
+
 def _taps(grid):
     return (
         tuple(float(c) / grid.h[0] for c in D1_COEFFS[grid.order]),
@@ -160,10 +172,10 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
         scr = refs[3 + NRING :]
         pa, pb = scr[0], scr[1]
         phiz, psiz, phix, psix = scr[2:6]
-        zc0, zc1, xc0, xc1 = scr[6:10]
-        ohzT_ref, ohxT_ref = scr[10], scr[11]
-        kz_ref, kcz_ref, kx_ref, kcx_ref = scr[12:16]
-        ring_delay = scr[16 : 16 + 2 * NRING]  # [slab][delay slot]
+        zc_ref, xc_ref = scr[6], scr[7]  # both sides stacked: (2*S3,NX)/(NZ,2*S3)
+        ohzT_ref, ohxT_ref = scr[8], scr[9]
+        kz_ref, kcz_ref, kx_ref, kcx_ref = scr[10:14]
+        ring_delay = scr[14 : 14 + 2 * NRING]  # [slab][delay slot]
 
         c = pl.program_id(0)
         tb = c * CH  # first time index of this chunk (w is whole in SMEM)
@@ -175,12 +187,8 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
             pb[:] = jnp.zeros((EZ, EX), dtype)
             for sref in (phiz, psiz, phix, psix):
                 sref[:] = jnp.zeros_like(sref)
-            for s, (zbuf, xbuf) in enumerate(((zc0, xc0), (zc1, xc1))):
-                off = r if s == 0 else 2 * r
-                zbuf[0:off, :] = jnp.zeros((off, NX), dtype)
-                zbuf[off + S :, :] = jnp.zeros((3 * r - off, NX), dtype)
-                xbuf[:, 0:off] = jnp.zeros((NZ, off), dtype)
-                xbuf[:, off + S :] = jnp.zeros((NZ, 3 * r - off), dtype)
+            zc_ref[:] = jnp.zeros((2 * S3, NX), dtype)
+            xc_ref[:] = jnp.zeros((NZ, 2 * S3), dtype)
             # receiver one-hot factors, receivers on lanes
             ohzT_ref[:] = (
                 jax.lax.broadcasted_iota(jnp.int32, (RH, nrec), 0)
@@ -190,11 +198,14 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
                 jax.lax.broadcasted_iota(jnp.int32, (NX, nrec), 0)
                 == rxr_ref[:]
             ).astype(dtype)
-            # banded strip-derivative matrices (z: left product, x: right)
+            # banded strip-derivative matrices (z: left product, x: right);
+            # the corr bands are block-diagonal over the two strip sides
             kz_ref[:] = _banded_kz(d1z, d2z, S, r, dtype)
-            kcz_ref[:] = _banded_kcz(d1z, SE, S3, dtype)
+            kcz = _banded_kcz(d1z, SE, S3, dtype)
+            kcz_ref[:] = _blockdiag2(kcz, kcz)
             kx_ref[:] = _banded_kz(d1x, d2x, S, r, dtype)
-            kcx_ref[:] = _banded_kcz(d1x, SE, S3, dtype)
+            kcx = _banded_kcz(d1x, SE, S3, dtype)
+            kcx_ref[:] = _blockdiag2(kcx, kcx)
             for dref in ring_delay:
                 dref[:] = jnp.zeros_like(dref)
 
@@ -235,31 +246,37 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
                     + c2i(slice(0, NZ), xs) * val
                 )
 
+            # z strips, both sides: per-side d12 dots + phi update fill the
+            # stacked ring buffer, then ONE block-diagonal corr product
+            d2p_z = []
             for s, R0 in ((0, 0), (1, NZ - S)):
                 a, b = az_ref[s], bz_ref[s]
-                zbuf = zc0 if s == 0 else zc1
-                off = r if s == 0 else 2 * r
+                off = (r if s == 0 else 2 * r) + s * S3
                 p_slab = cur_ref[PZ + R0 - r : PZ + R0 - r + S + 2 * r,
                                  PX : PX + NX]
                 d12 = jnp.dot(kz_ref[:], p_slab, preferred_element_type=dtype,
                               precision=HIGHEST)
                 d1p, d2p = d12[:S], d12[S:]
+                d2p_z.append(d2p)
                 ph = b * phiz[s] + a * d1p
                 phiz[s] = ph
-                zbuf[off : off + S, :] = ph
-                corr = jnp.dot(kcz_ref[:], zbuf[:],
-                               preferred_element_type=dtype, precision=HIGHEST)
+                zc_ref[off : off + S, :] = ph
+            corr_z = jnp.dot(kcz_ref[:], zc_ref[:],
+                             preferred_element_type=dtype, precision=HIGHEST)
+            for s, R0 in ((0, 0), (1, NZ - S)):
+                a, b = az_ref[s], bz_ref[s]
+                corr = corr_z[s * SE : (s + 1) * SE]
                 strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
-                ps = b * psiz[s] + a * (d2p + corr[strip_in_ext])
+                ps = b * psiz[s] + a * (d2p_z[s] + corr[strip_in_ext])
                 psiz[s] = ps
                 ext = slice(0, SE) if s == 0 else slice(NZ - SE, NZ)
                 rmw_rows(ext, corr)
                 rmw_rows(slice(R0, R0 + S), ps)
 
+            d2p_x = []
             for s, C0 in ((0, 0), (1, NX - S)):
                 a, b = ax_ref[s], bx_ref[s]
-                xbuf = xc0 if s == 0 else xc1
-                off = r if s == 0 else 2 * r
+                off = (r if s == 0 else 2 * r) + s * S3
                 p_slab = cur_ref[PZ : PZ + NZ,
                                  PX + C0 - r : PX + C0 - r + S + 2 * r]
                 d12 = jax.lax.dot_general(
@@ -267,15 +284,19 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
                     preferred_element_type=dtype, precision=HIGHEST,
                 )
                 d1p, d2p = d12[:, :S], d12[:, S:]
+                d2p_x.append(d2p)
                 ph = b * phix[s] + a * d1p
                 phix[s] = ph
-                xbuf[:, off : off + S] = ph
-                corr = jax.lax.dot_general(
-                    xbuf[:], kcx_ref[:], (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype, precision=HIGHEST,
-                )
+                xc_ref[:, off : off + S] = ph
+            corr_x = jax.lax.dot_general(
+                xc_ref[:], kcx_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=HIGHEST,
+            )
+            for s, C0 in ((0, 0), (1, NX - S)):
+                a, b = ax_ref[s], bx_ref[s]
+                corr = corr_x[:, s * SE : (s + 1) * SE]
                 strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
-                ps = b * psix[s] + a * (d2p + corr[:, strip_in_ext])
+                ps = b * psix[s] + a * (d2p_x[s] + corr[:, strip_in_ext])
                 psix[s] = ps
                 ext = slice(0, SE) if s == 0 else slice(NX - SE, NX)
                 rmw_cols(ext, corr)
@@ -355,16 +376,14 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
         pltpu.VMEM((2, S, NX), dtype),  # psiz
         pltpu.VMEM((2, NZ, S), dtype),  # phix
         pltpu.VMEM((2, NZ, S), dtype),  # psix
-        pltpu.VMEM((S3, NX), dtype),  # zc0
-        pltpu.VMEM((S3, NX), dtype),  # zc1
-        pltpu.VMEM((NZ, S3), dtype),  # xc0
-        pltpu.VMEM((NZ, S3), dtype),  # xc1
+        pltpu.VMEM((2 * S3, NX), dtype),  # zc (both sides stacked)
+        pltpu.VMEM((NZ, 2 * S3), dtype),  # xc (both sides stacked)
         pltpu.VMEM((RH, nrec), dtype),  # ohzT
         pltpu.VMEM((NX, nrec), dtype),  # ohxT
         pltpu.VMEM((2 * S, S + 2 * r), dtype),  # kz (d1;d2 stacked)
-        pltpu.VMEM((SE, S3), dtype),  # kcz
+        pltpu.VMEM((2 * SE, 2 * S3), dtype),  # kcz (block-diag both sides)
         pltpu.VMEM((2 * S, S + 2 * r), dtype),  # kx (d1;d2 stacked)
-        pltpu.VMEM((SE, S3), dtype),  # kcx
+        pltpu.VMEM((2 * SE, 2 * S3), dtype),  # kcx (block-diag both sides)
     ] + [pltpu.VMEM(dims, dtype) for dims in ring_dims for _ in range(2)]
 
     return pl.pallas_call(
@@ -400,6 +419,8 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
     """
     if nt % CH != 0:
         raise ValueError(f"nt must be a multiple of {CH}")
+    if CH % 2 != 0:
+        raise ValueError("CH must be even (q ping-pong across chunks)")
     NZ, NX = grid.padded_shape
     EZ, EX = ext_shape(grid)
     r = grid.radius
@@ -429,12 +450,12 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
         gbar_ref, lam_src_ref = refs[15 + NRING], refs[16 + NRING]
         scr = refs[17 + NRING :]
         pa, pb, u_ref = scr[0], scr[1], scr[2]
-        qa, qb, gacc_ref = scr[3], scr[4], scr[5]
+        q0, q1, gacc_ref = scr[3], scr[4], scr[5]
         pbz, psz, pbx, psx = scr[6:10]
-        zw0, zw1, zy0, zy1, xw0, xw1, xy0, xy1 = scr[10:18]
-        ohzT_ref, ohx_ref = scr[18], scr[19]
-        kz_ref, kcz2_ref, kx_ref, kcx2_ref = scr[20:24]
-        szT_ref, sxT_ref = scr[24], scr[25]
+        zw_ref, zy_ref, xw_ref, xy_ref = scr[10:14]  # both sides stacked
+        ohzT_ref, ohx_ref = scr[14], scr[15]
+        (kz_ref, kwz_ref, kyz_ref, kx_ref, kwx_ref, kyx_ref) = scr[16:22]
+        szT_ref, sxT_ref = scr[22], scr[23]
 
         c = pl.program_id(0)
         tb = (nC - 1 - c) * CH  # first time index of this (descending) chunk
@@ -445,20 +466,15 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
             pa[:] = plast_ref[:]  # p_tp1 = P_{nt-1}
             pb[:] = ppen_ref[:]  # p_t   = P_{nt-2}
             u_ref[:] = jnp.zeros((EZ, EX), dtype)
-            qa[:] = jnp.zeros((NZ, NX), dtype)
-            qb[:] = jnp.zeros((NZ, NX), dtype)
+            q0[:] = jnp.zeros((NZ, NX), dtype)
+            q1[:] = jnp.zeros((NZ, NX), dtype)
             gacc_ref[:] = jnp.zeros((NZ, NX), dtype)
             for sref in (pbz, psz, pbx, psx):
                 sref[:] = jnp.zeros_like(sref)
-            for s, bufs in enumerate(((zw0, zy0, xw0, xy0), (zw1, zy1, xw1, xy1))):
-                zw, zy, xw, xy = bufs
-                off = r if s == 0 else 2 * r
-                for zbuf in (zw, zy):
-                    zbuf[0:off, :] = jnp.zeros((off, NX), dtype)
-                    zbuf[off + S :, :] = jnp.zeros((3 * r - off, NX), dtype)
-                for xbuf in (xw, xy):
-                    xbuf[:, 0:off] = jnp.zeros((NZ, off), dtype)
-                    xbuf[:, off + S :] = jnp.zeros((NZ, 3 * r - off), dtype)
+            for zbuf in (zw_ref, zy_ref):
+                zbuf[:] = jnp.zeros((2 * S3, NX), dtype)
+            for xbuf in (xw_ref, xy_ref):
+                xbuf[:] = jnp.zeros((NZ, 2 * S3), dtype)
             ohzT_ref[:] = (
                 jax.lax.broadcasted_iota(jnp.int32, (RH, nrec), 0)
                 == rzr_ref[:]
@@ -468,13 +484,19 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
                 == jnp.reshape(rxr_ref[:], (nrec, 1))
             ).astype(dtype)
             kz_ref[:] = _banded_kz(d1z, d2z, S, r, dtype)
-            kcz2_ref[:] = jnp.concatenate(
+            kcz2 = jnp.concatenate(
                 [_banded_kcz(d1z, SE, S3, dtype), _banded_kcz(d2z, SE, S3, dtype)], 0
             )
+            kwz_ref[:] = _blockdiag2(kcz2, kcz2)
+            kcz1 = _banded_kcz(d1z, SE, S3, dtype)
+            kyz_ref[:] = _blockdiag2(kcz1, kcz1)
             kx_ref[:] = _banded_kz(d1x, d2x, S, r, dtype)
-            kcx2_ref[:] = jnp.concatenate(
+            kcx2 = jnp.concatenate(
                 [_banded_kcz(d1x, SE, S3, dtype), _banded_kcz(d2x, SE, S3, dtype)], 0
             )
+            kwx_ref[:] = _blockdiag2(kcx2, kcx2)
+            kcx1 = _banded_kcz(d1x, SE, S3, dtype)
+            kyx_ref[:] = _blockdiag2(kcx1, kcx1)
             # source one-hots from SMEM scalars (no SMEM vector reads)
             zr = jax.lax.broadcasted_iota(jnp.int32, (NZ, nsrc), 0)
             zc = jax.lax.broadcasted_iota(jnp.int32, (NZ, nsrc), 1)
@@ -488,13 +510,20 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
             szT_ref[:] = szT
             sxT_ref[:] = sxT
 
-        # chunk processes times descending: j = CH-1 .. 0
+        # chunk processes times descending: j = CH-1 .. 0.
+        # q ping-pong: `qcur` is the buffer whose (masked) value is lam_t;
+        # `qoth` still holds the post-injection buffer of step t+1, so the
+        # old `qa = -lam_{t+1}` term is read from it inside the q-update
+        # expression — no full-grid negate-copy per step. CH must be even
+        # so buffer roles line up across grid iterations.
         p_tp1, p_t = pa, pb
         i8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 0)
         x8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 1)
         for step_i in range(CH):
             j = CH - 1 - step_i
             dst = pa if step_i % 2 == 0 else pb
+            qcur = q0 if step_i % 2 == 0 else q1
+            qoth = q1 if step_i % 2 == 0 else q0
 
             # ---- reconstruction ----
             lapw = _shift_sum_rows(p_t, d2z, r, 0, NZ, NX) + _shift_sum_cols(
@@ -528,12 +557,15 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
             u_rec = ohzT_ref[:] * yb_ref[0, j : j + 1, :]  # (RH, nrec)
             inj = jnp.dot(u_rec, ohx_ref[:], preferred_element_type=dtype,
                           precision=HIGHEST)  # (RH, NX)
-            qb[pl.ds(r0, RH), :] = qb[pl.ds(r0, RH), :] + inj
-            lam = qb[:]
+            qcur[pl.ds(r0, RH), :] = qcur[pl.ds(r0, RH), :] + inj
+            lam = qcur[:]
+            lam_prev = qoth[:]
             if fs is not None:  # transpose of the pressure-release row pin
-                lam = lam * (
+                fsmask = (
                     jax.lax.broadcasted_iota(jnp.int32, (NZ, 1), 0) != fs
                 ).astype(dtype)
+                lam = lam * fsmask
+                lam_prev = lam_prev * fsmask
             # adjoint-at-source gather: one-hot column product + sublane sum
             col = jnp.dot(lam, sxT_ref[:], preferred_element_type=dtype,
                           precision=HIGHEST)  # (NZ, nsrc)
@@ -542,79 +574,94 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
             )
             u_ref[PZ : PZ + NZ, PX : PX + NX] = c2_ref[:] * lam
             gacc_ref[:] = gacc_ref[:] + lam * lapw
-            qb[:] = (
-                qa[:]
-                + 2.0 * lam
+            qoth[:] = (
+                2.0 * lam
+                - lam_prev
                 + _shift_sum_rows(u_ref, d2z, r, 0, NZ, NX)
                 + _shift_sum_cols(u_ref, d2x, r, 0, NX, NZ)
             )
 
             if _debug_parts == "nostrips":
-                qa[:] = -lam
                 p_tp1, p_t = p_t, dst
                 continue
 
+            # z strips, both sides, three phases: fill the stacked w ring +
+            # per-side d1u dots; ONE packed d1w/d2w product; fill the
+            # stacked y ring; ONE packed d1y product; RMW into qoth.
+            d1u_z = []
             for s, R0 in ((0, 0), (1, NZ - S)):
                 a, b = az_ref[s], bz_ref[s]
-                zw = zw0 if s == 0 else zw1
-                zy = zy0 if s == 0 else zy1
-                off = r if s == 0 else 2 * r
+                off = (r if s == 0 else 2 * r) + s * S3
                 u_strip = u_ref[PZ + R0 : PZ + R0 + S, PX : PX + NX]
                 ps_tot = psz[s] + u_strip
                 psz[s] = b * ps_tot
-                w_s = a * ps_tot
+                zw_ref[off : off + S, :] = a * ps_tot
                 u_slab = u_ref[PZ + R0 - r : PZ + R0 - r + S + 2 * r,
                                PX : PX + NX]
-                d1u = jnp.dot(kz_ref[0:S], u_slab,
-                              preferred_element_type=dtype, precision=HIGHEST)
-                zw[off : off + S, :] = w_s
-                dw12 = jnp.dot(kcz2_ref[:], zw[:],
-                               preferred_element_type=dtype, precision=HIGHEST)
-                d1w, d2w = dw12[:SE], dw12[SE:]
+                d1u_z.append(
+                    jnp.dot(kz_ref[0:S], u_slab,
+                            preferred_element_type=dtype, precision=HIGHEST)
+                )
+            dw_z = jnp.dot(kwz_ref[:], zw_ref[:],
+                           preferred_element_type=dtype, precision=HIGHEST)
+            d2w_z = []
+            for s in range(2):
+                a, b = az_ref[s], bz_ref[s]
+                off = (r if s == 0 else 2 * r) + s * S3
+                d1w = dw_z[2 * SE * s : 2 * SE * s + SE]
+                d2w_z.append(dw_z[2 * SE * s + SE : 2 * SE * (s + 1)])
                 strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
-                pb_tot = pbz[s] - d1u - d1w[strip_in_ext]
+                pb_tot = pbz[s] - d1u_z[s] - d1w[strip_in_ext]
                 pbz[s] = b * pb_tot
-                y_s = a * pb_tot
-                zy[off : off + S, :] = y_s
-                d1y = jnp.dot(kcz2_ref[:SE], zy[:],
-                              preferred_element_type=dtype, precision=HIGHEST)
+                zy_ref[off : off + S, :] = a * pb_tot
+            dy_z = jnp.dot(kyz_ref[:], zy_ref[:],
+                           preferred_element_type=dtype, precision=HIGHEST)
+            for s in range(2):
                 ext = slice(0, SE) if s == 0 else slice(NZ - SE, NZ)
-                qb[ext, :] = qb[ext, :] + d2w - d1y
+                qoth[ext, :] = (
+                    qoth[ext, :] + d2w_z[s] - dy_z[s * SE : (s + 1) * SE]
+                )
 
+            d1u_x = []
             for s, C0 in ((0, 0), (1, NX - S)):
                 a, b = ax_ref[s], bx_ref[s]
-                xw = xw0 if s == 0 else xw1
-                xy = xy0 if s == 0 else xy1
-                off = r if s == 0 else 2 * r
+                off = (r if s == 0 else 2 * r) + s * S3
                 u_strip = u_ref[PZ : PZ + NZ, PX + C0 : PX + C0 + S]
                 ps_tot = psx[s] + u_strip
                 psx[s] = b * ps_tot
-                w_s = a * ps_tot
+                xw_ref[:, off : off + S] = a * ps_tot
                 u_slab = u_ref[PZ : PZ + NZ,
                                PX + C0 - r : PX + C0 - r + S + 2 * r]
-                d1u = jax.lax.dot_general(
-                    u_slab, kx_ref[0:S], (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype, precision=HIGHEST,
+                d1u_x.append(
+                    jax.lax.dot_general(
+                        u_slab, kx_ref[0:S], (((1,), (1,)), ((), ())),
+                        preferred_element_type=dtype, precision=HIGHEST,
+                    )
                 )
-                xw[:, off : off + S] = w_s
-                dw12 = jax.lax.dot_general(
-                    xw[:], kcx2_ref[:], (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype, precision=HIGHEST,
-                )
-                d1w, d2w = dw12[:, :SE], dw12[:, SE:]
+            dw_x = jax.lax.dot_general(
+                xw_ref[:], kwx_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=HIGHEST,
+            )
+            d2w_x = []
+            for s in range(2):
+                a, b = ax_ref[s], bx_ref[s]
+                off = (r if s == 0 else 2 * r) + s * S3
+                d1w = dw_x[:, 2 * SE * s : 2 * SE * s + SE]
+                d2w_x.append(dw_x[:, 2 * SE * s + SE : 2 * SE * (s + 1)])
                 strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
-                pb_tot = pbx[s] - d1u - d1w[:, strip_in_ext]
+                pb_tot = pbx[s] - d1u_x[s] - d1w[:, strip_in_ext]
                 pbx[s] = b * pb_tot
-                y_s = a * pb_tot
-                xy[:, off : off + S] = y_s
-                d1y = jax.lax.dot_general(
-                    xy[:], kcx2_ref[0:SE], (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype, precision=HIGHEST,
-                )
+                xy_ref[:, off : off + S] = a * pb_tot
+            dy_x = jax.lax.dot_general(
+                xy_ref[:], kyx_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=HIGHEST,
+            )
+            for s in range(2):
                 ext = slice(0, SE) if s == 0 else slice(NX - SE, NX)
-                qb[:, ext] = qb[:, ext] + d2w - d1y
+                qoth[:, ext] = (
+                    qoth[:, ext] + d2w_x[s] - dy_x[:, s * SE : (s + 1) * SE]
+                )
 
-            qa[:] = -lam
             p_tp1, p_t = p_t, dst
 
         @pl.when(c == nC - 1)
@@ -658,22 +705,25 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
         pltpu.VMEM((EZ, EX), dtype),  # pa
         pltpu.VMEM((EZ, EX), dtype),  # pb
         pltpu.VMEM((EZ, EX), dtype),  # u
-        pltpu.VMEM((NZ, NX), dtype),  # qa
-        pltpu.VMEM((NZ, NX), dtype),  # qb
+        pltpu.VMEM((NZ, NX), dtype),  # q0 (lam ping)
+        pltpu.VMEM((NZ, NX), dtype),  # q1 (lam pong)
         pltpu.VMEM((NZ, NX), dtype),  # gacc
         pltpu.VMEM((2, S, NX), dtype),  # pbz
         pltpu.VMEM((2, S, NX), dtype),  # psz
         pltpu.VMEM((2, NZ, S), dtype),  # pbx
         pltpu.VMEM((2, NZ, S), dtype),  # psx
-    ] + [pltpu.VMEM((S3, NX), dtype) for _ in range(4)] + [
-        pltpu.VMEM((NZ, S3), dtype) for _ in range(4)
-    ] + [
+        pltpu.VMEM((2 * S3, NX), dtype),  # zw (both sides stacked)
+        pltpu.VMEM((2 * S3, NX), dtype),  # zy
+        pltpu.VMEM((NZ, 2 * S3), dtype),  # xw
+        pltpu.VMEM((NZ, 2 * S3), dtype),  # xy
         pltpu.VMEM((RH, nrec), dtype),  # ohzT
         pltpu.VMEM((nrec, NX), dtype),  # ohx
         pltpu.VMEM((2 * S, S + 2 * r), dtype),  # kz
-        pltpu.VMEM((2 * SE, S3), dtype),  # kcz2 (d1;d2 stacked)
+        pltpu.VMEM((4 * SE, 2 * S3), dtype),  # kwz (block-diag d1;d2 x sides)
+        pltpu.VMEM((2 * SE, 2 * S3), dtype),  # kyz (block-diag d1 x sides)
         pltpu.VMEM((2 * S, S + 2 * r), dtype),  # kx
-        pltpu.VMEM((2 * SE, S3), dtype),  # kcx2
+        pltpu.VMEM((4 * SE, 2 * S3), dtype),  # kwx
+        pltpu.VMEM((2 * SE, 2 * S3), dtype),  # kyx
         pltpu.VMEM((NZ, nsrc), dtype),  # szT
         pltpu.VMEM((NX, nsrc), dtype),  # sxT
     ]

@@ -1,0 +1,636 @@
+"""Single-pass fused 3D acoustic step, round-2 rework (spec C5 / P2).
+
+Round-2 measurement on the v1 composition (acoustic3d_strips_pallas.
+make_acoustic3d_fused_step): the full step cost 26.8 ms at Overthrust
+scale, of which ~12.8 ms was XLA slab slice / dynamic_update_slice
+traffic around the six CPML slab kernels (each face RMW'd its slab of
+p_next, and every dynamic_update_slice re-copied the full p_next array),
+and the z-split leapfrog itself ran at 34% of its DMA bound. This module
+removes the copies structurally:
+
+  1. CPML face kernels no longer touch p_next. Each face kernel emits a
+     compact ADDITIVE update slab  upd = c2 * (corr + psi')  (plus its
+     phi/psi state updates, aliased in place). No dynamic_update_slice
+     anywhere in the step.
+  2. The x-faces move INSIDE the leapfrog kernel: every block spans the
+     full x extent, so the banded lane products and the phi_x/psi_x
+     updates run in-block on the scratch's zero x-margins (the per-block
+     state slabs are (BY, BZ, S) side inputs/outputs, fetched exactly
+     once per sweep).
+  3. The y/z face update slabs are zero-padded to BLOCK-ALIGNED windows
+     and added to the output block with `pl.when` guards. Their BlockSpec
+     index maps are "sticky" (clamped to a constant off the involved
+     rows), so Mosaic's revisiting logic fetches each slab exactly once
+     per sweep instead of once per grid step.
+  4. The grid is (nzb, nyb) with the y-block index FASTEST, which is what
+     makes the y-slab sticky maps (and the z-slab `g0==jb` guards) fetch
+     minimally.
+
+Step composition: 4 small slab kernels (y-lo/hi, z-lo/hi corr) + 1 merged
+leapfrog+x-face+apply kernel, vs v1's 7 kernels + 12 slices + 6 full-array
+dynamic_update_slices. Per-step HBM traffic ~6 fields (p_prev, p, c2
+reads + p_next write + halo/state/slab streams).
+
+Semantics are pinned against make_acoustic3d_strip_step (the XLA strip
+path) in tests/test_acoustic3d_fused2.py. fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..grid import D1_COEFFS, D2_COEFFS, Grid
+from .acoustic3d_pallas import y_extended, z_extended
+from .acoustic3d_strips_pallas import _band, _taps_axis
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _face_span(n_face0: int, W: int, blk: int):
+    """Block-aligned window [b0*blk, (b1+1)*blk) covering face rows
+    [n_face0, n_face0+W). Returns (b0, b1, pad_lo) with pad_lo the face
+    offset inside the window."""
+    b0 = n_face0 // blk
+    b1 = (n_face0 + W - 1) // blk
+    return b0, b1, n_face0 - b0 * blk
+
+
+def make_corr3d_y(grid: Grid, side: int, bz: int, NZe: int, by: int,
+                  interpret: bool = False):
+    """y-face CPML correction kernel (no p_next access).
+
+    call(p_slab, phi, psi, a, b, c2_slab) -> (upd, phi', psi')
+
+    p_slab/c2_slab are (W, NZe, NX) slices (rows [0,W) low / [NY-W, NY)
+    high); phi/psi (S, NZe, NX) aliased in place. ``upd`` is the additive
+    p_next update on a BY-BLOCK-ALIGNED padded window (rows outside the
+    face region are zero), ready for whole-block adds in the merged
+    kernel. Derivatives are free static shifts over a zero-margined
+    scratch (y is the untiled leading dim).
+    """
+    r = grid.radius
+    S = grid.pml + r
+    W = S + 2 * r
+    NY, _, NX = grid.padded_shape
+    BZ = bz
+    nzb = NZe // BZ
+    C0 = 0 if side == 0 else W - S
+    E0 = 0 if side == 0 else r
+    face0 = 0 if side == 0 else NY - W
+    b0, b1, pad_lo = _face_span(face0, W, by)
+    WP = (b1 - b0 + 1) * by  # padded window height
+    d1, d2 = _taps_axis(grid, 0)
+    dtype = jnp.float32
+
+    def kernel(p_ref, phi_ref, psi_ref, a_ref, b_ref, c2_ref,
+               upd_o, phi_o, psi_o, scr):
+        scr[0:r] = jnp.zeros((r, BZ, NX), dtype)
+        scr[r : r + W] = p_ref[:]
+        scr[r + W : W + 2 * r] = jnp.zeros((r, BZ, NX), dtype)
+
+        def shift_sum(taps, row0, nrows, base):
+            out = None
+            for k, cc in enumerate(taps):
+                if cc == 0.0:
+                    continue
+                t = cc * base[row0 + k : row0 + k + nrows, :, :]
+                out = t if out is None else out + t
+            return out
+
+        d1p = shift_sum(d1, C0, S, scr)
+        d2p = shift_sum(d2, C0, S, scr)
+        a = a_ref[:]
+        b = b_ref[:]
+        ph = b * phi_ref[:] + a * d1p
+        phi_o[:] = ph
+        scr[0 : C0 + r] = jnp.zeros((C0 + r, BZ, NX), dtype)
+        scr[C0 + r : C0 + r + S] = ph
+        scr[C0 + r + S :] = jnp.zeros((W + 2 * r - C0 - r - S, BZ, NX), dtype)
+        corr = shift_sum(d1, E0, S + r, scr)
+        v = d2p + corr[C0 - E0 : C0 - E0 + S]
+        ps = b * psi_ref[:] + a * v
+        psi_o[:] = ps
+        upd_o[:] = jnp.zeros((WP, BZ, NX), dtype)
+        upd_o[pad_lo + E0 : pad_lo + E0 + S + r] = (
+            c2_ref[E0 : E0 + S + r] * corr
+        )
+        upd_o[pad_lo + C0 : pad_lo + C0 + S] = (
+            upd_o[pad_lo + C0 : pad_lo + C0 + S]
+            + c2_ref[C0 : C0 + S] * ps
+        )
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blkW = pl.BlockSpec((W, BZ, NX), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    blkS = pl.BlockSpec((S, BZ, NX), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    blkU = pl.BlockSpec((WP, BZ, NX), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nzb,),
+        in_specs=[blkW, blkS, blkS, vspec, vspec, blkW],
+        out_specs=(blkU, blkS, blkS),
+        out_shape=(
+            jax.ShapeDtypeStruct((WP, NZe, NX), dtype),
+            jax.ShapeDtypeStruct((S, NZe, NX), dtype),
+            jax.ShapeDtypeStruct((S, NZe, NX), dtype),
+        ),
+        input_output_aliases={1: 1, 2: 2},
+        scratch_shapes=[pltpu.VMEM((W + 2 * r, BZ, NX), dtype)],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def make_corr3d_z(grid: Grid, side: int, by: int, NYe: int,
+                  interpret: bool = False):
+    """z-face CPML correction kernel (banded MXU, no p_next access).
+
+    call(p_slab, phi, psi, a, b, c2_slab, k12, kc) -> (upd, phi', psi')
+
+    p_slab/c2_slab are (NYe, W, NX) slices; phi/psi (NYe, S, NX) aliased.
+    ``upd`` is the additive p_next update on an 8-SUBLANE-ALIGNED padded
+    window (NYe, WZP, NX) whose z origin is returned by z_window(grid):
+    rows outside the face region are zero; the merged kernel adds it with
+    static in-block offsets.
+    """
+    r = grid.radius
+    S = grid.pml + r
+    W = S + 2 * r
+    _, NZ, NX = grid.padded_shape
+    BY = by
+    nyb = NYe // BY
+    C0 = 0 if side == 0 else W - S
+    E0 = 0 if side == 0 else r
+    o, WZP = z_window(grid, side)
+    face0 = 0 if side == 0 else NZ - W
+    pad_lo = face0 - o
+    d1, d2 = _taps_axis(grid, 1)
+    k12_np = _band([d1, d2], S, W, [C0, C0], r)
+    kc_np = np.zeros((S + r, S), np.float32)
+    for i in range(S + r):
+        for k in range(len(d1)):
+            m = (E0 + i + k - r) - C0
+            if 0 <= m < S:
+                kc_np[i, m] = d1[k]
+    eye = np.eye(BY, dtype=np.float32)
+    k12_np = np.kron(eye, k12_np)
+    kc_np = np.kron(eye, kc_np)
+    dtype = jnp.float32
+
+    def kernel(p_ref, phi_ref, psi_ref, a_ref, b_ref, c2_ref,
+               k12_ref, kc_ref, upd_o, phi_o, psi_o):
+        a = a_ref[0]  # (S, 1)
+        b = b_ref[0]
+        slab = jnp.reshape(p_ref[:], (BY * W, NX))
+        d12 = jnp.reshape(
+            jnp.dot(k12_ref[:], slab, preferred_element_type=dtype,
+                    precision=HIGHEST),
+            (BY, 2 * S, NX),
+        )
+        d1p, d2p = d12[:, :S], d12[:, S:]
+        ph = b * phi_ref[:] + a * d1p
+        phi_o[:] = ph
+        corr = jnp.reshape(
+            jnp.dot(kc_ref[:], jnp.reshape(ph, (BY * S, NX)),
+                    preferred_element_type=dtype, precision=HIGHEST),
+            (BY, S + r, NX),
+        )
+        v = d2p + corr[:, C0 - E0 : C0 - E0 + S]
+        ps = b * psi_ref[:] + a * v
+        psi_o[:] = ps
+        upd_o[:] = jnp.zeros((BY, WZP, NX), dtype)
+        upd_o[:, pad_lo + E0 : pad_lo + E0 + S + r, :] = (
+            c2_ref[:, E0 : E0 + S + r, :] * corr
+        )
+        upd_o[:, pad_lo + C0 : pad_lo + C0 + S, :] = (
+            upd_o[:, pad_lo + C0 : pad_lo + C0 + S, :]
+            + c2_ref[:, C0 : C0 + S, :] * ps
+        )
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blkW = pl.BlockSpec((BY, W, NX), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blkS = pl.BlockSpec((BY, S, NX), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blkU = pl.BlockSpec((BY, WZP, NX), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nyb,),
+        in_specs=[blkW, blkS, blkS, vspec, vspec, blkW, vspec, vspec],
+        out_specs=(blkU, blkS, blkS),
+        out_shape=(
+            jax.ShapeDtypeStruct((NYe, WZP, NX), dtype),
+            jax.ShapeDtypeStruct((NYe, S, NX), dtype),
+            jax.ShapeDtypeStruct((NYe, S, NX), dtype),
+        ),
+        input_output_aliases={1: 1, 2: 2},
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+    k12 = jnp.asarray(k12_np)
+    kc = jnp.asarray(kc_np)
+
+    def corr_z(p_slab, phi, psi, a, b, c2_slab):
+        return call(p_slab, phi, psi, a, b, c2_slab, k12, kc)
+
+    return corr_z
+
+
+def z_window(grid: Grid, side: int):
+    """8-aligned z window (origin, width) containing the side's face
+    region [face0, face0+W); width rounded to a multiple of 8."""
+    r = grid.radius
+    W = grid.pml + 3 * r
+    NZ = grid.padded_shape[1]
+    face0 = 0 if side == 0 else NZ - W
+    o = (face0 // 8) * 8
+    WZP = -(-(face0 + W - o) // 8) * 8
+    return o, WZP
+
+
+def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
+                           interpret: bool = False):
+    """Merged kernel: blocked leapfrog + in-block x-face CPML + whole-block
+    application of the y/z face update slabs.
+
+    call(p_prev, p, c2, phix_lo, psix_lo, phix_hi, psix_hi,
+         ax_lo, bx_lo, ax_hi, bx_hi,
+         updy_lo, updy_hi, updz_lo, updz_hi)
+      -> (p_next, phix_lo', psix_lo', phix_hi', psix_hi')
+    [p_prev and the x states aliased in place]
+
+    Fields are (NYe, NZe, NX) (extend_yz layout); phix/psix (NYe, NZe, S);
+    updy_* from make_corr3d_y, updz_* from make_corr3d_z. Grid (nzb, nyb),
+    y FASTEST — see module docstring for why.
+    """
+    if grid.ndim != 3:
+        raise ValueError("3D kernel needs a 3D grid")
+    if bz % 8 != 0 or by % 8 != 0:
+        raise ValueError("by and bz must be multiples of 8")
+    NYe = y_extended(grid, by)
+    NZe = z_extended(grid, bz)
+    NY, NZ, NX = grid.padded_shape
+    r = grid.radius
+    S = grid.pml + r
+    W = S + 2 * r
+    BY, BZ = by, bz
+    nyb, nzb = NYe // BY, NZe // BZ
+    YB8, ZB8 = BY // 8, BZ // 8
+    d2y = tuple(float(c) / grid.h[0] ** 2 for c in D2_COEFFS[grid.order])
+    d2z = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
+    d2x = tuple(float(c) / grid.h[2] ** 2 for c in D2_COEFFS[grid.order])
+    d1x, d2x1 = _taps_axis(grid, 2)
+    PX = 128
+    H = 8
+    dtype = jnp.float32
+
+    # x-face banded matrices on the (S+2r)-lane window (strip +- r; the
+    # window's outer r lanes are the scratch's zero x-margin = physical
+    # zero extension, its inner r lanes are real interior data)
+    kx12_np = _band([d1x, d2x1], S, S + 2 * r, [r, r], r)
+    kcx = {}
+    for side in (0, 1):
+        C0x = 0 if side == 0 else NX - S
+        E0x = 0 if side == 0 else NX - S - r
+        kc_np = np.zeros((S, S + r), np.float32)  # transposed right-product
+        for i in range(S + r):
+            for k in range(len(d1x)):
+                m = (E0x + i + k - r) - C0x
+                if 0 <= m < S:
+                    kc_np[m, i] = d1x[k]
+        kcx[side] = kc_np
+    kx12 = jnp.asarray(kx12_np)
+    kcx_lo = jnp.asarray(kcx[0])
+    kcx_hi = jnp.asarray(kcx[1])
+
+    # y-face application sites: window blocks [yb0, yb1] per side
+    yspan = {s: _face_span(0 if s == 0 else NY - W, W, BY) for s in (0, 1)}
+    # z-face: window [o, o+WZP) per side; apply sites (z-block, in-block
+    # row range, window row range) — statically split over blocks
+    zapply = {}
+    for s in (0, 1):
+        o, WZP = z_window(grid, s)
+        sites = []
+        jb0, jb1 = o // BZ, (o + WZP - 1) // BZ
+        for jb in range(jb0, jb1 + 1):
+            lo = max(o, jb * BZ)
+            hi = min(o + WZP, (jb + 1) * BZ)
+            sites.append((jb, lo - jb * BZ, hi - jb * BZ, lo - o, hi - o))
+        zapply[s] = (o, WZP, sites)
+
+    def kernel(pp_ref, p_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref, c2_ref,
+               phxl_ref, psxl_ref, phxh_ref, psxh_ref,
+               axl_ref, bxl_ref, axh_ref, bxh_ref,
+               kx12_ref, kcxl_ref, kcxh_ref,
+               uyl_ref, uyh_ref, uzl_ref, uzh_ref,
+               out_ref, phxl_o, psxl_o, phxh_o, psxh_o, scr_ref):
+        gz = pl.program_id(0)
+        gy = pl.program_id(1)  # fastest
+        zcol = jnp.zeros((BY + 2 * r, BZ + 2 * H, r), dtype)
+        scr_ref[:, :, PX - r : PX] = zcol
+        scr_ref[:, :, PX + NX : PX + NX + r] = zcol
+        scr_ref[r : r + BY, H : H + BZ, PX : PX + NX] = p_ref[:]
+
+        zy = jnp.zeros((r, BZ, NX), dtype)
+        scr_ref[0:r, H : H + BZ, PX : PX + NX] = zy
+        scr_ref[r + BY : 2 * r + BY, H : H + BZ, PX : PX + NX] = zy
+
+        @pl.when(gy > 0)
+        def _():
+            scr_ref[0:r, H : H + BZ, PX : PX + NX] = ylo_ref[H - r : H]
+
+        @pl.when(gy < nyb - 1)
+        def _():
+            scr_ref[r + BY : 2 * r + BY, H : H + BZ, PX : PX + NX] = (
+                yhi_ref[0:r]
+            )
+
+        zz = jnp.zeros((BY, H, NX), dtype)
+        scr_ref[r : r + BY, 0:H, PX : PX + NX] = zz
+        scr_ref[r : r + BY, H + BZ : H + BZ + H, PX : PX + NX] = zz
+
+        @pl.when(gz > 0)
+        def _():
+            scr_ref[r : r + BY, 0:H, PX : PX + NX] = zlo_ref[:]
+
+        @pl.when(gz < nzb - 1)
+        def _():
+            scr_ref[r : r + BY, H + BZ : H + BZ + H, PX : PX + NX] = zhi_ref[:]
+
+        lap = None
+        for k, c in enumerate(d2y):
+            if c == 0.0:
+                continue
+            t = c * scr_ref[k : k + BY, H : H + BZ, PX : PX + NX]
+            lap = t if lap is None else lap + t
+        for k, c in enumerate(d2z):
+            if c == 0.0:
+                continue
+            z0 = H + k - r
+            lap = lap + c * scr_ref[r : r + BY, z0 : z0 + BZ, PX : PX + NX]
+        for k, c in enumerate(d2x):
+            if c == 0.0:
+                continue
+            x0 = PX + k - r
+            lap = lap + c * scr_ref[r : r + BY, H : H + BZ, x0 : x0 + NX]
+        out_ref[:] = 2.0 * p_ref[:] - pp_ref[:] + c2_ref[:] * lap
+
+        # ---- x faces, in-block (banded lane products on the window) ----
+        for side, phir, psir, pho, pso, ar, br, kcr in (
+            (0, phxl_ref, psxl_ref, phxl_o, psxl_o, axl_ref, bxl_ref,
+             kcxl_ref),
+            (1, phxh_ref, psxh_ref, phxh_o, psxh_o, axh_ref, bxh_ref,
+             kcxh_ref),
+        ):
+            C0x = 0 if side == 0 else NX - S
+            E0x = 0 if side == 0 else NX - S - r
+            w0 = PX + C0x - r
+            slab = scr_ref[r : r + BY, H : H + BZ, w0 : w0 + S + 2 * r]
+            d12 = jax.lax.dot_general(
+                slab, kx12_ref[:], (((2,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=HIGHEST,
+            )  # (BY, BZ, 2S)
+            d1p, d2p = d12[..., :S], d12[..., S:]
+            a = ar[0]  # (1, S)
+            b = br[0]
+            ph = b * phir[:] + a * d1p
+            pho[:] = ph
+            corr = jax.lax.dot_general(
+                ph, kcr[:], (((2,), (0,)), ((), ())),
+                preferred_element_type=dtype, precision=HIGHEST,
+            )  # (BY, BZ, S+r)
+            v = d2p + corr[..., C0x - E0x : C0x - E0x + S]
+            ps = b * psir[:] + a * v
+            pso[:] = ps
+            out_ref[:, :, E0x : E0x + S + r] = (
+                out_ref[:, :, E0x : E0x + S + r]
+                + c2_ref[:, :, E0x : E0x + S + r] * corr
+            )
+            out_ref[:, :, C0x : C0x + S] = (
+                out_ref[:, :, C0x : C0x + S]
+                + c2_ref[:, :, C0x : C0x + S] * ps
+            )
+
+        # ---- y-face slab application (whole-block adds) ----
+        yl0, yl1, _ = yspan[0]
+        yh0, yh1, _ = yspan[1]
+
+        @pl.when(gy <= yl1)
+        def _():
+            out_ref[:] = out_ref[:] + uyl_ref[:]
+
+        @pl.when((gy >= yh0) & (gy <= yh1))
+        def _():
+            out_ref[:] = out_ref[:] + uyh_ref[:]
+
+        # ---- z-face slab application (static sub-ranges per site) ----
+        for s, uref in ((0, uzl_ref), (1, uzh_ref)):
+            for jb, blo, bhi, wlo, whi in zapply[s][2]:
+                @pl.when(gz == jb)
+                def _(uref=uref, blo=blo, bhi=bhi, wlo=wlo, whi=whi):
+                    out_ref[:, blo:bhi, :] = (
+                        out_ref[:, blo:bhi, :] + uref[:, wlo:whi, :]
+                    )
+
+    blk = pl.BlockSpec((BY, BZ, NX), lambda gz, gy: (gy, gz, 0),
+                       memory_space=pltpu.VMEM)
+    blkS = pl.BlockSpec((BY, BZ, S), lambda gz, gy: (gy, gz, 0),
+                        memory_space=pltpu.VMEM)
+    ylo = pl.BlockSpec(
+        (H, BZ, NX),
+        lambda gz, gy: (jnp.maximum(gy * YB8 - 1, 0), gz, 0),
+        memory_space=pltpu.VMEM,
+    )
+    yhi = pl.BlockSpec(
+        (H, BZ, NX),
+        lambda gz, gy: (jnp.minimum((gy + 1) * YB8, nyb * YB8 - 1), gz, 0),
+        memory_space=pltpu.VMEM,
+    )
+    zlo = pl.BlockSpec(
+        (BY, H, NX),
+        lambda gz, gy: (gy, jnp.maximum(gz * ZB8 - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    zhi = pl.BlockSpec(
+        (BY, H, NX),
+        lambda gz, gy: (gy, jnp.minimum((gz + 1) * ZB8, nzb * ZB8 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # sticky maps: fetch the face slabs only on the rows/steps that use
+    # them; clamp to a constant elsewhere so revisiting skips the DMA
+    yl1 = yspan[0][1]
+    yh0, yh1 = yspan[1][0], yspan[1][1]
+    uyl = pl.BlockSpec(
+        (BY, BZ, NX),
+        lambda gz, gy: (jnp.minimum(gy, yl1), gz, 0),
+        memory_space=pltpu.VMEM,
+    )
+    uyh = pl.BlockSpec(
+        (BY, BZ, NX),
+        lambda gz, gy: (jnp.clip(gy - yh0, 0, yh1 - yh0), gz, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def _uz_spec(s):
+        _, WZP, sites = zapply[s]
+        jbs = tuple(site[0] for site in sites)
+
+        def idx(gz, gy):
+            used = jnp.zeros((), jnp.bool_)
+            for jb in jbs:
+                used = used | (gz == jb)
+            return (jnp.where(used, gy, 0), 0, 0)
+
+        return pl.BlockSpec((BY, WZP, NX), idx, memory_space=pltpu.VMEM)
+
+    uzl_spec = _uz_spec(0)
+    uzh_spec = _uz_spec(1)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nzb, nyb),
+        out_shape=(
+            jax.ShapeDtypeStruct((NYe, NZe, NX), dtype),
+            jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
+            jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
+            jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
+            jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
+        ),
+        in_specs=[blk, blk, ylo, yhi, zlo, zhi, blk,
+                  blkS, blkS, blkS, blkS,
+                  vspec, vspec, vspec, vspec,
+                  vspec, vspec, vspec,
+                  uyl, uyh, uzl_spec, uzh_spec],
+        out_specs=(blk, blkS, blkS, blkS, blkS),
+        scratch_shapes=[
+            pltpu.VMEM((BY + 2 * r, BZ + 2 * H, NX + 2 * PX), dtype)
+        ],
+        input_output_aliases={0: 0, 7: 1, 8: 2, 9: 3, 10: 4},
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def merged(p_prev, p, c2, phxl, psxl, phxh, psxh,
+               ax_lo, bx_lo, ax_hi, bx_hi, uyl_, uyh_, uzl_, uzh_):
+        return call(p_prev, p, p, p, p, p, c2,
+                    phxl, psxl, phxh, psxh,
+                    ax_lo, bx_lo, ax_hi, bx_hi,
+                    kx12, kcx_lo, kcx_hi,
+                    uyl_, uyh_, uzl_, uzh_)
+
+    return merged
+
+
+def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
+                                c_max: float, by: int = 16, bz: int = 64,
+                                bz_y: int = 16, interpret: bool = False):
+    """Production fused 3D step v2 (see module docstring): 4 corr slab
+    kernels + 1 merged kernel, no dynamic_update_slice.
+
+    Returns (step, zero_state); step((p_prev, p, strips), c2dt2) -> state'
+    with the SAME state pytree structure as make_acoustic3d_strip_step /
+    make_acoustic3d_fused_step (strip-resident phi/psi per axis/side), so
+    propagators and tests can swap implementations freely.
+    """
+    from jax import lax as jlax
+
+    from ..cpml import CpmlProfile
+
+    r = grid.radius
+    S = grid.pml + r
+    W = S + 2 * r
+    NY, NZ, NX = grid.padded_shape
+    NYe = y_extended(grid, by)
+    NZe = z_extended(grid, bz)
+    dtype = jnp.float32
+
+    merged = make_leapfrog3d_merged(grid, by=by, bz=bz, interpret=interpret)
+    corr_y = {s: make_corr3d_y(grid, s, bz_y, NZe, by, interpret)
+              for s in (0, 1)}
+    corr_z = {s: make_corr3d_z(grid, s, by, NYe, interpret) for s in (0, 1)}
+
+    profs = []
+    for ax in range(3):
+        prof = CpmlProfile.build(
+            n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
+            h=grid.h[ax], dt=dt, c_max=c_max, f0=f0,
+        )
+        n_pad = grid.padded_shape[ax]
+        if ax == 0:
+            shp = (S, 1, 1)
+        elif ax == 1:
+            shp = (1, S, 1)
+        else:
+            shp = (1, 1, S)
+        lo = (jnp.asarray(prof.a[:S], dtype).reshape(shp),
+              jnp.asarray(prof.b[:S], dtype).reshape(shp))
+        hi = (jnp.asarray(prof.a[n_pad - S:], dtype).reshape(shp),
+              jnp.asarray(prof.b[n_pad - S:], dtype).reshape(shp))
+        profs.append((lo, hi))
+
+    def _slab_shape(ax):
+        if ax == 0:
+            return (S, NZe, NX)
+        if ax == 1:
+            return (NYe, S, NX)
+        return (NYe, NZe, S)
+
+    def zero_state(dtype=jnp.float32):
+        z = jnp.zeros((NYe, NZe, NX), dtype)
+        strips = tuple(
+            tuple(jnp.zeros(_slab_shape(ax), dtype) for _ in range(4))
+            for ax in range(3)
+        )
+        return (z, z, strips)
+
+    offs = {0: (0, NY - W), 1: (0, NZ - W)}
+
+    def _slice(f, ax, side):
+        return jlax.slice_in_dim(f, offs[ax][side], offs[ax][side] + W,
+                                 axis=ax)
+
+    def step(state, c2dt2):
+        p_prev, p, strips = state
+        uy, uz = [], []
+        new_y, new_z = [], []
+        for ax, (ulist, nlist, corr) in (
+            (0, (uy, new_y, corr_y)), (1, (uz, new_z, corr_z))
+        ):
+            phi_lo, psi_lo, phi_hi, psi_hi = strips[ax]
+            for side in (0, 1):
+                phi, psi = (phi_lo, psi_lo) if side == 0 else (phi_hi, psi_hi)
+                a, b = profs[ax][side]
+                upd, phi2, psi2 = corr[side](
+                    _slice(p, ax, side), phi, psi, a, b,
+                    _slice(c2dt2, ax, side),
+                )
+                ulist.append(upd)
+                nlist += [phi2, psi2]
+        phxl, psxl, phxh, psxh = strips[2]
+        (ax_lo, bx_lo), (ax_hi, bx_hi) = profs[2]
+        p_next, phxl2, psxl2, phxh2, psxh2 = merged(
+            p_prev, p, c2dt2, phxl, psxl, phxh, psxh,
+            ax_lo, bx_lo, ax_hi, bx_hi, uy[0], uy[1], uz[0], uz[1],
+        )
+        new_strips = (
+            (new_y[0], new_y[1], new_y[2], new_y[3]),
+            (new_z[0], new_z[1], new_z[2], new_z[3]),
+            (phxl2, psxl2, phxh2, psxh2),
+        )
+        return (p, p_next, new_strips)
+
+    return step, zero_state
