@@ -12,7 +12,8 @@ import time
 
 
 def bench_3d_step(ny=801, nz=187, nx=801, pml=20, order=8, by=8, bz=64,
-                  nts=(8, 40), reps=3):
+                  nts=(8, 40), reps=3, which=("leapfrog", "full_step"),
+                  by2=16, bz2=64):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -41,6 +42,13 @@ def bench_3d_step(ny=801, nz=187, nx=801, pml=20, order=8, by=8, bz=64,
     )
     leap = make_leapfrog3d_zsplit(grid, by=by, bz=bz)
 
+    from ..kernels.acoustic3d_fused2 import make_acoustic3d_fused_step2
+
+    step2, zero_state2 = make_acoustic3d_fused_step2(
+        grid, dt, f0, c_max, by=by2, bz=bz2
+    )
+    c2_b = extend_yz(jnp.asarray((vp * dt) ** 2), grid, by=by2, bz=bz2)
+
     def make_full(nt):
         @jax.jit
         def prog(c2_):
@@ -68,16 +76,32 @@ def bench_3d_step(ny=801, nz=187, nx=801, pml=20, order=8, by=8, bz=64,
 
         return prog
 
+    def make_full2(nt):
+        @jax.jit
+        def prog(c2_):
+            def body(s, _):
+                return step2(s, c2_), None
+
+            s0 = zero_state2()
+            s0 = (s0[0], s0[1].at[NY // 2, NZ // 2, NX // 2].set(1.0), s0[2])
+            (_, p, _), _ = lax.scan(body, s0, None, length=nt)
+            return jnp.sum(p * p)
+
+        return prog
+
+    makers = {"leapfrog": (make_leap, c2), "full_step": (make_full, c2),
+              "full_step2": (make_full2, c2_b)}
     out = {}
-    for name, mk in (("leapfrog", make_leap), ("full_step", make_full)):
+    for name in which:
+        mk, c2_in = makers[name]
         times = {}
         for nt in nts:
             prog = mk(nt)
-            float(prog(c2 * 1.01))
+            float(prog(c2_in * 1.01))
             ts = []
             for i in range(reps):
                 t0 = time.perf_counter()
-                float(prog(c2 * (1.01 + 1e-4 * i)))
+                float(prog(c2_in * (1.01 + 1e-4 * i)))
                 ts.append(time.perf_counter() - t0)
             times[nt] = sorted(ts)[len(ts) // 2]
         per_step = (times[nts[1]] - times[nts[0]]) / (nts[1] - nts[0])
