@@ -1,0 +1,211 @@
+"""3D fused-adjoint simulator: custom_vjp over the fused v2 forward step
+with the fused backward kernels (kernels/acoustic3d_bwd_pallas.py).
+
+simulate(c2dt2, wavelet, src_idx, rcv_idx) -> seis (nt, nrec)
+  - c2dt2: (c*dt)^2 on the PADDED grid (not extended); float32.
+  - gradient: exact discrete adjoint with boundary-saving reconstruction,
+    masked to the valid region (rings.mask_valid), matching
+    adjoint.make_simulator's jnp engine (tests/test_acoustic3d_bwd.py).
+
+Index conventions mirror adjoint.py's jnp engine exactly:
+  forward step t: p_{t+1} = 2 p_t - p_{t-1} + c2 lap_cpml(p_t) +
+                  c2[src] w_t;  rec_t = p_{t+1}[rcv];
+                  tape_t = rings(p_{t+1})
+  reverse step t: impose rings(p_{t-1}) = tape_{t-2};
+                  inject ybar_t into lam; image gacc += lam lap(p_t);
+                  lam' = transposed step (T kernel + tcorr face kernels)
+
+The c2 cotangent = gacc + sum_t w_t lam_t at the source positions (the
+src-term chain), cropped and masked. The wavelet cotangent =
+c2[src] * lam_t[src] summed over sources.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .cpml import CpmlProfile
+from .grid import Grid
+from .kernels.acoustic3d_pallas import crop_yz, extend_yz, y_extended, z_extended
+from .kernels.acoustic3d_fused2 import make_acoustic3d_fused_step2
+from .kernels.acoustic3d_bwd_pallas import (
+    extract_tape3d,
+    make_recon3d_kernel,
+    make_tcorr3d_y,
+    make_tcorr3d_z,
+    make_transpose3d_kernel,
+)
+from .propagators.boundary import RingSpec
+
+
+def _int_cotangent(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def make_simulator3d_fused(
+    grid: Grid,
+    dt: float,
+    f0: float,
+    c_max: float,
+    by: int = 16,
+    bz: int = 64,
+    bz_y: int = 16,
+    interpret: bool = False,
+):
+    """Build the fused-3D simulate() with boundary-saving custom VJP."""
+    if grid.ndim != 3:
+        raise ValueError("make_simulator3d_fused needs a 3D grid")
+    r = grid.radius
+    S = grid.pml + r
+    W = S + 2 * r
+    NY, NZ, NX = grid.padded_shape
+    NYe = y_extended(grid, by)
+    NZe = z_extended(grid, bz)
+    dtype = jnp.float32
+    rings = RingSpec.build(grid)
+
+    step2, zero_state = make_acoustic3d_fused_step2(
+        grid, dt, f0, c_max, by=by, bz=bz, bz_y=bz_y, interpret=interpret
+    )
+    recon = make_recon3d_kernel(grid, by=by, bz=bz, interpret=interpret)
+    transp = make_transpose3d_kernel(grid, by=by, bz=bz, interpret=interpret)
+    tcy = {s: make_tcorr3d_y(grid, s, bz_y, NZe, by, interpret) for s in (0, 1)}
+    tcz = {s: make_tcorr3d_z(grid, s, by, NYe, interpret) for s in (0, 1)}
+
+    profs = []
+    for ax in range(3):
+        prof = CpmlProfile.build(
+            n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
+            h=grid.h[ax], dt=dt, c_max=c_max, f0=f0,
+        )
+        n_pad = grid.padded_shape[ax]
+        shp = [(S, 1, 1), (1, S, 1), (1, 1, S)][ax]
+        lo = (jnp.asarray(prof.a[:S], dtype).reshape(shp),
+              jnp.asarray(prof.b[:S], dtype).reshape(shp))
+        hi = (jnp.asarray(prof.a[n_pad - S:], dtype).reshape(shp),
+              jnp.asarray(prof.b[n_pad - S:], dtype).reshape(shp))
+        profs.append((lo, hi))
+
+    offs = {0: (0, NY - W), 1: (0, NZ - W)}
+
+    def _slice(f, ax, side):
+        return lax.slice_in_dim(f, offs[ax][side], offs[ax][side] + W,
+                                axis=ax)
+
+    def _coords(idx):
+        return tuple(idx[..., d] for d in range(3))
+
+    def _fwd_scan(c2e, wavelet, src_idx, rcv_idx, with_tape):
+        src = _coords(src_idx)
+        rcv = _coords(rcv_idx)
+
+        def body(s, w_t):
+            s = step2(s, c2e)
+            p_prev, p_next, strips = s
+            p_next = p_next.at[src].add(c2e[src] * w_t, mode="drop")
+            rec = p_next[rcv]
+            ys = (rec, extract_tape3d(grid, p_next)) if with_tape else rec
+            return (p_prev, p_next, strips), ys
+
+        final, ys = lax.scan(body, zero_state(), wavelet)
+        return final, ys
+
+    def simulate_plain(c2dt2, wavelet, src_idx, rcv_idx):
+        c2e = extend_yz(c2dt2, grid, by=by, bz=bz)
+        _, seis = _fwd_scan(c2e, wavelet, src_idx, rcv_idx, with_tape=False)
+        return seis
+
+    simulate = jax.custom_vjp(simulate_plain)
+
+    def simulate_fwd(c2dt2, wavelet, src_idx, rcv_idx):
+        c2e = extend_yz(c2dt2, grid, by=by, bz=bz)
+        final, (seis, tape) = _fwd_scan(
+            c2e, wavelet, src_idx, rcv_idx, with_tape=True
+        )
+        p_pen, p_last = final[0], final[1]
+        residuals = (c2dt2, wavelet, src_idx, rcv_idx, tape, p_pen, p_last)
+        return seis, residuals
+
+    def simulate_bwd(residuals, seis_bar):
+        c2dt2, wavelet, src_idx, rcv_idx, tape, p_pen, p_last = residuals
+        c2e = extend_yz(c2dt2, grid, by=by, bz=bz)
+        src = _coords(src_idx)
+        rcv = _coords(rcv_idx)
+
+        # tape_t = rings(p_{t+1}); reverse at t needs rings(p_{t-1}) =
+        # tape_{t-2} (zeros for t < 2)
+        def shift2(T):
+            z = jnp.zeros((2,) + T.shape[1:], T.dtype)
+            return jnp.concatenate([z, T[:-2]], axis=0)
+
+        tape_tm1 = jax.tree.map(shift2, tape)
+
+        zf = jnp.zeros((NYe, NZe, NX), dtype)
+        zS_y = jnp.zeros((S, NZe, NX), dtype)
+        zS_z = jnp.zeros((NYe, S, NX), dtype)
+        zS_x = jnp.zeros((NYe, NZe, S), dtype)
+
+        def bwd_body(carry, xs):
+            (p_t, p_tp1, lam, lam_prev, gacc,
+             dy, dz, dx, wsrc_acc) = carry
+            ring_tm1, w_t, ybar_t = xs
+            # cotangent injection (this step's lam becomes lam_t)
+            lam = lam.at[rcv].add(ybar_t, mode="drop")
+            # source-term cotangents
+            lam_at_src = lam[src]
+            w_inc = jnp.sum(c2e[src] * lam_at_src)  # wavelet chain
+            wsrc_acc = wsrc_acc + w_t * lam_at_src  # c2[src] chain
+            # recon + imaging (R kernel), then the source term
+            p_tm1, gacc = recon(p_tp1, p_t, c2e, lam, gacc, ring_tm1)
+            p_tm1 = p_tm1.at[src].add(c2e[src] * w_t, mode="drop")
+            # transposed step
+            u = c2e * lam
+            upds_y, upds_z = [], []
+            dy2, dz2 = [], []
+            for ax, (duals, tc, ul, nl) in (
+                (0, (dy, tcy, upds_y, dy2)), (1, (dz, tcz, upds_z, dz2))
+            ):
+                duals_st, tck, ulist, nlist = duals, tc, ul, nl
+                for side in (0, 1):
+                    pb, ps = duals_st[2 * side], duals_st[2 * side + 1]
+                    a, b = profs[ax][side]
+                    upd, pb2, ps2 = tck[side](
+                        _slice(u, ax, side), pb, ps, a, b
+                    )
+                    ulist.append(upd)
+                    nlist += [pb2, ps2]
+            pbxl, psxl, pbxh, psxh = dx
+            (axp, bxp), (axh, bxh) = profs[2]
+            lam_next, pbxl2, psxl2, pbxh2, psxh2 = transp(
+                lam_prev, lam, u, pbxl, psxl, pbxh, psxh,
+                axp, bxp, axh, bxh,
+                upds_y[0], upds_y[1], upds_z[0], upds_z[1],
+            )
+            new_carry = (
+                p_tm1, p_t, lam_next, lam, gacc,
+                tuple(dy2), tuple(dz2), (pbxl2, psxl2, pbxh2, psxh2),
+                wsrc_acc,
+            )
+            return new_carry, w_inc
+
+        carry0 = (
+            p_pen, p_last, zf, zf, zf,
+            (zS_y, zS_y, zS_y, zS_y), (zS_z, zS_z, zS_z, zS_z),
+            (zS_x, zS_x, zS_x, zS_x),
+            jnp.zeros(src_idx.shape[:-1], dtype),
+        )
+        xs = (tape_tm1, wavelet, seis_bar)
+        carry_f, wbar = lax.scan(bwd_body, carry0, xs, reverse=True)
+        gacc = carry_f[4]
+        wsrc_acc = carry_f[8]
+
+        c2bar_e = gacc.at[src].add(wsrc_acc, mode="drop")
+        c2bar = rings.mask_valid(crop_yz(c2bar_e, grid))
+        return (c2bar, wbar, _int_cotangent(src_idx),
+                _int_cotangent(rcv_idx))
+
+    simulate.defvjp(simulate_fwd, simulate_bwd)
+    return simulate
