@@ -7,9 +7,16 @@ Measures (nt-slope, relay-safe):
 Run: python scripts/attrib_3d_fused2.py
 """
 
+import os
 import time
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -88,23 +95,23 @@ def run_merged_only(by, bz):
 
     def prog(nt):
         @jax.jit
-        def f(c2_):
+        def f(c2_, uyl_, uyh_, uzl_, uzh_, zS_):
             def body(carry, _):
                 pp, p, phl, psl, phh, psh = carry
                 pn, phl2, psl2, phh2, psh2 = merged(
                     pp, p, c2_, phl, psl, phh, psh,
-                    axl, bxl, axh, bxh, uyl, uyh, uzl, uzh,
+                    axl, bxl, axh, bxh, uyl_, uyh_, uzl_, uzh_,
                 )
                 return (p, pn, phl2, psl2, phh2, psh2), None
 
             z = jnp.zeros_like(c2_)
             p0 = z.at[NY // 2, NZ // 2, NX // 2].set(1.0)
             (_, p, *_), _ = lax.scan(
-                body, (z, p0, zS, zS, zS, zS), None, length=nt
+                body, (z, p0, zS_, zS_, zS_, zS_), None, length=nt
             )
             return jnp.sum(p * p)
 
-        return f
+        return lambda c2_: f(c2_, uyl, uyh, uzl, uzh, zS)
 
     per = slope(prog, c2)
     print(f"merged-only by={by} bz={bz}: {per*1e3:.2f} ms/step", flush=True)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .cpml import build_profiles
+from .cpml import CpmlProfile, build_profiles
 from .grid import Grid
 from .kernels.acoustic2d_jnp import (
     AcousticParams,
@@ -187,4 +187,140 @@ def make_simulator(
         return c2bar, wbar, _int_cotangent(src_idx), _int_cotangent(rcv_idx)
 
     simulate.defvjp(simulate_fwd, simulate_bwd)
+    simulate.rings = rings
+    return simulate
+
+
+def make_simulator_vd(
+    grid: Grid,
+    dt: float,
+    f0: float,
+    c_max: float,
+    dtype=jnp.float32,
+    use_custom_vjp: bool = True,
+):
+    """Variable-density acoustic simulator with boundary-saving adjoint.
+
+    ``simulate(kdt2, buoy_half, wavelet, src_idx, rcv_idx) -> seis`` where
+    kdt2 = rho c^2 dt^2 on the padded grid and buoy_half is the per-axis
+    tuple of half-point buoyancies (kernels.acoustic_vd_jnp.buoy_to_half).
+    Differentiable in kdt2, buoy_half and wavelet — the exact-transpose
+    argument of make_simulator applies verbatim (the vd step is affine in
+    its state), so the reverse pass reconstructs the source field by
+    reverse time-stepping with ring re-imposition and pulls BOTH model
+    cotangents through jax.vjp of the affine step. Gradients chain to
+    (vp, rho) in the caller (see tests/test_variable_density.py).
+    """
+    from .kernels.acoustic_vd_jnp import (
+        VdParams,
+        VdState,
+        make_vd_recon,
+        make_vd_step,
+        zero_vd_state,
+    )
+
+    z_axis = 0 if grid.ndim == 2 else 1
+    prof_n, prof_h = [], []
+    for ax in range(grid.ndim):
+        kw = dict(n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
+                  h=grid.h[ax], dt=dt, c_max=c_max, f0=f0,
+                  free_lo=(grid.free_surface and ax == z_axis))
+        pn = CpmlProfile.build(**kw)
+        ph = CpmlProfile.build(stagger=0.5, **kw)
+        shape = [1] * grid.ndim
+        shape[ax] = pn.a.shape[0]
+        prof_n.append((jnp.asarray(pn.a.reshape(shape), dtype),
+                       jnp.asarray(pn.b.reshape(shape), dtype)))
+        prof_h.append((jnp.asarray(ph.a.reshape(shape), dtype),
+                       jnp.asarray(ph.b.reshape(shape), dtype)))
+    an = tuple(pr[0] for pr in prof_n)
+    bn = tuple(pr[1] for pr in prof_n)
+    ah = tuple(pr[0] for pr in prof_h)
+    bh = tuple(pr[1] for pr in prof_h)
+
+    step = make_vd_step(grid)
+    recon = make_vd_recon(grid)
+    # composite staggered reach: D+ spans [-(R-1), R], D- spans [-R, R-1]
+    # (R = len(staggered taps) = order/2) => 2R-1 cells each side
+    rings = RingSpec.build(grid, width=2 * (grid.order // 2) - 1)
+    ndim = grid.ndim
+    shape = grid.padded_shape
+
+    def _params(kdt2, buoy_half, src_idx, rcv_idx):
+        return VdParams(kdt2=kdt2, buoy_half=tuple(buoy_half), an=an, bn=bn,
+                        ah=ah, bh=bh, src_idx=src_idx, rcv_idx=rcv_idx)
+
+    def simulate_plain(kdt2, buoy_half, wavelet, src_idx, rcv_idx):
+        params = _params(kdt2, buoy_half, src_idx, rcv_idx)
+
+        def body(s, w_t):
+            return step(s, params, w_t)
+
+        _, seis = lax.scan(body, zero_vd_state(shape, ndim, kdt2.dtype), wavelet)
+        return seis
+
+    if not use_custom_vjp:
+        simulate_plain.rings = rings
+        return simulate_plain
+
+    simulate = jax.custom_vjp(simulate_plain)
+
+    def simulate_fwd(kdt2, buoy_half, wavelet, src_idx, rcv_idx):
+        params = _params(kdt2, buoy_half, src_idx, rcv_idx)
+
+        def body(s, w_t):
+            s, rec = step(s, params, w_t)
+            return s, (rec, rings.extract(s.p))
+
+        final, (seis, tape) = lax.scan(
+            body, zero_vd_state(shape, ndim, kdt2.dtype), wavelet
+        )
+        residuals = (kdt2, tuple(buoy_half), wavelet, src_idx, rcv_idx,
+                     tape, final.p_prev, final.p)
+        return seis, residuals
+
+    def simulate_bwd(residuals, seis_bar):
+        (kdt2, buoy_half, wavelet, src_idx, rcv_idx, tape,
+         p_last_prev, p_last) = residuals
+
+        def shift2(T):
+            z = jnp.zeros((2,) + T.shape[1:], T.dtype)
+            return jnp.concatenate([z, T[:-2]], axis=0)
+
+        tape_tm1 = jax.tree.map(shift2, tape)
+
+        def step_m(s, kdt2_, buoy_, w_t):
+            return step(s, _params(kdt2_, buoy_, src_idx, rcv_idx), w_t)
+
+        def bwd_body(carry, xs):
+            sbar, p_t, p_tp1, kbar, bbar = carry
+            ring_tm1, w_t, ybar_t = xs
+            p_tm1 = recon(p_t, p_tp1, kdt2, buoy_half, src_idx, w_t)
+            p_tm1 = rings.impose(p_tm1, ring_tm1)
+            z = jnp.zeros(shape, kdt2.dtype)
+            s_primal = VdState(
+                p_prev=p_tm1, p=p_t,
+                phi=tuple(z for _ in range(ndim)),
+                psi=tuple(z for _ in range(ndim)),
+            )
+            _, pullback = jax.vjp(step_m, s_primal, kdt2, buoy_half, w_t)
+            sbar_new, k_inc, b_inc, w_inc = pullback((sbar, ybar_t))
+            kbar = kbar + k_inc
+            bbar = jax.tree.map(jnp.add, bbar, b_inc)
+            return (sbar_new, p_tm1, p_t, kbar, bbar), w_inc
+
+        sbar0 = zero_vd_state(shape, ndim, kdt2.dtype)
+        carry0 = (
+            sbar0, p_last_prev, p_last, jnp.zeros(shape, kdt2.dtype),
+            tuple(jnp.zeros(shape, kdt2.dtype) for _ in range(ndim)),
+        )
+        xs = (tape_tm1, wavelet, seis_bar)
+        (_, _, _, kbar, bbar), wbar = lax.scan(bwd_body, carry0, xs, reverse=True)
+        kbar = rings.mask_valid(kbar)
+        bbar = tuple(rings.mask_valid(b_) for b_ in bbar)
+        return (kbar, bbar, wbar, _int_cotangent(src_idx),
+                _int_cotangent(rcv_idx))
+
+    simulate.defvjp(simulate_fwd, simulate_bwd)
+    simulate.rings = rings
     return simulate

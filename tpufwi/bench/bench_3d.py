@@ -14,7 +14,16 @@ import time
 def bench_3d_step(ny=801, nz=187, nx=801, pml=20, order=8, by=8, bz=64,
                   nts=(8, 40), reps=3, which=("leapfrog", "full_step"),
                   by2=16, bz2=64):
+    import os
+
     import jax
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
     import jax.numpy as jnp
     import numpy as np
     from jax import lax

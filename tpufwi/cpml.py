@@ -52,8 +52,13 @@ class CpmlProfile:
         kappa_max: float = 1.0,
         free_lo: bool = False,
         free_hi: bool = False,
+        stagger: float = 0.0,
     ) -> "CpmlProfile":
         """Build profiles for one axis of a padded grid.
+
+        ``stagger`` offsets the evaluation points by that many cells
+        (0.5 = half-point profiles for staggered first derivatives, used
+        by the variable-density engine's phi memory variables).
 
         Args:
           n: physical size along this axis (unpadded).
@@ -79,7 +84,7 @@ class CpmlProfile:
         # Signed distance into the PML, measured from the inner interface,
         # for every padded-grid point. Ghost cells (beyond the PML) get the
         # full-depth value; they are zero-Dirichlet anyway.
-        idx = np.arange(n_pad, dtype=np.float64)
+        idx = np.arange(n_pad, dtype=np.float64) + float(stagger)
         lo_interface = pml + radius  # first interior cell index
         hi_interface = pml + radius + n - 1  # last interior cell index
         depth = np.zeros(n_pad)

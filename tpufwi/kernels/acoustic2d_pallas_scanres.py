@@ -54,15 +54,18 @@ from .acoustic2d_pallas import (
     strip_depth,
 )
 
-# Default time sub-steps per grid iteration. The kernel body unrolls CH
-# sub-steps, so Mosaic compile time scales ~linearly with it; at Marmousi
-# scale (~800 native tiles per full-grid op) CH=8 of the original
-# VPU-strip body pushed a single kernel compile past 30 minutes. With the
-# MXU-banded strip algebra (few ops per strip) CH=4 compiles in minutes.
-# Streaming granularity (tape/seis chunk size) also equals CH; the HBM
-# traffic per step is CH-independent, so small CH costs only per-grid-step
-# pipeline overhead.
-CH = 4
+# Default time sub-steps per grid iteration. The kernel body is a
+# fori_loop over SUBSTEP PAIRS (the buffer ping-pong is pair-invariant,
+# so the traced body covers exactly 2 sub-steps regardless of CH) —
+# Mosaic compile time is therefore ~CH-independent, unlike the round-2
+# unrolled body where CH=8 pushed a single compile past 30 minutes.
+# Larger CH cuts per-grid-step pipeline overhead 1/CH; the streamed
+# chunk sizes (tape/seis rows) grow with CH but per-step HBM traffic is
+# unchanged. Dynamic in-chunk indexing this requires: SMEM scalar reads
+# at traced offsets (fine), one-hot MXU reads of the cotangent row, and
+# one-hot accumulator scratch for the seis/lam_src row stores (dynamic
+# sublane-offset stores do not lower).
+CH = 16
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -175,7 +178,8 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
         zc_ref, xc_ref = scr[6], scr[7]  # both sides stacked: (2*S3,NX)/(NZ,2*S3)
         ohzT_ref, ohxT_ref = scr[8], scr[9]
         kz_ref, kcz_ref, kx_ref, kcx_ref = scr[10:14]
-        ring_delay = scr[14 : 14 + 2 * NRING]  # [slab][delay slot]
+        sacc_ref = scr[14]  # (CH, nrec) seis-row accumulator
+        ring_delay = scr[15 : 15 + 2 * NRING]  # [slab][delay slot]
 
         c = pl.program_id(0)
         tb = c * CH  # first time index of this chunk (w is whole in SMEM)
@@ -212,7 +216,9 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
         def c2i(zs, xs):
             return c2_ref[PZ + zs.start : PZ + zs.stop, PX + xs.start : PX + xs.stop]
 
-        def substep(j, prev_ref, cur_ref, dst_ref):
+        def substep(jl, par, prev_ref, cur_ref, dst_ref):
+            # jl: traced in-chunk time index; par = jl % 2 as a STATIC int
+            # (the fori_loop body covers one even+odd pair)
             lap = _shift_sum_rows(cur_ref, d2z, r, 0, NZ, NX) + _shift_sum_cols(
                 cur_ref, d2x, r, 0, NX, NZ
             )
@@ -226,7 +232,7 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
             i8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 0)
             x8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 1)
             for i in range(nsrc):
-                amp = c2src_ref[i] * w_ref[tb + j]
+                amp = c2src_ref[i] * w_ref[tb + jl]
                 sz8 = pl.multiple_of((sz_ref[i] // 8) * 8, 8)
                 mask = (i8 == sz_ref[i] - sz8) & (x8 == sx_ref[i])
                 dst_ref[pl.ds(PZ + sz8, 8), PX : PX + NX] = (
@@ -308,35 +314,43 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
                 )
 
             # tape row t <- rings(P_{t-2}) from the 2-deep delay, then save
-            # rings(P_t) into the freed slot (delay slot = t mod 2 = j mod 2)
+            # rings(P_t) into the freed slot (delay slot = t mod 2 = par)
             if with_tape:
                 for m, sl in enumerate(ring_slices):
-                    dref = ring_delay[2 * m + (j % 2)]
-                    ring_o[m][j] = dref[:]
+                    dref = ring_delay[2 * m + par]
+                    ring_o[m][pl.ds(jl, 1)] = dref[:][None]
                     dref[:] = dst_ref[
                         PZ + sl[0].start : PZ + sl[0].stop,
                         PX + sl[1].start : PX + sl[1].stop,
                     ]
 
             # seismogram row: slab @ one-hot^T on the MXU, then a masked
-            # RH-sublane reduce picks each receiver's row
+            # RH-sublane reduce; the row lands in the (CH, nrec)
+            # accumulator via a one-hot sublane mask (dynamic sublane
+            # stores don't lower), flushed once per chunk
             slab = dst_ref[pl.ds(PZ + r0, RH), PX : PX + NX]
             M = jnp.dot(slab, ohxT_ref[:], preferred_element_type=dtype,
                         precision=HIGHEST)  # (RH, nrec)
-            seis_ref[0, j : j + 1, :] = jnp.sum(
-                M * ohzT_ref[:], axis=0, keepdims=True
-            )
+            row = jnp.sum(M * ohzT_ref[:], axis=0, keepdims=True)
+            jmask = (
+                jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0) == jl
+            ).astype(dtype)
+            sacc_ref[:] = sacc_ref[:] + jmask * row
 
-        prev_ref, cur_ref = pa, pb
-        for j in range(CH):
-            dst = prev_ref
-            substep(j, prev_ref, cur_ref, dst)
-            prev_ref, cur_ref = cur_ref, dst
+        sacc_ref[:] = jnp.zeros((CH, nrec), dtype)
+
+        def pair(i, carry):
+            substep(2 * i, 0, pa, pb, pa)
+            substep(2 * i + 1, 1, pb, pa, pb)
+            return carry
+
+        jax.lax.fori_loop(0, CH // 2, pair, 0)
+        seis_ref[0] = sacc_ref[:]
 
         @pl.when(c == nC - 1)
         def _final():
-            ppen_ref[:] = prev_ref[:]
-            plast_ref[:] = cur_ref[:]
+            ppen_ref[:] = pa[:]
+            plast_ref[:] = pb[:]
 
     out_specs = [
         pl.BlockSpec((1, CH, nrec), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
@@ -384,6 +398,7 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
         pltpu.VMEM((2 * SE, 2 * S3), dtype),  # kcz (block-diag both sides)
         pltpu.VMEM((2 * S, S + 2 * r), dtype),  # kx (d1;d2 stacked)
         pltpu.VMEM((2 * SE, 2 * S3), dtype),  # kcx (block-diag both sides)
+        pltpu.VMEM((CH, nrec), dtype),  # sacc (seis-row accumulator)
     ] + [pltpu.VMEM(dims, dtype) for dims in ring_dims for _ in range(2)]
 
     return pl.pallas_call(
@@ -456,6 +471,7 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
         ohzT_ref, ohx_ref = scr[14], scr[15]
         (kz_ref, kwz_ref, kyz_ref, kx_ref, kwx_ref, kyx_ref) = scr[16:22]
         szT_ref, sxT_ref = scr[22], scr[23]
+        lsacc_ref = scr[24]  # (CH, nsrc) lam-at-src accumulator
 
         c = pl.program_id(0)
         tb = (nC - 1 - c) * CH  # first time index of this (descending) chunk
@@ -515,15 +531,18 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
         # `qoth` still holds the post-injection buffer of step t+1, so the
         # old `qa = -lam_{t+1}` term is read from it inside the q-update
         # expression — no full-grid negate-copy per step. CH must be even
-        # so buffer roles line up across grid iterations.
-        p_tp1, p_t = pa, pb
+        # so buffer roles line up across grid iterations AND so the
+        # fori_loop pair body (one even + one odd sub-step) is
+        # role-invariant — Mosaic traces 2 sub-steps regardless of CH.
         i8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 0)
         x8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 1)
-        for step_i in range(CH):
-            j = CH - 1 - step_i
-            dst = pa if step_i % 2 == 0 else pb
-            qcur = q0 if step_i % 2 == 0 else q1
-            qoth = q1 if step_i % 2 == 0 else q0
+
+        def substep(step_i, par):
+            j = CH - 1 - step_i  # traced in-chunk time index
+            p_tp1, p_t = (pa, pb) if par == 0 else (pb, pa)
+            dst = pa if par == 0 else pb
+            qcur = q0 if par == 0 else q1
+            qoth = q1 if par == 0 else q0
 
             # ---- reconstruction ----
             lapw = _shift_sum_rows(p_t, d2z, r, 0, NZ, NX) + _shift_sum_cols(
@@ -544,17 +563,22 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
                 )
             for m, sl in enumerate(ring_slices):
                 dst[PZ + sl[0].start : PZ + sl[0].stop,
-                    PX + sl[1].start : PX + sl[1].stop] = ring_i[m][j]
+                    PX + sl[1].start : PX + sl[1].stop] = (
+                    ring_i[m][pl.ds(j, 1)][0]
+                )
 
             if _debug_parts == "recon":
-                lam_src_ref[0, j : j + 1, :] = jnp.zeros((1, nsrc), dtype)
-                p_tp1, p_t = p_t, dst
-                continue
+                return  # lam_src accumulator stays zero for this row
 
             # ---- transposed step ----
             # receiver-cotangent injection: one-hot MXU product into the
             # RH-row slab; yb row j broadcasts over the RH sublanes
-            u_rec = ohzT_ref[:] * yb_ref[0, j : j + 1, :]  # (RH, nrec)
+            ohj = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1) == j
+            ).astype(dtype)
+            ybrow = jnp.dot(ohj, yb_ref[0], preferred_element_type=dtype,
+                            precision=HIGHEST)  # (1, nrec)
+            u_rec = ohzT_ref[:] * ybrow  # (RH, nrec)
             inj = jnp.dot(u_rec, ohx_ref[:], preferred_element_type=dtype,
                           precision=HIGHEST)  # (RH, NX)
             qcur[pl.ds(r0, RH), :] = qcur[pl.ds(r0, RH), :] + inj
@@ -569,9 +593,11 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
             # adjoint-at-source gather: one-hot column product + sublane sum
             col = jnp.dot(lam, sxT_ref[:], preferred_element_type=dtype,
                           precision=HIGHEST)  # (NZ, nsrc)
-            lam_src_ref[0, j : j + 1, :] = jnp.sum(
-                col * szT_ref[:], axis=0, keepdims=True
-            )
+            row_s = jnp.sum(col * szT_ref[:], axis=0, keepdims=True)
+            jmask = (
+                jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0) == j
+            ).astype(dtype)
+            lsacc_ref[:] = lsacc_ref[:] + jmask * row_s
             u_ref[PZ : PZ + NZ, PX : PX + NX] = c2_ref[:] * lam
             gacc_ref[:] = gacc_ref[:] + lam * lapw
             qoth[:] = (
@@ -582,8 +608,7 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
             )
 
             if _debug_parts == "nostrips":
-                p_tp1, p_t = p_t, dst
-                continue
+                return
 
             # z strips, both sides, three phases: fill the stacked w ring +
             # per-side d1u dots; ONE packed d1w/d2w product; fill the
@@ -662,7 +687,15 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
                     qoth[:, ext] + d2w_x[s] - dy_x[:, s * SE : (s + 1) * SE]
                 )
 
-            p_tp1, p_t = p_t, dst
+        lsacc_ref[:] = jnp.zeros((CH, nsrc), dtype)
+
+        def pair(i, carry):
+            substep(2 * i, 0)
+            substep(2 * i + 1, 1)
+            return carry
+
+        jax.lax.fori_loop(0, CH // 2, pair, 0)
+        lam_src_ref[0] = lsacc_ref[:]
 
         @pl.when(c == nC - 1)
         def _final():
@@ -726,6 +759,7 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
         pltpu.VMEM((2 * SE, 2 * S3), dtype),  # kyx
         pltpu.VMEM((NZ, nsrc), dtype),  # szT
         pltpu.VMEM((NX, nsrc), dtype),  # sxT
+        pltpu.VMEM((CH, nsrc), dtype),  # lsacc (lam-at-src accumulator)
     ]
 
     return pl.pallas_call(

@@ -125,6 +125,110 @@ def oracle_forward(
     return seis, snaps
 
 
+def oracle_forward_vd(
+    vp: np.ndarray,
+    rho: np.ndarray,
+    grid: Grid,
+    dt: float,
+    wavelet: np.ndarray,
+    src_idx: np.ndarray,
+    rcv_idx: np.ndarray,
+    f0: float,
+):
+    """Variable-density acoustic forward (p_tt = rho c^2 div(grad p/rho)),
+    fp64, staggered first-derivative flux form with CPML on both the
+    half-point fluxes (phi) and the node divergence (psi). Written
+    independently of kernels/acoustic_vd_jnp.py as its ground truth.
+    """
+    from ..grid import D1_STAGGERED_COEFFS
+
+    vp = np.asarray(vp, dtype=np.float64)
+    rho = np.asarray(rho, dtype=np.float64)
+    nt = len(wavelet)
+    pad = grid.pad
+    c = np.pad(vp, [(pad, pad)] * grid.ndim, mode="edge")
+    rr = np.pad(rho, [(pad, pad)] * grid.ndim, mode="edge")
+    kdt2 = rr * c * c * dt * dt
+    buoy = 1.0 / rr
+    taps = np.asarray(D1_STAGGERED_COEFFS[grid.order], dtype=np.float64)
+
+    def dplus(f, axis, h):
+        out = np.zeros_like(f)
+        fp_ = np.pad(f, [(len(taps), len(taps)) if ax_ == axis else (0, 0)
+                         for ax_ in range(f.ndim)])
+        n = f.shape[axis]
+        R = len(taps)
+        for k, cco in enumerate(taps):
+            hi = np.take(fp_, range(R + 1 + k, R + 1 + k + n), axis=axis)
+            lo = np.take(fp_, range(R - k, R - k + n), axis=axis)
+            out += cco * (hi - lo)
+        return out / h
+
+    def dminus(f, axis, h):
+        out = np.zeros_like(f)
+        fp_ = np.pad(f, [(len(taps), len(taps)) if ax_ == axis else (0, 0)
+                         for ax_ in range(f.ndim)])
+        n = f.shape[axis]
+        R = len(taps)
+        for k, cco in enumerate(taps):
+            hi = np.take(fp_, range(R + k, R + k + n), axis=axis)
+            lo = np.take(fp_, range(R - 1 - k, R - 1 - k + n), axis=axis)
+            out += cco * (hi - lo)
+        return out / h
+
+    def to_half(b, axis):
+        hi = np.take(b, range(1, b.shape[axis]), axis=axis)
+        lo = np.take(b, range(0, b.shape[axis] - 1), axis=axis)
+        avg = 0.5 * (hi + lo)
+        padw = [(0, 1) if ax_ == axis else (0, 0) for ax_ in range(b.ndim)]
+        return np.pad(avg, padw, mode="edge")
+
+    z_axis = 0 if grid.ndim == 2 else 1
+    prof_n, prof_h = [], []
+    for ax in range(grid.ndim):
+        shape = [1] * grid.ndim
+        kw = dict(n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
+                  h=grid.h[ax], dt=dt, c_max=float(vp.max()), f0=f0,
+                  free_lo=(grid.free_surface and ax == z_axis))
+        pn = CpmlProfile.build(**kw)
+        ph = CpmlProfile.build(stagger=0.5, **kw)
+        shape[ax] = pn.a.shape[0]
+        prof_n.append((pn.a.reshape(shape), pn.b.reshape(shape)))
+        prof_h.append((ph.a.reshape(shape), ph.b.reshape(shape)))
+
+    bh = [to_half(buoy, ax) for ax in range(grid.ndim)]
+    shape = grid.padded_shape
+    p_prev = np.zeros(shape)
+    p = np.zeros(shape)
+    phi = [np.zeros(shape) for _ in range(grid.ndim)]
+    psi = [np.zeros(shape) for _ in range(grid.ndim)]
+    src = tuple(np.asarray(src_idx, dtype=np.int64).T + pad)
+    rcv = tuple(np.asarray(rcv_idx, dtype=np.int64).T + pad)
+    w = np.asarray(wavelet, dtype=np.float64)
+    seis = np.zeros((nt, np.asarray(rcv_idx).shape[0]))
+    for t in range(nt):
+        lap = np.zeros(shape)
+        for ax in range(grid.ndim):
+            an, bn = prof_n[ax]
+            ah, bhp = prof_h[ax]
+            h = grid.h[ax]
+            dp = dplus(p, ax, h)
+            phi[ax] = bhp * phi[ax] + ah * dp
+            q = bh[ax] * (dp + phi[ax])
+            dq = dminus(q, ax, h)
+            psi[ax] = bn * psi[ax] + an * dq
+            lap += dq + psi[ax]
+        p_next = 2.0 * p - p_prev + kdt2 * lap
+        np.add.at(p_next, src, kdt2[src] * w[t])
+        if grid.free_surface:
+            sl = [slice(None)] * grid.ndim
+            sl[z_axis] = pad
+            p_next[tuple(sl)] = 0.0
+        seis[t] = p_next[rcv]
+        p_prev, p = p, p_next
+    return seis
+
+
 def oracle_elastic_2d(
     vp: np.ndarray,
     vs: np.ndarray,

@@ -38,8 +38,13 @@ class RingSpec:
     valid: Tuple[slice, ...]  # region where reconstruction/gradient is exact
 
     @staticmethod
-    def build(grid: Grid) -> "RingSpec":
-        pad, r = grid.pad, grid.radius
+    def build(grid: Grid, width: int | None = None) -> "RingSpec":
+        """``width`` overrides the ring thickness (default: the stencil
+        radius). The variable-density engine's composite staggered
+        operator D-(b D+(p)) reaches 2R-1 cells (R = order/2 staggered
+        taps), so its rings must be that wide for exact reconstruction
+        (adjoint.make_simulator_vd passes width=2R-1)."""
+        pad, r = grid.pad, (grid.radius if width is None else int(width))
         for n in grid.shape:
             if n <= 4 * r:
                 raise ValueError(
