@@ -18,6 +18,8 @@ from .acquisition import Geometry, line_geometry, split_spread_survey
 from .propagators.acoustic2d import AcousticPropagator
 from .propagators.elastic2d import ElasticPropagator, elastic_cfl_dt
 from .propagators.acoustic3d import ShardedAcoustic3D, domain_sharding
+from .adjoint import make_simulator, make_simulator_vd
+from .adjoint3d_pallas import make_simulator3d_fused
 
 __version__ = "0.1.0"
 
@@ -34,5 +36,8 @@ __all__ = [
     "elastic_cfl_dt",
     "ShardedAcoustic3D",
     "domain_sharding",
+    "make_simulator",
+    "make_simulator_vd",
+    "make_simulator3d_fused",
     "__version__",
 ]
