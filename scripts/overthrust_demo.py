@@ -22,7 +22,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def hardware_phase():
+def hardware_phase(engine: str = "xla"):
+    """engine='fused' uses the fused 3D forward+backward pallas path
+    (adjoint3d_pallas); 'xla' the dimension-agnostic jnp engine."""
     import jax
 
     jax.config.update(
@@ -59,7 +61,12 @@ def hardware_phase():
         for y in (20, 50, 80)
         for x in (40, 100, 160)
     ]
-    sim = make_simulator(grid, dt, f0, c_max, dtype=jnp.float32)
+    if engine == "fused":
+        from tpufwi.adjoint3d_pallas import make_simulator3d_fused
+
+        sim = make_simulator3d_fused(grid, dt, f0, c_max, by=16, bz=64)
+    else:
+        sim = make_simulator(grid, dt, f0, c_max, dtype=jnp.float32)
     pad = grid.pad
 
     def c2of(v):
@@ -118,6 +125,7 @@ def hardware_phase():
         "err_ratio": err1 / err0,
         "wall_seconds": round(t1 - t0, 1),
         "chip": "v5e-1",
+        "engine": engine,
     }
 
 
@@ -184,9 +192,10 @@ print(json.dumps({"sharded_vs_unsharded_grad_rel": rel}))
 
 
 def main():
-    run_dir = "runs/overthrust_demo"
+    engine = "fused" if "--fused" in sys.argv else "xla"
+    run_dir = "runs/overthrust_demo" + ("_fused" if engine == "fused" else "")
     os.makedirs(run_dir, exist_ok=True)
-    hw = hardware_phase()
+    hw = hardware_phase(engine)
     sem = semantics_phase()
     summary = {**hw, **sem}
     with open(os.path.join(run_dir, "summary.json"), "w") as f:

@@ -177,3 +177,57 @@ def test_vd_rho_vp_chain_rule_dot_product():
     fd = (Jp - Jm) / (2 * eps)
     rel = abs(fd - gdot) / (abs(fd) + 1e-300)
     assert rel < 1e-5, f"(vp,rho) directional FD vs AD: {rel:.3e}"
+
+
+def test_vd_fwi_recovers_density_anomaly():
+    """End-to-end (vp, rho) FWI on the vd engine via VdFwiProblem +
+    invert_multiparameter: a density-only anomaly (vp true everywhere)
+    must reduce the misfit and the rho error."""
+    from tpufwi.acquisition import Geometry
+    from tpufwi.config import StageCfg
+    from tpufwi.invert import VdFwiProblem, invert_multiparameter
+
+    grid = Grid(shape=(40, 56), h=(10.0, 10.0), pml=8, order=4)
+    vp_t = np.full(grid.shape, 2000.0)
+    rho_t = np.full(grid.shape, 1800.0)
+    rho_t[18:26, 20:36] = 2400.0  # density anomaly
+    c_max, f0 = 2100.0, 13.0
+    dt = grid.cfl_dt(c_max, safety=0.5)
+    nt = 260
+    w = ricker(f0, dt, nt, dtype=jnp.float64)
+    sim = make_simulator_vd(grid, dt, f0, c_max, dtype=jnp.float64)
+
+    rcv = np.array([[4, x] for x in range(4, 52, 2)])
+    geom_list = [
+        Geometry.from_physical(grid, np.array([[3, x]]), rcv)
+        for x in (12, 28, 44)
+    ]
+    geoms = jax.tree.map(lambda *a: jnp.stack(a), *geom_list)
+
+    def fwd_all(vp_, rho_):
+        prob = VdFwiProblem(sim=sim, grid=grid, dt=dt, geoms=geoms,
+                            d_obs=None, wavelet=w)
+        kdt2, bh = prob._fields(jnp.asarray(vp_), jnp.asarray(rho_))
+
+        def one(g):
+            return sim(kdt2, bh, w, g.src_idx, g.rcv_idx)
+
+        return jax.lax.map(one, geoms)
+
+    d_obs = fwd_all(vp_t, rho_t)
+    problem = VdFwiProblem(sim=sim, grid=grid, dt=dt, geoms=geoms,
+                           d_obs=d_obs, wavelet=w)
+    m0 = (jnp.asarray(vp_t, jnp.float64),
+          jnp.asarray(np.full(grid.shape, 1800.0), jnp.float64))
+    bounds = ((1900.0, 2100.0), (1500.0, 2600.0))
+    vg, loss = problem.stage_objectives(None)
+    J0 = float(loss(m0))
+    m = invert_multiparameter(problem, m0, (StageCfg(None, 10),), bounds)
+    J1 = float(loss(m))
+    assert J1 < 0.35 * J0, f"misfit only {J1/J0:.2f} of initial"
+    e0 = float(np.linalg.norm(np.asarray(m0[1]) - rho_t))
+    e1 = float(np.linalg.norm(np.asarray(m[1]) - rho_t))
+    # 10 iterations of surface-reflection data constrain the anomaly's
+    # top; measured ratio 0.91 on this fixture (misfit ratio passes the
+    # much stronger 0.35 bound above)
+    assert e1 < 0.93 * e0, f"rho error ratio {e1/e0:.2f}"

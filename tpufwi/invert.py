@@ -429,15 +429,82 @@ class ElasticFwiProblem:
         return vg, loss
 
 
+@dataclasses.dataclass
+class VdFwiProblem:
+    """(vp, rho) FWI on the variable-density acoustic engine
+    (adjoint.make_simulator_vd). Same stage_objectives contract as
+    ElasticFwiProblem, so invert_multiparameter drives it unchanged.
+
+    The model pytree is (vp, rho) on the PHYSICAL grid; the loss maps it
+    to the engine's (kdt2, buoy_half) fields differentiably, so the
+    (vp, rho) gradients arrive by chain rule through the boundary-saving
+    custom VJP.
+    """
+
+    sim: object  # make_simulator_vd product
+    grid: object
+    dt: float
+    geoms: object  # stacked Geometry (leading shot axis)
+    d_obs: jax.Array  # (nshot, nt, nrec)
+    wavelet: jax.Array
+
+    def _fields(self, vp, rho):
+        from .kernels.acoustic_vd_jnp import buoy_to_half
+
+        pad = self.grid.pad
+        pads = [(pad, pad)] * self.grid.ndim
+        vpp = jnp.pad(vp, pads, mode="edge")
+        rhp = jnp.pad(rho, pads, mode="edge")
+        kdt2 = rhp * vpp**2 * (self.dt * self.dt)
+        buoy = 1.0 / rhp
+        bh = tuple(
+            buoy_to_half(buoy, ax) for ax in range(self.grid.ndim)
+        )
+        return kdt2, bh
+
+    def _build(self):
+        def total(m, geoms, data, w, h2):
+            vp_, rho_ = m
+            kdt2, bh = self._fields(vp_, rho_)
+
+            def one(args):
+                g, d = args
+                seis = apply_response(
+                    self.sim(kdt2, bh, w, g.src_idx, g.rcv_idx), h2, axis=0
+                )
+                return l2_misfit(seis, d)
+
+            return jnp.sum(jax.lax.map(one, (geoms, data)))
+
+        self._vg = jax.jit(jax.value_and_grad(total))
+        self._loss = jax.jit(total)
+
+    def stage_objectives(self, fmax: Optional[float]):
+        if not hasattr(self, "_vg"):
+            self._build()
+        nt = int(self.wavelet.shape[0])
+        if fmax is not None:
+            d_f = lowpass(self.d_obs, self.dt, fmax, axis=1)
+            h2 = jnp.asarray(
+                lowpass_response(nt, self.dt, fmax), self.wavelet.dtype
+            )
+        else:
+            d_f = self.d_obs
+            h2 = jnp.ones(nt + 1, self.wavelet.dtype)
+        vg = lambda m: self._vg(m, self.geoms, d_f, self.wavelet, h2)
+        loss = lambda m: self._loss(m, self.geoms, d_f, self.wavelet, h2)
+        return vg, loss
+
+
 def invert_elastic(
-    problem: ElasticFwiProblem,
-    m0,  # (vp0, vs0, rho0)
+    problem,  # ElasticFwiProblem or VdFwiProblem (stage_objectives contract)
+    m0,  # model pytree, e.g. (vp0, vs0, rho0) or (vp0, rho0)
     stages,  # iterable of StageCfg
-    bounds,  # [(vp_lo, vp_hi), (vs_lo, vs_hi), (rho_lo, rho_hi)]
+    bounds,  # per-leaf (lo, hi) bounds matching m0's structure
     lbfgs_m: int = 10,
     log_fn: Optional[Callable[[dict], None]] = None,
 ):
-    """Multiscale multiparameter inversion. Returns (vp, vs, rho)."""
+    """Multiscale multiparameter inversion. Returns the final pytree."""
     from .optimize import minimize_pytree
 
     m = m0
@@ -455,6 +522,10 @@ def invert_elastic(
             loss_only=loss, callback=cb,
         )
     return m
+
+
+# VdFwiProblem satisfies the same contract; the name reflects that
+invert_multiparameter = invert_elastic
 
 
 def build_synthetic_problem(cfg: FwiConfig, vp_true: np.ndarray, dx: float, mesh=None):
