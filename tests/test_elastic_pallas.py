@@ -65,8 +65,10 @@ def test_propagator_forward_fused_matches_engine():
     assert err < 1e-5, f"forward_fused vs engine {err:.3e}"
 
 
-@pytest.mark.parametrize("record", ["v", "p"])
-def test_elastic_fused_gradient_matches_xla_engine(record):
+@pytest.mark.parametrize("record,source_type", [
+    ("v", "pressure"), ("p", "pressure"), ("v", "force")
+])
+def test_elastic_fused_gradient_matches_xla_engine(record, source_type):
     """Fused Pallas backward (reconstruct + transpose + imaging in two
     kernels, kernels/elastic2d_pallas_bwd.py) == the proven XLA-engine
     gradient (propagators/elastic2d.py, tests/test_elastic.py)."""
@@ -91,17 +93,20 @@ def test_elastic_fused_gradient_matches_xla_engine(record):
     geom = Geometry.from_physical(grid, src, rcv)
 
     prop = ElasticPropagator(
-        grid, dt, f0, float(vp.max()), dtype=jnp.float32, record=record
+        grid, dt, f0, float(vp.max()), dtype=jnp.float32, record=record,
+        source_type=source_type,
     )
     mats = prop.material_fields(
         jnp.asarray(vp, jnp.float32), jnp.asarray(vs, jnp.float32),
         jnp.asarray(rho, jnp.float32),
     )
     sim_x = make_elastic_simulator(
-        grid, dt, f0, float(vp.max()), dtype=jnp.float32, record=record
+        grid, dt, f0, float(vp.max()), dtype=jnp.float32, record=record,
+        source_type=source_type,
     )
     sim_f = make_elastic_simulator_fused(
-        grid, dt, f0, float(vp.max()), record=record, interpret=True
+        grid, dt, f0, float(vp.max()), record=record,
+        source_type=source_type, interpret=True,
     )
     d_obs = sim_x(*mats, w, geom.src_idx, geom.rcv_idx)
 
@@ -126,4 +131,6 @@ def test_elastic_fused_gradient_matches_xla_engine(record):
         b = np.asarray(b)
         scale = max(np.abs(a).max(), 1e-30)
         err = np.abs(a - b).max() / scale
-        assert err < 2e-4, f"{record}: {name} gradient max rel err {err:.3e}"
+        assert err < 2e-4, (
+            f"{record}/{source_type}: {name} gradient max rel err {err:.3e}"
+        )

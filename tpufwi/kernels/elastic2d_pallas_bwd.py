@@ -24,10 +24,15 @@ Two single-step kernels mirror the forward V/S stage split
 
 Receiver cotangent scatter and the wavelet cotangent gather stay in the
 XLA wrapper (propagators/elastic2d.py fused path): both are O(nrec)/O(1)
-next to the O(NZ*NX) kernels. Pressure sources only (the force source
-lands on vz after stage S consumed it; its undo needs buoy_z at the source
-— the XLA engine remains the path for force sources). Semantics are pinned
-against the XLA-engine gradient in tests/test_elastic_pallas.py. fp32.
+next to the O(NZ*NX) kernels. Both source types are supported: a pressure
+source is undone on (sxx, szz) in R-S; a vertical FORCE source lands on vz
+AFTER stage S consumed it, so BOTH reverse kernels locally undo it on
+their vz copy (iota mask x dt*buoy_z[src]*w, the buoy_z-at-source values
+arriving as a tiny SMEM vector) before using vz — R-S for the primal
+strains, R-V for the velocity reconstruction. The source's buoy_z and
+wavelet cotangent chains are O(nsrc) gathers in the wrapper. Semantics are
+pinned against the XLA-engine gradient in tests/test_elastic_pallas.py.
+fp32.
 """
 
 from __future__ import annotations
@@ -51,8 +56,6 @@ def make_elastic_bwd_kernels(grid: Grid, dt: float, source_type: str = "pressure
     Argument orders are documented by the kernel signatures below; boundary
     rings are passed flattened (4 slabs per field, RingSpec order). All
     state-like inputs alias their outputs (donated carry)."""
-    if source_type != "pressure":
-        raise ValueError("fused elastic backward supports pressure sources only")
     NZ, NX = grid.padded_shape
     r = grid.radius
     S = strip_depth(grid)
@@ -94,16 +97,28 @@ def make_elastic_bwd_kernels(grid: Grid, dt: float, source_type: str = "pressure
          sxxb_ref, szzb_ref, sxzb_ref, vxb_ref, vzb_ref,
          m_vx_x_ref, m_vz_z_ref, m_vx_z_ref, m_vz_x_ref,
          glam_ref, gl2m_ref, gmuxz_ref,
-         az_ref, bz_ref, ax_ref, bx_ref, sz_ref, sx_ref) = refs[k : k + 22]
-        k += 22
+         az_ref, bz_ref, ax_ref, bx_ref, sz_ref, sx_ref,
+         bsrc_ref) = refs[k : k + 23]
+        k += 23
         (sxx_o, szz_o, sxz_o, vxb_o, vzb_o,
          m_vx_x_o, m_vz_z_o, m_vx_z_o, m_vz_x_o,
          glam_o, gl2m_o, gmuxz_o) = refs[k : k + 12]
         scr1, scr2 = refs[k + 12 :]
 
-        # ---- primal strains of v^{t+1/2} ----
+        ziota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 0)
+        xiota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 1)
+
+        # ---- primal strains of v^{t+1/2} (force: stage S consumed the
+        # PRE-source vz, so undo the source on the local copy first) ----
         load_padded(scr1, vxp_ref[:])
-        load_padded(scr2, vzp_ref[:])
+        if source_type == "pressure":
+            load_padded(scr2, vzp_ref[:])
+        else:
+            vzc = vzp_ref[:]
+            for i in range(sz_ref.shape[0]):
+                mask = ((ziota == sz_ref[i]) & (xiota == sx_ref[i])).astype(dtype)
+                vzc = vzc - (dtf * w_ref[0] * bsrc_ref[i]) * mask
+            load_padded(scr2, vzc)
         exx = _stag_cols(scr1, tx, 0, NX, NZ, PZ, PX, False)  # D-x vx
         ezz = _stag_rows(scr2, tz, 0, NZ, NX, PZ, PX, False)  # D-z vz
         dvxz = _stag_rows(scr1, tz, 0, NZ, NX, PZ, PX, True)  # D+z vx
@@ -112,12 +127,11 @@ def make_elastic_bwd_kernels(grid: Grid, dt: float, source_type: str = "pressure
         # ---- reconstruct sigma_t, undo source, impose rings ----
         sxx_t = sxx1_ref[:] - dtf * (l2m_ref[:] * exx + lam_ref[:] * ezz)
         szz_t = szz1_ref[:] - dtf * (l2m_ref[:] * ezz + lam_ref[:] * exx)
-        ziota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 0)
-        xiota = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 1)
-        for i in range(sz_ref.shape[0]):
-            mask = ((ziota == sz_ref[i]) & (xiota == sx_ref[i])).astype(dtype)
-            sxx_t = sxx_t - (dtf * w_ref[0]) * mask
-            szz_t = szz_t - (dtf * w_ref[0]) * mask
+        if source_type == "pressure":
+            for i in range(sz_ref.shape[0]):
+                mask = ((ziota == sz_ref[i]) & (xiota == sx_ref[i])).astype(dtype)
+                sxx_t = sxx_t - (dtf * w_ref[0]) * mask
+                szz_t = szz_t - (dtf * w_ref[0]) * mask
         sxx_o[:] = sxx_t
         szz_o[:] = szz_t
         sxz_o[:] = sxz1_ref[:] - dtf * muxz_ref[:] * (dvxz + dvzx)
@@ -198,8 +212,9 @@ def make_elastic_bwd_kernels(grid: Grid, dt: float, source_type: str = "pressure
          vxb_ref, vzb_ref, sxxb_ref, szzb_ref, sxzb_ref,
          m_sxx_x_ref, m_sxz_z_ref, m_sxz_x_ref, m_szz_z_ref,
          gbx_ref, gbz_ref,
-         az_ref, bz_ref, ax_ref, bx_ref) = refs[k : k + 17]
-        k += 17
+         az_ref, bz_ref, ax_ref, bx_ref,
+         w_ref, sz_ref, sx_ref, bsrc_ref) = refs[k : k + 21]
+        k += 21
         (vx_o, vz_o, sxxb_o, szzb_o, sxzb_o,
          m_sxx_x_o, m_sxz_z_o, m_sxz_x_o, m_szz_z_o,
          gbx_o, gbz_o) = refs[k : k + 11]
@@ -214,9 +229,17 @@ def make_elastic_bwd_kernels(grid: Grid, dt: float, source_type: str = "pressure
         d_sxz_x = _stag_cols(scr2, tx, 0, NX, NZ, PZ, PX, False)  # D-x sxz
         d_szz_z = _stag_rows(scr3, tz, 0, NZ, NX, PZ, PX, True)  # D+z szz
 
-        # ---- reconstruct v^{t-1/2}, impose rings ----
+        # ---- reconstruct v^{t-1/2}, impose rings (force: undo the
+        # source on vz first — it landed after stage V of this step) ----
+        vzp = vzp_ref[:]
+        if source_type != "pressure":
+            zi = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 0)
+            xi = jax.lax.broadcasted_iota(jnp.int32, (NZ, NX), 1)
+            for i in range(sz_ref.shape[0]):
+                mask = ((zi == sz_ref[i]) & (xi == sx_ref[i])).astype(dtype)
+                vzp = vzp - (dtf * w_ref[0] * bsrc_ref[i]) * mask
         vx_o[:] = vxp_ref[:] - dtf * bxm_ref[:] * (d_sxx_x + d_sxz_z)
-        vz_o[:] = vzp_ref[:] - dtf * bzm_ref[:] * (d_sxz_x + d_szz_z)
+        vz_o[:] = vzp - dtf * bzm_ref[:] * (d_sxz_x + d_szz_z)
         impose(vx_o, rg_vx)
         impose(vz_o, rg_vz)
 
@@ -298,7 +321,7 @@ def make_elastic_bwd_kernels(grid: Grid, dt: float, source_type: str = "pressure
         30: 9, 31: 10, 32: 11,
     }
     rs_in_specs = (
-        [vspec] * 17 + [sspec] + [vspec] * 19 + [sspec, sspec]
+        [vspec] * 17 + [sspec] + [vspec] * 19 + [sspec, sspec, sspec]
     )
     call_rs = pl.pallas_call(
         kernel_rs,
@@ -331,7 +354,7 @@ def make_elastic_bwd_kernels(grid: Grid, dt: float, source_type: str = "pressure
             xstrip, zstrip, xstrip, zstrip,  # m_sxx_x, m_sxz_z, m_sxz_x, m_szz_z
             full, full,
         ),
-        in_specs=[vspec] * 30,
+        in_specs=[vspec] * 30 + [sspec] * 4,
         out_specs=(vspec,) * 11,
         scratch_shapes=[scr, scr, scr],
         input_output_aliases=rv_aliases,

@@ -213,7 +213,9 @@ def make_elastic_simulator_fused(
     all single pallas_calls; only the O(nrec) source/receiver scatter-
     gathers and the per-step ring extraction run on XLA. Same contract as
     make_elastic_simulator: simulate(lam, lam2mu, mu_xz, buoy_x, buoy_z,
-    wavelet, src_idx, rcv_idx) -> seis. Pressure sources only; fp32."""
+    wavelet, src_idx, rcv_idx) -> seis. Pressure AND vertical-force
+    sources (the force undo/cotangent chains are documented in
+    kernels/elastic2d_pallas_bwd.py). fp32."""
     from ..kernels.elastic2d_pallas import (
         make_elastic_fused_step,
         zero_elastic_strip_state,
@@ -221,8 +223,6 @@ def make_elastic_simulator_fused(
     from ..kernels.elastic2d_pallas_bwd import make_elastic_bwd_kernels
     from ..kernels.acoustic2d_pallas import strip_profiles, strip_depth
 
-    if source_type != "pressure":
-        raise ValueError("fused elastic path supports pressure sources only")
     step = make_elastic_fused_step(grid, dt, interpret=interpret)
     call_rs, call_rv = make_elastic_bwd_kernels(
         grid, dt, source_type, interpret=interpret
@@ -240,10 +240,16 @@ def make_elastic_simulator_fused(
 
         def body(s, w_t):
             s = step(s, mats, profiles)
-            s = s._replace(
-                sxx=s.sxx.at[src].add(dtf * w_t, mode="drop"),
-                szz=s.szz.at[src].add(dtf * w_t, mode="drop"),
-            )
+            if source_type == "pressure":
+                s = s._replace(
+                    sxx=s.sxx.at[src].add(dtf * w_t, mode="drop"),
+                    szz=s.szz.at[src].add(dtf * w_t, mode="drop"),
+                )
+            else:  # vertical force on vz (after the stress stage, as jnp)
+                bz_s = mats[4][src]
+                s = s._replace(
+                    vz=s.vz.at[src].add(dtf * bz_s * w_t, mode="drop"),
+                )
             if record == "v":
                 rec = jnp.stack([s.vz[rcv], s.vx[rcv]], axis=-1)
             else:
@@ -278,6 +284,7 @@ def make_elastic_simulator_fused(
         rcv = (rcv_idx[..., 0], rcv_idx[..., 1])
         sz = src_idx[..., 0].reshape(-1).astype(jnp.int32)
         sx = src_idx[..., 1].reshape(-1).astype(jnp.int32)
+        bsrc = buoy_z[src].reshape(-1).astype(jnp.float32)
 
         # tape[k] = rings(state after step k); reverse step t re-imposes
         # tape[t-1] (zeros at t=0: quiescent initial state).
@@ -292,7 +299,7 @@ def make_elastic_simulator_fused(
         zzs = jnp.zeros((2, S, NX), dtype)
 
         def body(carry, xs):
-            (fields, cot, memb, g) = carry
+            (fields, cot, memb, g, vsrc_acc) = carry
             ring_tm1, w_t, ybar_t = xs
             vx, vz, sxx, szz, sxz = fields
             vxb, vzb, sxxb, szzb, sxzb = cot
@@ -307,8 +314,13 @@ def make_elastic_simulator_fused(
             else:
                 sxxb = sxxb.at[rcv].add(-0.5 * ybar_t, mode="drop")
                 szzb = szzb.at[rcv].add(-0.5 * ybar_t, mode="drop")
-            # wavelet cotangent (pressure source transpose)
-            wb_t = dtf * jnp.sum(sxxb[src] + szzb[src])
+            # wavelet / source-buoyancy cotangents (source transpose)
+            if source_type == "pressure":
+                wb_t = dtf * jnp.sum(sxxb[src] + szzb[src])
+            else:
+                vz_at_src = vzb[src]
+                wb_t = dtf * jnp.sum(bsrc * vz_at_src)
+                vsrc_acc = vsrc_acc + w_t * vz_at_src
 
             (sxx_t, szz_t, sxz_t, vxb, vzb, mS0, mS1, mS2, mS3,
              glam, gl2m, gmuxz) = call_rs(
@@ -317,7 +329,7 @@ def make_elastic_simulator_fused(
                 w_t.reshape(1), lam, lam2mu, mu_xz,
                 sxxb, szzb, sxzb, vxb, vzb,
                 *mS, g[0], g[1], g[2],
-                az, bzp, ax, bxp, sz, sx,
+                az, bzp, ax, bxp, sz, sx, bsrc,
             )
             (vx_t, vz_t, sxxb, szzb, sxzb, mV0, mV1, mV2, mV3,
              gbx, gbz) = call_rv(
@@ -326,12 +338,14 @@ def make_elastic_simulator_fused(
                 vxb, vzb, sxxb, szzb, sxzb,
                 *mV, g[3], g[4],
                 az, bzp, ax, bxp,
+                w_t.reshape(1), sz, sx, bsrc,
             )
             carry_n = (
                 (vx_t, vz_t, sxx_t, szz_t, sxz_t),
                 (vxb, vzb, sxxb, szzb, sxzb),
                 (mV0, mV1, mV2, mV3, mS0, mS1, mS2, mS3),
                 (glam, gl2m, gmuxz, gbx, gbz),
+                vsrc_acc,
             )
             return carry_n, wb_t
 
@@ -339,10 +353,17 @@ def make_elastic_simulator_fused(
         cot0 = (zf,) * 5
         memb0 = (zxs, zzs, zxs, zzs, zxs, zzs, zzs, zxs)
         g0 = (zf,) * 5
+        vs0 = jnp.zeros(sz.shape, dtype)
         xs = (tape_tm1, wavelet, seis_bar)
-        (_, _, _, g), wbar = lax.scan(
-            body, (fields0, cot0, memb0, g0), xs, reverse=True
+        (_, _, _, g, vsrc_acc), wbar = lax.scan(
+            body, (fields0, cot0, memb0, g0, vs0), xs, reverse=True
         )
+        g = list(g)
+        if source_type != "pressure":
+            # buoy_z cotangent of the injection dt*buoy_z[src]*w_t
+            g[4] = g[4].at[src].add(
+                dtf * vsrc_acc.reshape(src_idx.shape[:-1])
+            )
         mbar = tuple(rings.mask_valid(m) for m in g)
         return (*mbar, wbar, _int_cotangent(src_idx), _int_cotangent(rcv_idx))
 
