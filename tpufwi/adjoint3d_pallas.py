@@ -58,6 +58,11 @@ def make_simulator3d_fused(
     """Build the fused-3D simulate() with boundary-saving custom VJP."""
     if grid.ndim != 3:
         raise ValueError("make_simulator3d_fused needs a 3D grid")
+    if grid.free_surface:
+        raise ValueError(
+            "the fused 3D path has no free-surface support yet; use "
+            "adjoint.make_simulator (jnp engine) for free-surface 3D"
+        )
     r = grid.radius
     S = grid.pml + r
     W = S + 2 * r

@@ -550,6 +550,11 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
 
     from ..cpml import CpmlProfile
 
+    if grid.free_surface:
+        raise ValueError(
+            "fused 3D step v2 has no free-surface support yet; use the "
+            "jnp engine (adjoint.make_simulator) for free-surface 3D"
+        )
     r = grid.radius
     S = grid.pml + r
     W = S + 2 * r
