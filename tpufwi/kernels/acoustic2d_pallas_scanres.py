@@ -65,7 +65,23 @@ from .acoustic2d_pallas import (
 # at traced offsets (fine), one-hot MXU reads of the cotangent row, and
 # one-hot accumulator scratch for the seis/lam_src row stores (dynamic
 # sublane-offset stores do not lower).
-CH = 16
+#
+# Escape hatches (until the pair body is validated on every toolchain):
+# TPUFWI_SCANRES_CH overrides CH; TPUFWI_SCANRES_UNROLL=1 unrolls the
+# pair loop with python ints (all dynamic indices become static — the
+# proven round-2 lowering, at CH-proportional compile cost).
+import os as _os
+
+CH = int(_os.environ.get("TPUFWI_SCANRES_CH", "16"))
+UNROLL = _os.environ.get("TPUFWI_SCANRES_UNROLL", "0") == "1"
+
+
+def _run_pairs(pair):
+    if UNROLL:
+        for i in range(CH // 2):
+            pair(i, 0)
+    else:
+        jax.lax.fori_loop(0, CH // 2, pair, 0)
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -344,7 +360,7 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
             substep(2 * i + 1, 1, pb, pa, pb)
             return carry
 
-        jax.lax.fori_loop(0, CH // 2, pair, 0)
+        _run_pairs(pair)
         seis_ref[0] = sacc_ref[:]
 
         @pl.when(c == nC - 1)
@@ -694,7 +710,7 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
             substep(2 * i + 1, 1)
             return carry
 
-        jax.lax.fori_loop(0, CH // 2, pair, 0)
+        _run_pairs(pair)
         lam_src_ref[0] = lsacc_ref[:]
 
         @pl.when(c == nC - 1)
