@@ -58,11 +58,6 @@ def make_simulator3d_fused(
     """Build the fused-3D simulate() with boundary-saving custom VJP."""
     if grid.ndim != 3:
         raise ValueError("make_simulator3d_fused needs a 3D grid")
-    if grid.free_surface:
-        raise ValueError(
-            "the fused 3D path has no free-surface support yet; use "
-            "adjoint.make_simulator (jnp engine) for free-surface 3D"
-        )
     r = grid.radius
     S = grid.pml + r
     W = S + 2 * r
@@ -85,6 +80,7 @@ def make_simulator3d_fused(
         prof = CpmlProfile.build(
             n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
             h=grid.h[ax], dt=dt, c_max=c_max, f0=f0,
+            free_lo=(grid.free_surface and ax == 1),
         )
         n_pad = grid.padded_shape[ax]
         shp = [(S, 1, 1), (1, S, 1), (1, 1, S)][ax]
@@ -103,14 +99,28 @@ def make_simulator3d_fused(
     def _coords(idx):
         return tuple(idx[..., d] for d in range(3))
 
+    def _fs_mask(idx):
+        """1.0 per point, except points ON the free-surface z-row -> 0.
+
+        The merged kernel pins the surface row BEFORE the XLA-side source
+        scatter, while the jnp engine pins after injection; dropping
+        surface-row sources (and, transposed, surface-row receiver
+        residuals) restores exact parity — the pinned row annihilates
+        them in the jnp engine anyway.
+        """
+        if not grid.free_surface:
+            return 1.0
+        return (idx[..., 1] != grid.pad).astype(dtype)
+
     def _fwd_scan(c2e, wavelet, src_idx, rcv_idx, with_tape):
         src = _coords(src_idx)
         rcv = _coords(rcv_idx)
+        smask = _fs_mask(src_idx)
 
         def body(s, w_t):
             s = step2(s, c2e)
             p_prev, p_next, strips = s
-            p_next = p_next.at[src].add(c2e[src] * w_t, mode="drop")
+            p_next = p_next.at[src].add(smask * c2e[src] * w_t, mode="drop")
             rec = p_next[rcv]
             ys = (rec, extract_tape3d(grid, p_next)) if with_tape else rec
             return (p_prev, p_next, strips), ys
@@ -139,6 +149,8 @@ def make_simulator3d_fused(
         c2e = extend_yz(c2dt2, grid, by=by, bz=bz)
         src = _coords(src_idx)
         rcv = _coords(rcv_idx)
+        smask = _fs_mask(src_idx)
+        rmask = _fs_mask(rcv_idx)
 
         # tape_t = rings(p_{t+1}); reverse at t needs rings(p_{t-1}) =
         # tape_{t-2} (zeros for t < 2)
@@ -157,15 +169,16 @@ def make_simulator3d_fused(
             (p_t, p_tp1, lam, lam_prev, gacc,
              dy, dz, dx, wsrc_acc) = carry
             ring_tm1, w_t, ybar_t = xs
-            # cotangent injection (this step's lam becomes lam_t)
-            lam = lam.at[rcv].add(ybar_t, mode="drop")
+            # cotangent injection (this step's lam becomes lam_t); the
+            # free-surface mask keeps lam == M lam (see T-kernel comment)
+            lam = lam.at[rcv].add(rmask * ybar_t, mode="drop")
             # source-term cotangents
-            lam_at_src = lam[src]
+            lam_at_src = smask * lam[src]
             w_inc = jnp.sum(c2e[src] * lam_at_src)  # wavelet chain
             wsrc_acc = wsrc_acc + w_t * lam_at_src  # c2[src] chain
             # recon + imaging (R kernel), then the source term
             p_tm1, gacc = recon(p_tp1, p_t, c2e, lam, gacc, ring_tm1)
-            p_tm1 = p_tm1.at[src].add(c2e[src] * w_t, mode="drop")
+            p_tm1 = p_tm1.at[src].add(smask * c2e[src] * w_t, mode="drop")
             # transposed step
             u = c2e * lam
             upds_y, upds_z = [], []

@@ -655,6 +655,20 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
                         out_ref[:, blo:bhi, :] + uref[:, wlo:whi, :]
                     )
 
+        # ---- free-surface pin: the forward applies a diagonal mask M
+        # (zero z-row grid.pad) LAST, so its transpose masks the cotangent
+        # FIRST; masking lam' here (and the injected residuals upstream)
+        # keeps the carried cotangent == M lam everywhere, which is what
+        # the transposed operator and the imaging condition consume. ----
+        if grid.free_surface:
+            jb_fs, fs_row = grid.pad // BZ, grid.pad % BZ
+
+            @pl.when(gz == jb_fs)
+            def _():
+                out_ref[:, fs_row : fs_row + 1, :] = jnp.zeros(
+                    (BY, 1, NX), dtype
+                )
+
     blk = pl.BlockSpec((BY, BZ, NX), lambda gz, gy: (gy, gz, 0),
                        memory_space=pltpu.VMEM)
     blkS = pl.BlockSpec((BY, BZ, S), lambda gz, gy: (gy, gz, 0),

@@ -273,6 +273,12 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
     Fields are (NYe, NZe, NX) (extend_yz layout); phix/psix (NYe, NZe, S);
     updy_* from make_corr3d_y, updz_* from make_corr3d_z. Grid (nzb, nyb),
     y FASTEST — see module docstring for why.
+
+    With ``grid.free_surface`` the z-row ``grid.pad`` of p_next is pinned
+    to zero at the end of the kernel (pressure-release plane, matching the
+    jnp engine's _pin_surface); the z-lo CPML is disabled upstream by the
+    profile builder (free_lo => a = b = 0, so the z-lo corr slab is a
+    structural no-op).
     """
     if grid.ndim != 3:
         raise ValueError("3D kernel needs a 3D grid")
@@ -443,6 +449,16 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                         out_ref[:, blo:bhi, :] + uref[:, wlo:whi, :]
                     )
 
+        # ---- pressure-release surface pin (after every update) ----
+        if grid.free_surface:
+            jb_fs, fs_row = grid.pad // BZ, grid.pad % BZ
+
+            @pl.when(gz == jb_fs)
+            def _():
+                out_ref[:, fs_row : fs_row + 1, :] = jnp.zeros(
+                    (BY, 1, NX), dtype
+                )
+
     blk = pl.BlockSpec((BY, BZ, NX), lambda gz, gy: (gy, gz, 0),
                        memory_space=pltpu.VMEM)
     blkS = pl.BlockSpec((BY, BZ, S), lambda gz, gy: (gy, gz, 0),
@@ -550,11 +566,6 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
 
     from ..cpml import CpmlProfile
 
-    if grid.free_surface:
-        raise ValueError(
-            "fused 3D step v2 has no free-surface support yet; use the "
-            "jnp engine (adjoint.make_simulator) for free-surface 3D"
-        )
     r = grid.radius
     S = grid.pml + r
     W = S + 2 * r
@@ -573,6 +584,7 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
         prof = CpmlProfile.build(
             n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
             h=grid.h[ax], dt=dt, c_max=c_max, f0=f0,
+            free_lo=(grid.free_surface and ax == 1),
         )
         n_pad = grid.padded_shape[ax]
         if ax == 0:
