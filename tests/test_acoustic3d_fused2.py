@@ -61,3 +61,13 @@ def test_fused2_matches_xla_strip_step_by16():
     pa, pb = _run_pair(grid, by=16, bz=32)
     err = np.abs(pa - pb).max() / np.abs(pa).max()
     assert err < 1e-6, f"fused2 vs XLA-strip 3D step: {err:.3e}"
+
+
+def test_fused2_matches_xla_strip_step_by24():
+    """The by=24 throughput candidate (ROADMAP item 5: y-halo read tax
+    1.0 -> 0.67 fields/cell): y faces not a multiple of the block, window
+    spans misaligned with BY."""
+    grid = Grid(shape=(28, 30, 40), h=(10.0, 10.0, 10.0), pml=8, order=8)
+    pa, pb = _run_pair(grid, by=24, bz=32)
+    err = np.abs(pa - pb).max() / np.abs(pa).max()
+    assert err < 1e-6, f"fused2 vs XLA-strip 3D step: {err:.3e}"
