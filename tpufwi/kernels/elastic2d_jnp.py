@@ -62,16 +62,90 @@ def zero_elastic_state(shape, dtype) -> ElasticState:
     return ElasticState(vx=z, vz=z, sxx=z, szz=z, sxz=z, mem=(z,) * 8)
 
 
+class FreeSurfaceImage(NamedTuple):
+    """Free-surface image operators [GENRE: Levander 1988 / Graves 1996]
+    for the P-SV staggered grid — LINEAR maps on ghost rows:
+
+      s(szz, sxz):  traction image, END OF THE STRESS STAGE:
+              szz(fs) = 0;  szz(fs-k) = -szz(fs+k)        k = 1..radius
+              sxz(fs-k) = -sxz(fs+k-1)                    (sxz at half
+              nodes: index i is depth i+1/2, so the mirror of ghost depth
+              -(k-1/2) is index fs+k-1)
+      v(vx, vz):    even velocity image, END OF THE VELOCITY STAGE:
+              vx(fs-k) = vx(fs+k);  vz(fs-k) = vz(fs+k-1)
+      s_t / v_t:    exact transposes (used by the fused engine whose
+              backward kernels are hand-written; the jnp engine gets the
+              transposes from jax.vjp automatically).
+
+    STABILITY (measured, order 4, homogeneous half-space, 3000 steps):
+    the stress image alone is exponentially unstable (~e^{0.13/step}: the
+    un-imaged ghost velocities feed interior strains and are pumped back
+    through the mirrored stresses); imaging the velocities at the END of
+    the full step still leaks (tail ~20% of the source peak and growing);
+    imaging them BETWEEN the V and S stages decays to ~1e-5 of peak. The
+    v image therefore MUST run mid-step, which both engines honour (jnp:
+    end of stage_v; fused: XLA op between the V and S pallas calls).
+
+    The imaged rows sit inside/above the boundary-ring band (z-lo ring =
+    rows [pad, pad+radius)), so boundary-saving reverse reconstruction
+    stays exact in the valid region exactly as for the acoustic
+    pressure-release pin (propagators/boundary.py docstring).
+    """
+
+    v: object
+    s: object
+    v_t: object
+    s_t: object
+
+
+def make_free_surface_image(grid: Grid):
+    """Build the FreeSurfaceImage for ``grid`` (None when free_surface off)."""
+    if not grid.free_surface:
+        return None
+    fs = grid.pad
+    K = grid.radius
+
+    def image_s(szz, sxz):
+        szz = szz.at[fs].set(0.0)
+        szz = szz.at[fs - K : fs].set(-szz[fs + 1 : fs + K + 1][::-1])
+        sxz = sxz.at[fs - K : fs].set(-sxz[fs : fs + K][::-1])
+        return szz, sxz
+
+    def image_s_t(szzb, sxzb):
+        szzb = szzb.at[fs + 1 : fs + K + 1].add(-szzb[fs - K : fs][::-1])
+        szzb = szzb.at[fs - K : fs + 1].set(0.0)
+        sxzb = sxzb.at[fs : fs + K].add(-sxzb[fs - K : fs][::-1])
+        sxzb = sxzb.at[fs - K : fs].set(0.0)
+        return szzb, sxzb
+
+    def image_v(vx, vz):
+        vx = vx.at[fs - K : fs].set(vx[fs + 1 : fs + K + 1][::-1])
+        vz = vz.at[fs - K : fs].set(vz[fs : fs + K][::-1])
+        return vx, vz
+
+    def image_v_t(vxb, vzb):
+        vxb = vxb.at[fs + 1 : fs + K + 1].add(vxb[fs - K : fs][::-1])
+        vxb = vxb.at[fs - K : fs].set(0.0)
+        vzb = vzb.at[fs : fs + K].add(vzb[fs - K : fs][::-1])
+        vzb = vzb.at[fs - K : fs].set(0.0)
+        return vxb, vzb
+
+    return FreeSurfaceImage(v=image_v, s=image_s, v_t=image_v_t, s_t=image_s_t)
+
+
 def make_elastic_step(
     grid: Grid, dt: float, source_type: str = "pressure", record: str = "v"
 ):
     """Build ``step(state, params, w_t) -> (state', rec)``.
 
     rec is (nrec, 2) stacked (vz, vx) when record == 'v', else (nrec,)
-    pressure -(sxx+szz)/2.
+    pressure -(sxx+szz)/2. When ``grid.free_surface`` the stress-image
+    operator (make_free_surface_image) is applied at the end of the stress
+    stage, and build_profiles disables the z-lo CPML (free_lo).
     """
     if grid.ndim != 2:
         raise ValueError("elastic P-SV kernel is 2D")
+    image = make_free_surface_image(grid)
     cs = D1_STAGGERED_COEFFS[grid.order]
     hz, hx = grid.h
     tz = tuple(float(c) / hz for c in cs)
@@ -107,6 +181,8 @@ def make_elastic_step(
         m_sxz_x = p.bx * m_sxz_x + p.ax * d_sxz_x
         m_szz_z = p.bz * m_szz_z + p.az * d_szz_z
         vz = vz + dt * p.buoy_z * (d_sxz_x + m_sxz_x + d_szz_z + m_szz_z)
+        if image is not None:  # even ghost-velocity image, MID-step
+            vx, vz = image.v(vx, vz)
         return vx, vz, (m_sxx_x, m_sxz_z, m_sxz_x, m_szz_z)
 
     def stage_s(vx, vz, sxx, szz, sxz, memS, p: ElasticParams, w_t):
@@ -135,6 +211,9 @@ def make_elastic_step(
         vz_out = vz
         if source_type != "pressure":  # vertical force lands on vz here
             vz_out = vz.at[src].add(dt * p.buoy_z[src] * w_t, mode="drop")
+
+        if image is not None:  # free-surface stress image, after sources
+            szz, sxz = image.s(szz, sxz)
 
         rcv = tuple(p.rcv_idx[..., d] for d in range(2))
         if record == "v":

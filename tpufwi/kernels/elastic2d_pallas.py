@@ -234,6 +234,10 @@ def make_elastic_fused_step(grid: Grid, dt: float, interpret: bool = False):
         interpret=interpret,
     )
 
+    from .elastic2d_jnp import make_free_surface_image
+
+    image = make_free_surface_image(grid)
+
     def step(state: ElasticStripState, mats, profiles):
         lam, lam2mu, mu_xz, buoy_x, buoy_z = mats
         az, bzp, ax, bxp = profiles
@@ -245,6 +249,10 @@ def make_elastic_fused_step(grid: Grid, dt: float, interpret: bool = False):
             m_sxx_x, m_sxz_x, m_sxz_z, m_szz_z,
             az, bzp, ax, bxp,
         )
+        if image is not None:  # even ghost-velocity image, MID-step (an
+            # O(radius)-row XLA op between the two pallas calls; stability
+            # analysis in elastic2d_jnp.FreeSurfaceImage)
+            vx, vz = image.v(vx, vz)
         sxx, szz, sxz, m_vx_x, m_vz_z, m_vx_z, m_vz_x = call_s(
             vx, vz, state.sxx, state.szz, state.sxz,
             lam, lam2mu, mu_xz,
@@ -281,6 +289,9 @@ def make_pallas_elastic_forward(
     step = make_elastic_fused_step(grid, dt, interpret=interpret)
     profiles = strip_profiles(grid, dt, c_max, f0)
     dtf = float(dt)
+    from .elastic2d_jnp import make_free_surface_image
+
+    image = make_free_surface_image(grid)
 
     def simulate(mats, wavelet, src_idx, rcv_idx):
         src = (src_idx[..., 0], src_idx[..., 1])
@@ -298,6 +309,9 @@ def make_pallas_elastic_forward(
                 s = s._replace(
                     vz=s.vz.at[src].add(dtf * buoy_z[src] * w_t, mode="drop")
                 )
+            if image is not None:
+                szz_i, sxz_i = image.s(s.szz, s.sxz)
+                s = s._replace(szz=szz_i, sxz=sxz_i)
             if record == "v":
                 rec = jnp.stack([s.vz[rcv], s.vx[rcv]], axis=-1)
             else:

@@ -342,6 +342,14 @@ def oracle_elastic_2d(
         m_szz_z = bz_ * m_szz_z + az_ * d_szz_z
         vz = vz + dt * bz * (d_sxz_x + m_sxz_x + d_szz_z + m_szz_z)
 
+        if grid.free_surface:
+            # even ghost-velocity image, MID-step (between the velocity and
+            # stress stages — stability: elastic2d_jnp.FreeSurfaceImage)
+            K = grid.radius
+            for k in range(1, K + 1):
+                vx[pad - k] = vx[pad + k]
+                vz[pad - k] = vz[pad + k - 1]
+
         # stress update
         d_vx_x = dminus(vx, 1, hx)  # at (i, j)
         d_vz_z = dminus(vz, 0, hz)  # at (i, j)
@@ -364,6 +372,17 @@ def oracle_elastic_2d(
             np.add.at(szz, src, dt * w[t])
         else:  # vertical force on vz
             np.add.at(vz, src, dt * bz[src] * w[t])
+
+        if grid.free_surface:
+            # stress-image free surface [GENRE: Levander 1988]: zero the
+            # traction at the surface node row, mirror antisymmetrically
+            # into the ghost rows (sxz half-node: ghost depth -(k-1/2)
+            # mirrors index pad+k-1)
+            K = grid.radius
+            szz[pad] = 0.0
+            for k in range(1, K + 1):
+                szz[pad - k] = -szz[pad + k]
+                sxz[pad - k] = -sxz[pad + k - 1]
 
         if record_fields == "v":
             seis[t, :, 0] = vz[rcv]

@@ -22,9 +22,10 @@ class LbfgsHistory:
 
     def update(self, s: jnp.ndarray, y: jnp.ndarray) -> bool:
         """Push a new (s, y) pair; returns False if rejected (bad curvature)."""
-        sy = float(jnp.vdot(s, y))
-        ns = float(jnp.linalg.norm(s))
-        ny = float(jnp.linalg.norm(y))
+        # one host sync for the accept/reject decision (not three)
+        sy, ns, ny = map(
+            float, jnp.stack([jnp.vdot(s, y), jnp.linalg.norm(s), jnp.linalg.norm(y)])
+        )
         if not (sy > self.curvature_eps * ns * ny) or ns == 0.0 or ny == 0.0:
             return False
         self.pairs.append((s, y, sy))

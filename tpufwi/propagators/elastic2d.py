@@ -27,6 +27,7 @@ from ..kernels.elastic2d_jnp import (
     ElasticState,
     make_elastic_reverse_reconstruct,
     make_elastic_step,
+    make_free_surface_image,
     zero_elastic_state,
 )
 from ..propagators.boundary import RingSpec
@@ -74,6 +75,11 @@ def make_elastic_simulator(
     recon_stress, recon_velocity = make_elastic_reverse_reconstruct(
         grid, dt, source_type
     )
+    # free-surface images: inside the step via make_elastic_step (so
+    # jax.vjp transposes them automatically); in bwd they are re-applied
+    # to each reconstructed primal so the carried fields keep exact ghost
+    # rows (the reverse step cannot invert the image there)
+    image = make_free_surface_image(grid)
     rings = RingSpec.build(grid)
     shape = grid.padded_shape
 
@@ -152,6 +158,8 @@ def make_elastic_simulator(
             sxx_t = rings.impose(sxx_t, ring_sxx)
             szz_t = rings.impose(szz_t, ring_szz)
             sxz_t = rings.impose(sxz_t, ring_sxz)
+            if image is not None:  # exact ghost rows on the primal
+                szz_t, sxz_t = image.s(szz_t, sxz_t)
             s3_t = (sxx_t, szz_t, sxz_t)
 
             # stage-S transpose, with the *carried* exact v^{t+1/2} as primal
@@ -167,6 +175,8 @@ def make_elastic_simulator(
             vx_t, vz_t = recon_velocity(vxp, vzp, sxx_t, szz_t, sxz_t, params)
             vx_t = rings.impose(vx_t, ring_vx)
             vz_t = rings.impose(vz_t, ring_vz)
+            if image is not None:
+                vx_t, vz_t = image.v(vx_t, vz_t)
 
             # stage-V transpose (sigma_t primal feeds the buoyancy cotangent)
             _, pullV = jax.vjp(stage_v_m, vx_t, vz_t, s3_t, zmem4, mats, w_t)
@@ -227,6 +237,15 @@ def make_elastic_simulator_fused(
     call_rs, call_rv = make_elastic_bwd_kernels(
         grid, dt, source_type, interpret=interpret
     )
+    # free surface: the stress/velocity images (few-row linear ops) and
+    # their exact transposes run at the XLA level around the fused kernels
+    # (the mid-step velocity image lives inside make_elastic_fused_step);
+    # in the backward pass the images are RE-APPLIED to each reconstructed
+    # primal so the carried fields are exact ghost rows included — see
+    # kernels/elastic2d_jnp.FreeSurfaceImage for the operator definitions
+    from ..kernels.elastic2d_jnp import make_free_surface_image
+
+    image = make_free_surface_image(grid)
     profiles = strip_profiles(grid, dt, c_max, f0)
     rings = RingSpec.build(grid)
     NZ, NX = grid.padded_shape
@@ -250,6 +269,9 @@ def make_elastic_simulator_fused(
                 s = s._replace(
                     vz=s.vz.at[src].add(dtf * bz_s * w_t, mode="drop"),
                 )
+            if image is not None:
+                szz_i, sxz_i = image.s(s.szz, s.sxz)
+                s = s._replace(szz=szz_i, sxz=sxz_i)
             if record == "v":
                 rec = jnp.stack([s.vz[rcv], s.vx[rcv]], axis=-1)
             else:
@@ -314,6 +336,11 @@ def make_elastic_simulator_fused(
             else:
                 sxxb = sxxb.at[rcv].add(-0.5 * ybar_t, mode="drop")
                 szzb = szzb.at[rcv].add(-0.5 * ybar_t, mode="drop")
+            # stress-image transpose (forward order: S-stage -> source ->
+            # image.s -> record, so its transpose comes right after the
+            # receiver scatter and before the source cotangent)
+            if image is not None:
+                szzb, sxzb = image.s_t(szzb, sxzb)
             # wavelet / source-buoyancy cotangents (source transpose)
             if source_type == "pressure":
                 wb_t = dtf * jnp.sum(sxxb[src] + szzb[src])
@@ -331,6 +358,13 @@ def make_elastic_simulator_fused(
                 *mS, g[0], g[1], g[2],
                 az, bzp, ax, bxp, sz, sx, bsrc,
             )
+            if image is not None:
+                # re-image the reconstructed sigma_t (exact ghost rows for
+                # the buoyancy cotangent's stress stencil in call_rv) and
+                # route the velocity cotangent through the mid-step
+                # velocity-image transpose before the V-stage transpose
+                szz_t, sxz_t = image.s(szz_t, sxz_t)
+                vxb, vzb = image.v_t(vxb, vzb)
             (vx_t, vz_t, sxxb, szzb, sxzb, mV0, mV1, mV2, mV3,
              gbx, gbz) = call_rv(
                 sxx_t, szz_t, sxz_t, vx, vz,
@@ -340,6 +374,8 @@ def make_elastic_simulator_fused(
                 az, bzp, ax, bxp,
                 w_t.reshape(1), sz, sx, bsrc,
             )
+            if image is not None:  # exact ghost rows on the carried v_t
+                vx_t, vz_t = image.v(vx_t, vz_t)
             carry_n = (
                 (vx_t, vz_t, sxx_t, szz_t, sxz_t),
                 (vxb, vzb, sxxb, szzb, sxzb),
