@@ -43,4 +43,7 @@ step bench_3d_bwd 5400 python scripts/bench_3d_bwd.py
 # 4. Overthrust FWI on the fused 3D engine -> runs/overthrust_demo_fused
 step overthrust_fused 7200 python scripts/overthrust_demo.py --fused
 
+# 5. hardware CI lane (compiled-kernel test subset)
+step tpu_ci 5400 bash scripts/tpu_ci.sh -x
+
 echo "queue done ($(date -u +%H:%M:%S)); logs in $LOG/"

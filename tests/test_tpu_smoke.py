@@ -1,0 +1,179 @@
+"""Hardware CI lane (docs/ROADMAP.md item 11): compiled-kernel parity on
+the real TPU, for the fused engines whose CPU coverage is interpret-mode
+only. Skipped unless TPUFWI_TEST_PLATFORM=axon (scripts/tpu_ci.sh runs it
+together with test_kstep/test_scanres, which self-select compiled mode).
+
+Grids are tiny — the point is Mosaic lowering + compiled numerics, not
+throughput (bench/ owns that). Tolerances are fp32-on-TPU: the kernels
+pin their MXU products to Precision.HIGHEST, so parity with the jnp
+engines is expected at ~1e-5 forward / ~1e-3 gradient."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("TPUFWI_TEST_PLATFORM", "cpu") != "axon",
+    reason="hardware lane: set TPUFWI_TEST_PLATFORM=axon",
+)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tpufwi import Geometry, Grid  # noqa: E402
+
+
+def _elastic_setup(fs):
+    from tpufwi.propagators.elastic2d import ElasticPropagator, elastic_cfl_dt
+    from tpufwi.wavelets import ricker_np
+
+    nz, nx, f0 = 48, 50, 12.0
+    vp = np.full((nz, nx), 2200.0)
+    vp[nz // 2 :] = 2600.0
+    vs = vp / 1.8
+    rho = 1000.0 + 0.3 * vp
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=8, order=4,
+                free_surface=fs)
+    dt = elastic_cfl_dt(grid.h, float(vp.max()), 4, safety=0.7)
+    w = ricker_np(f0, dt, 110)
+    src = np.array([[6, nx // 2]])
+    rx = np.arange(5, nx - 5, 3)
+    rcv = np.stack([np.full_like(rx, 12), rx], 1)
+    geom = Geometry.from_physical(grid, src, rcv)
+    prop = ElasticPropagator(grid, dt, f0, float(vp.max()), dtype=jnp.float32)
+    mats = jax.tree.map(
+        lambda m: m.astype(jnp.float32),
+        prop.material_fields(jnp.asarray(vp), jnp.asarray(vs),
+                             jnp.asarray(rho)),
+    )
+    return grid, dt, f0, float(vp.max()), mats, jnp.asarray(w, jnp.float32), geom
+
+
+@pytest.mark.parametrize("fs", [False, True])
+def test_elastic_fused_compiled_forward_and_grad(fs):
+    """Compiled fused elastic engine == jnp engine (forward + gradient),
+    with and without the free surface (stress/velocity images run at the
+    XLA level around the compiled V/S kernels)."""
+    from tpufwi.propagators.elastic2d import (
+        make_elastic_simulator,
+        make_elastic_simulator_fused,
+    )
+
+    grid, dt, f0, c_max, mats, w, geom = _elastic_setup(fs)
+    sim_j = make_elastic_simulator(grid, dt, f0, c_max, jnp.float32)
+    sim_f = make_elastic_simulator_fused(grid, dt, f0, c_max)
+
+    s_j = np.asarray(jax.jit(sim_j)(*mats, w, geom.src_idx, geom.rcv_idx))
+    s_f = np.asarray(jax.jit(sim_f)(*mats, w, geom.src_idx, geom.rcv_idx))
+    rms = np.sqrt(np.mean((s_f - s_j) ** 2)) / np.sqrt(np.mean(s_j**2))
+    assert rms < 1e-4, f"fs={fs} compiled fused vs jnp forward RMS {rms:.3e}"
+
+    d_obs = jnp.asarray(s_j) * 1.01
+
+    def loss(sim):
+        def f(m):
+            return 0.5 * jnp.sum(
+                (sim(*m, w, geom.src_idx, geom.rcv_idx) - d_obs) ** 2
+            )
+
+        return jax.jit(jax.grad(f))
+
+    g_j = loss(sim_j)(mats)
+    g_f = loss(sim_f)(mats)
+    for name, a, b in zip(("lam", "lam2mu", "mu_xz", "bx", "bz"), g_f, g_j):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+        assert err < 2e-3, f"fs={fs} {name} compiled grad rel {err:.3e}"
+
+
+def test_fused2_3d_step_compiled():
+    """Compiled fused2 3D step (corr slabs + merged kernel) == the XLA
+    strip step after 30 steps, production-like by=16/bz=32 blocks."""
+    from tpufwi.kernels.acoustic3d_fused2 import make_acoustic3d_fused_step2
+    from tpufwi.kernels.acoustic3d_pallas import (
+        crop_y,
+        crop_yz,
+        extend_y,
+        extend_yz,
+        make_acoustic3d_strip_step,
+    )
+
+    grid = Grid(shape=(24, 30, 40), h=(10.0,) * 3, pml=8, order=8)
+    c_max, f0 = 3000.0, 10.0
+    dt = grid.cfl_dt(c_max, safety=0.6)
+    rng = np.random.default_rng(1)
+    NY, NZ, NX = grid.padded_shape
+    vp = 2500.0 + 200 * rng.standard_normal((NY, NZ, NX)).astype(np.float32)
+    c2 = jnp.asarray(((vp * dt) ** 2).astype(np.float32))
+    step_a, zs_a = make_acoustic3d_strip_step(grid, dt, f0, c_max, by=8)
+    step_b, zs_b = make_acoustic3d_fused_step2(grid, dt, f0, c_max,
+                                               by=16, bz=32, bz_y=32)
+    c2a = extend_y(c2, grid, 8)
+    c2b = extend_yz(c2, grid, by=16, bz=32)
+    imp = jnp.zeros(grid.padded_shape, jnp.float32).at[
+        NY // 2, NZ // 2, NX // 2
+    ].set(1.0)
+    sa, sb = zs_a(), zs_b()
+    sa = (sa[0], extend_y(imp, grid, 8), sa[2])
+    sb = (sb[0], extend_yz(imp, grid, by=16, bz=32), sb[2])
+
+    def runa(s, c):
+        for _ in range(30):
+            s = step_a(s, c)
+        return s
+
+    def runb(s, c):
+        for _ in range(30):
+            s = step_b(s, c)
+        return s
+
+    sa = jax.jit(runa)(sa, c2a)
+    sb = jax.jit(runb)(sb, c2b)
+    pa = np.asarray(crop_y(sa[1], grid))
+    pb = np.asarray(crop_yz(sb[1], grid))
+    err = np.abs(pa - pb).max() / np.abs(pa).max()
+    assert err < 1e-5, f"compiled fused2 vs strip step: {err:.3e}"
+
+
+def test_fused3d_grad_compiled():
+    """Compiled fused 3D forward+backward (adjoint3d_pallas R/T kernels)
+    == the dimension-agnostic XLA engine on a tiny model."""
+    from tpufwi.adjoint import make_simulator
+    from tpufwi.adjoint3d_pallas import make_simulator3d_fused
+    from tpufwi.wavelets import ricker
+
+    grid = Grid(shape=(24, 30, 40), h=(12.0,) * 3, pml=8, order=8)
+    c_max, f0 = 3000.0, 9.0
+    dt = grid.cfl_dt(c_max, safety=0.6)
+    nt = 70
+    w = ricker(f0, dt, nt).astype(jnp.float32)
+    rng = np.random.default_rng(3)
+    vp = 2500.0 + 150 * rng.standard_normal(grid.shape).astype(np.float32)
+    pad = grid.pad
+    c2 = jnp.asarray(
+        ((np.pad(vp, pad, mode="edge") * dt) ** 2).astype(np.float32)
+    )
+    rcv = np.array([[y, 6, x] for y in range(6, 20, 6) for x in range(6, 36, 5)])
+    geom = Geometry.from_physical(grid, np.array([[12, 6, 20]]), rcv)
+
+    sim_x = make_simulator(grid, dt, f0, c_max, dtype=jnp.float32)
+    sim_f = make_simulator3d_fused(grid, dt, f0, c_max, by=8, bz=16)
+    d = jax.jit(sim_x)(c2, w, geom.src_idx, geom.rcv_idx) * 1.02
+
+    def lossof(sim):
+        return jax.jit(jax.value_and_grad(
+            lambda c: 0.5 * jnp.sum(
+                (sim(c, w, geom.src_idx, geom.rcv_idx) - d) ** 2
+            )
+        ))
+
+    Jx, gx = lossof(sim_x)(c2)
+    Jf, gf = lossof(sim_f)(c2)
+    assert abs(float(Jx) - float(Jf)) < 1e-3 * abs(float(Jx))
+    gx, gf = np.asarray(gx), np.asarray(gf)
+    R = grid.radius + 1
+    m = np.zeros(grid.padded_shape)
+    m[pad + R : -pad - R, pad + R : -pad - R, pad + R : -pad - R] = 1.0
+    err = np.abs((gf - gx) * m).max() / (np.abs(gx * m).max() + 1e-30)
+    assert err < 2e-3, f"compiled fused 3D grad rel {err:.3e}"
