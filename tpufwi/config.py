@@ -83,6 +83,8 @@ class FwiConfig:
     run_dir: str = "runs/default"
     mesh_shots: int = 0  # 0 = all devices on the shot axis
     checkpoint_every: int = 1
+    # misfit functional (misfit.MISFITS): "l2", "normalized_l2", "envelope"
+    misfit: str = "l2"
 
     # -- (de)serialization ---------------------------------------------------
 
