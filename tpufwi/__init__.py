@@ -20,6 +20,7 @@ from .propagators.elastic2d import ElasticPropagator, elastic_cfl_dt
 from .propagators.acoustic3d import ShardedAcoustic3D, domain_sharding
 from .adjoint import make_simulator, make_simulator_vd
 from .adjoint3d_pallas import make_simulator3d_fused
+from .rtm import migrate
 
 __version__ = "0.1.0"
 
