@@ -68,6 +68,16 @@ class OptCfg:
 
 
 @dataclasses.dataclass(frozen=True)
+class RegCfg:
+    """Model regularization (regularize.REGULARIZERS) added to every
+    stage objective: J = J_data + weight * R(m)."""
+
+    type: str = ""  # "", "tikhonov", "tv"
+    weight: float = 0.0
+    tv_eps: float = 1.0  # smoothing of the TV kink, in model units (m/s)
+
+
+@dataclasses.dataclass(frozen=True)
 class FwiConfig:
     stages: Tuple[StageCfg, ...] = (
         StageCfg(3.0, 12),
@@ -80,6 +90,7 @@ class FwiConfig:
     acq: AcqCfg = AcqCfg()
     precond: PrecondCfg = PrecondCfg()
     opt: OptCfg = OptCfg()
+    reg: RegCfg = RegCfg()
     run_dir: str = "runs/default"
     mesh_shots: int = 0  # 0 = all devices on the shot axis
     checkpoint_every: int = 1
@@ -122,18 +133,28 @@ def _coerce(val: str, old):
     return val
 
 
+#: nested dataclass fields of FwiConfig (scalar fields pass through
+#: generically — a new top-level scalar knob needs NO change here)
+_NESTED = {
+    "prop": PropCfg,
+    "model": ModelCfg,
+    "acq": AcqCfg,
+    "precond": PrecondCfg,
+    "opt": OptCfg,
+    "reg": RegCfg,
+}
+
+
 def _from_dict(cls, raw):
     if cls is FwiConfig:
         stages = tuple(StageCfg(**s) for s in raw.get("stages", []))
-        return FwiConfig(
-            stages=stages or FwiConfig().stages,
-            prop=PropCfg(**raw.get("prop", {})),
-            model=ModelCfg(**raw.get("model", {})),
-            acq=AcqCfg(**raw.get("acq", {})),
-            precond=PrecondCfg(**raw.get("precond", {})),
-            opt=OptCfg(**raw.get("opt", {})),
-            run_dir=raw.get("run_dir", "runs/default"),
-            mesh_shots=raw.get("mesh_shots", 0),
-            checkpoint_every=raw.get("checkpoint_every", 1),
-        )
+        kw = {"stages": stages or FwiConfig().stages}
+        for name, sub in _NESTED.items():
+            kw[name] = sub(**raw.get(name, {}))
+        for f in dataclasses.fields(FwiConfig):
+            if f.name == "stages" or f.name in _NESTED:
+                continue
+            if f.name in raw:
+                kw[f.name] = raw[f.name]
+        return FwiConfig(**kw)
     raise TypeError(cls)
