@@ -21,7 +21,7 @@ from .propagators.acoustic3d import ShardedAcoustic3D, domain_sharding
 from .adjoint import make_simulator, make_simulator_vd
 from .adjoint3d_pallas import make_simulator3d_fused
 from .rtm import migrate
-from .lsrtm import born_operators, lsrtm
+from .lsrtm import born_operators, gauss_newton, lsrtm
 
 __version__ = "0.1.0"
 

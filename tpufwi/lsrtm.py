@@ -25,13 +25,13 @@ def _per_shot(geoms, d_obs, i):
     return jax.tree.map(lambda x: x[i], geoms), d_obs[i]
 
 
-def born_operators(problem, vp_mig: jnp.ndarray, fmax: Optional[float] = None):
-    """(F, Ft, d_lin): the linearized-Born pair at ``vp_mig`` and the
-    band-limited linearized data residual d_obs - R p(vp_mig).
-
-    F(dm) -> (nshot, nt, nrec) Born data; Ft(dd) -> image. Both and the
-    residual share the stage band limit ``fmax`` (in-misfit response,
-    identical to an FWI stage)."""
+def _born_kernels(problem, fmax: Optional[float]):
+    """Jitted per-shot kernels with the linearization point as a call
+    argument — cached on the problem per band so repeated calls (the
+    Gauss-Newton outer loop) reuse one compile."""
+    cache = problem.__dict__.setdefault("_born_cache", {})
+    if fmax in cache:
+        return cache[fmax]
     prop = problem.prop
     nt = int(problem.wavelet.shape[0])
     w = problem.wavelet
@@ -42,7 +42,6 @@ def born_operators(problem, vp_mig: jnp.ndarray, fmax: Optional[float] = None):
     else:
         h2 = jnp.ones(nt + 1, problem.d_obs.dtype)
         d_f = problem.d_obs
-    n_shots = int(jax.tree.leaves(problem.d_obs)[0].shape[0])
 
     # jvp-capable plain forward (same discretization as prop's engine)
     sim_plain = make_simulator(
@@ -60,15 +59,28 @@ def born_operators(problem, vp_mig: jnp.ndarray, fmax: Optional[float] = None):
     def _syn_custom(v, geom):
         return apply_response(prop(v, geom, w), h2, axis=0)
 
-    F1 = jax.jit(lambda dm, geom: jax.jvp(
-        lambda v: _syn_plain(v, geom), (vp_mig,), (dm,))[1])
-    Ft1 = jax.jit(lambda dd, geom: jax.grad(
-        lambda v: jnp.vdot(_syn_custom(v, geom), dd))(vp_mig))
-    syn1 = jax.jit(lambda geom: _syn_custom(vp_mig, geom))
+    F1 = jax.jit(lambda vp, dm, geom: jax.jvp(
+        lambda v: _syn_plain(v, geom), (vp,), (dm,))[1])
+    Ft1 = jax.jit(lambda vp, dd, geom: jax.grad(
+        lambda v: jnp.vdot(_syn_custom(v, geom), dd))(vp))
+    syn1 = jax.jit(_syn_custom)
+    cache[fmax] = (F1, Ft1, syn1, d_f)
+    return cache[fmax]
+
+
+def born_operators(problem, vp_mig: jnp.ndarray, fmax: Optional[float] = None):
+    """(F, Ft, d_lin): the linearized-Born pair at ``vp_mig`` and the
+    band-limited linearized data residual d_obs - R p(vp_mig).
+
+    F(dm) -> (nshot, nt, nrec) Born data; Ft(dd) -> image. Both and the
+    residual share the stage band limit ``fmax`` (in-misfit response,
+    identical to an FWI stage)."""
+    F1, Ft1, syn1, d_f = _born_kernels(problem, fmax)
+    n_shots = int(jax.tree.leaves(problem.d_obs)[0].shape[0])
 
     def F(dm):
         return jnp.stack([
-            F1(dm, _per_shot(problem.geoms, d_f, i)[0])
+            F1(vp_mig, dm, _per_shot(problem.geoms, d_f, i)[0])
             for i in range(n_shots)
         ])
 
@@ -76,12 +88,12 @@ def born_operators(problem, vp_mig: jnp.ndarray, fmax: Optional[float] = None):
         out = None
         for i in range(n_shots):
             geom, _ = _per_shot(problem.geoms, d_f, i)
-            g = Ft1(dd[i], geom)
+            g = Ft1(vp_mig, dd[i], geom)
             out = g if out is None else out + g
         return out
 
     d_lin = jnp.stack([
-        d_f[i] - syn1(_per_shot(problem.geoms, d_f, i)[0])
+        d_f[i] - syn1(vp_mig, _per_shot(problem.geoms, d_f, i)[0])
         for i in range(n_shots)
     ])
     return F, Ft, d_lin
@@ -125,3 +137,49 @@ def lsrtm(
         p = s + (gamma_new / gamma) * p
         gamma = gamma_new
     return x, norms
+
+
+def gauss_newton(
+    problem,
+    vp0: jnp.ndarray,
+    outer: int = 5,
+    n_cg: int = 5,
+    fmax: Optional[float] = None,
+    bounds=None,
+    log_fn=None,
+):
+    """Truncated Gauss-Newton FWI: each outer iteration solves the
+    linearized normal equations with ``n_cg`` CGLS steps (lsrtm) to get
+    the model update, then Armijo line-searches the TRUE objective along
+    it [GENRE: truncated-Newton FWI, Metivier & Brossier 2016]. The
+    natural step is alpha ~ 1 (the update is in model units), which is
+    where GN beats gradient descent's problem-scaled steps.
+
+    Returns (vp, J_history). Cost per outer iteration ~ (2*n_cg + 3)
+    propagations/shot — use small n_cg (3-8)."""
+    from .optimize.linesearch import backtracking_line_search
+
+    vg, loss = problem.stage_objectives(fmax)
+    vp = vp0
+    J, g = vg(vp)
+    Js = [float(J)]
+    for k in range(outer):
+        dm, _ = lsrtm(problem, vp, n_iter=n_cg, fmax=fmax)
+        res = backtracking_line_search(
+            loss, vp, Js[-1], g, dm, alpha0=1.0, bounds=bounds
+        )
+        if not res.success:  # fall back to steepest descent
+            res = backtracking_line_search(
+                loss, vp, Js[-1], g, -g,
+                alpha0=float(0.05 * jnp.max(jnp.abs(vp))
+                             / (jnp.max(jnp.abs(g)) + 1e-30)),
+                bounds=bounds,
+            )
+            if not res.success:
+                break
+        vp = res.x_new
+        J, g = vg(vp)
+        Js.append(float(J))
+        if log_fn is not None:
+            log_fn({"iter": k, "J": Js[-1], "alpha": res.alpha})
+    return vp, Js
