@@ -324,3 +324,73 @@ def make_simulator_vd(
     simulate.defvjp(simulate_fwd, simulate_bwd)
     simulate.rings = rings
     return simulate
+
+
+def make_simulator_visco(
+    grid: Grid,
+    dt: float,
+    f0: float,
+    c_max: float,
+    dtype=jnp.float32,
+    chunk: int = 0,
+):
+    """Viscoacoustic (constant-Q single-SLS) simulator.
+
+    ``simulate(kdt2, tau, buoy_half, wavelet, src_idx, rcv_idx) -> seis``
+    with kdt2 = rho c^2 dt^2 (padded), tau the per-cell SLS strength
+    (kernels.viscoacoustic_jnp.tau_of_q), buoy_half per-axis half-point
+    buoyancies. Differentiable in kdt2, tau, buoy_half and wavelet.
+
+    No boundary-saving custom VJP: attenuation dissipates in the INTERIOR,
+    so reverse reconstruction is not available (kernels docstring). The
+    reverse pass instead uses plain AD over a two-level checkpointed scan
+    (propagators.remat.checkpointed_scan) — O(sqrt(nt) * grid) stored
+    states, one extra forward recompute. ``chunk=0`` picks ~sqrt(nt)."""
+    from .kernels.viscoacoustic_jnp import (
+        ViscoParams,
+        make_visco_step,
+        zero_visco_state,
+    )
+    from .propagators.remat import checkpointed_scan
+
+    z_axis = 0 if grid.ndim == 2 else 1
+    prof_n, prof_h = [], []
+    for ax in range(grid.ndim):
+        kw = dict(n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
+                  h=grid.h[ax], dt=dt, c_max=c_max, f0=f0,
+                  free_lo=(grid.free_surface and ax == z_axis))
+        pn = CpmlProfile.build(**kw)
+        ph = CpmlProfile.build(stagger=0.5, **kw)
+        shape_ = [1] * grid.ndim
+        shape_[ax] = pn.a.shape[0]
+        prof_n.append((jnp.asarray(pn.a.reshape(shape_), dtype),
+                       jnp.asarray(pn.b.reshape(shape_), dtype)))
+        prof_h.append((jnp.asarray(ph.a.reshape(shape_), dtype),
+                       jnp.asarray(ph.b.reshape(shape_), dtype)))
+    an = tuple(pr[0] for pr in prof_n)
+    bn = tuple(pr[1] for pr in prof_n)
+    ah = tuple(pr[0] for pr in prof_h)
+    bh = tuple(pr[1] for pr in prof_h)
+
+    step = make_visco_step(grid, dt, f0)
+    ndim = grid.ndim
+    shape = grid.padded_shape
+
+    def simulate(kdt2, tau, buoy_half, wavelet, src_idx, rcv_idx):
+        params = ViscoParams(
+            kdt2=kdt2, tau=tau, buoy_half=tuple(buoy_half),
+            an=an, bn=bn, ah=ah, bh=bh,
+            src_idx=src_idx, rcv_idx=rcv_idx,
+        )
+
+        def body(s, w_t):
+            return step(s, params, w_t)
+
+        nt = int(wavelet.shape[0])
+        ck = chunk if chunk > 0 else max(8, int(np.sqrt(nt) + 0.5))
+        _, seis = checkpointed_scan(
+            body, zero_visco_state(shape, ndim, kdt2.dtype), wavelet, ck
+        )
+        return seis
+
+    return simulate

@@ -134,11 +134,17 @@ def oracle_forward_vd(
     src_idx: np.ndarray,
     rcv_idx: np.ndarray,
     f0: float,
+    q: np.ndarray = None,
 ):
     """Variable-density acoustic forward (p_tt = rho c^2 div(grad p/rho)),
     fp64, staggered first-derivative flux form with CPML on both the
     half-point fluxes (phi) and the node divergence (psi). Written
     independently of kernels/acoustic_vd_jnp.py as its ground truth.
+
+    ``q``: optional per-cell quality factor — adds the single-SLS
+    constant-Q mechanism (tau_sigma = 1/(2 pi f0), tau = 2/(Q-1),
+    exponential memory integrator + midpoint application), the ground
+    truth for kernels/viscoacoustic_jnp.py.
     """
     from ..grid import D1_STAGGERED_COEFFS
 
@@ -198,6 +204,11 @@ def oracle_forward_vd(
 
     bh = [to_half(buoy, ax) for ax in range(grid.ndim)]
     shape = grid.padded_shape
+    if q is not None:
+        tau = np.pad(2.0 / (np.asarray(q, np.float64) - 1.0),
+                     [(pad, pad)] * grid.ndim, mode="edge")
+        beta = np.exp(-dt * 2.0 * np.pi * f0)
+        r_mem = np.zeros(shape)
     p_prev = np.zeros(shape)
     p = np.zeros(shape)
     phi = [np.zeros(shape) for _ in range(grid.ndim)]
@@ -218,7 +229,14 @@ def oracle_forward_vd(
             dq = dminus(q, ax, h)
             psi[ax] = bn * psi[ax] + an * dq
             lap += dq + psi[ax]
-        p_next = 2.0 * p - p_prev + kdt2 * lap
+        if q is None:
+            p_next = 2.0 * p - p_prev + kdt2 * lap
+        else:
+            mlap = kdt2 * lap
+            r_new = beta * r_mem - (1.0 - beta) * tau * mlap
+            p_next = (2.0 * p - p_prev + (1.0 + tau) * mlap
+                      + 0.5 * (r_new + r_mem))
+            r_mem = r_new
         np.add.at(p_next, src, kdt2[src] * w[t])
         if grid.free_surface:
             sl = [slice(None)] * grid.ndim
