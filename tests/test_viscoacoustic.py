@@ -144,6 +144,57 @@ def test_gradients_finite_difference():
         assert rel < 1e-4, (i, rel)  # central-FD truncation floor
 
 
+def test_q_fwi_problem_inverts():
+    """(vp, Q) multiparameter driver: one stage on a tiny low-Q anomaly —
+    the objective decreases and the Q update has the right sign inside
+    the anomaly."""
+    from tpufwi.config import StageCfg
+    from tpufwi.invert import QFwiProblem, invert_multiparameter
+
+    nz, nx, f0, rho = 36, 60, 12.0, 1000.0
+    vp_t = np.full((nz, nx), 2000.0, np.float32)
+    q_t = np.full((nz, nx), 100.0, np.float32)
+    q_t[14:24, 24:40] = 20.0
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=8, order=4)
+    dt = grid.cfl_dt(2100.0, safety=0.7)
+    nt = 170
+    w = jnp.asarray(ricker_np(f0, dt, nt), jnp.float32)
+    from tpufwi.acquisition import split_spread_survey
+
+    geoms = split_spread_survey(grid, 2, src_z=2, rcv_z=2, rcv_dx=3)
+    from tpufwi.adjoint import make_simulator_visco as msv
+
+    sim = msv(grid, dt, f0, 2100.0, jnp.float32)
+    pb = QFwiProblem(sim=sim, grid=grid, dt=dt, geoms=geoms,
+                     d_obs=None, wavelet=w, rho=rho)
+    kdt2, tau, bh = pb._fields(jnp.asarray(vp_t), jnp.asarray(q_t))
+    d_obs = jnp.stack([
+        sim(kdt2, tau, bh, w,
+            jax.tree.map(lambda x: x[i], geoms).src_idx,
+            jax.tree.map(lambda x: x[i], geoms).rcv_idx)
+        for i in range(2)
+    ])
+    pb = QFwiProblem(sim=sim, grid=grid, dt=dt, geoms=geoms,
+                     d_obs=d_obs, wavelet=w, rho=rho)
+    m0 = (jnp.full((nz, nx), 2000.0, jnp.float32),
+          jnp.full((nz, nx), 100.0, jnp.float32))
+    Js = []
+    m1 = invert_multiparameter(
+        pb, m0, [StageCfg(fmax=None, iterations=4)],
+        bounds=((1800.0, 2200.0), (10.0, 300.0)),
+        log_fn=lambda rec: Js.append(rec["J"]),
+    )
+    assert Js[-1] < 0.8 * Js[0], Js
+    dq = np.asarray(m1[1]) - 100.0
+    in_mean = dq[14:24, 24:40].mean()
+    out_mean = dq[2:10, 24:40].mean()
+    # Q decreases inside the low-Q anomaly, and more than outside it
+    # (4 L-BFGS iterations split between vp and Q — direction and
+    # localization are the testable properties, not amplitude)
+    assert in_mean < -0.2, in_mean
+    assert in_mean < out_mean - 0.1, (in_mean, out_mean)
+
+
 def test_checkpointed_scan_matches_lax_scan():
     from jax import lax
 
