@@ -18,7 +18,12 @@ from .acquisition import Geometry, line_geometry, split_spread_survey
 from .propagators.acoustic2d import AcousticPropagator
 from .propagators.elastic2d import ElasticPropagator, elastic_cfl_dt
 from .propagators.acoustic3d import ShardedAcoustic3D, domain_sharding
-from .adjoint import make_simulator, make_simulator_vd, make_simulator_visco
+from .adjoint import (
+    make_simulator,
+    make_simulator_vd,
+    make_simulator_visco,
+    make_simulator_vti,
+)
 from .adjoint3d_pallas import make_simulator3d_fused
 from .rtm import migrate
 from .lsrtm import born_operators, gauss_newton, lsrtm

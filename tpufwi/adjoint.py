@@ -394,3 +394,47 @@ def make_simulator_visco(
         return seis
 
     return simulate
+
+
+def make_simulator_vti(
+    grid: Grid,
+    dt: float,
+    f0: float,
+    c_max: float,
+    dtype=jnp.float32,
+    chunk: int = 0,
+):
+    """VTI pseudo-acoustic simulator (kernels.vti_jnp).
+
+    ``simulate(vpz2dt2, f_eps, f_del, wavelet, src_idx, rcv_idx) -> seis``
+    with vpz2dt2 = vp^2 dt^2 (vertical velocity, padded grid), f_eps =
+    1 + 2 epsilon, f_del = 1 + 2 delta (padded; REQUIRE eps >= delta for
+    stability — kernels docstring). Differentiable in all three model
+    fields and the wavelet via the checkpointed scan (chunk=0 ~ sqrt(nt)).
+    ``c_max`` should be the max HORIZONTAL velocity vp*sqrt(1+2 eps) for
+    both the CFL margin and the CPML profile design."""
+    from .kernels.vti_jnp import VtiParams, make_vti_step, zero_vti_state
+    from .propagators.remat import checkpointed_scan
+
+    profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
+    a = tuple(jnp.asarray(p[0], dtype) for p in profs)
+    b = tuple(jnp.asarray(p[1], dtype) for p in profs)
+    step = make_vti_step(grid)
+    ndim = grid.ndim
+    shape = grid.padded_shape
+
+    def simulate(vpz2dt2, f_eps, f_del, wavelet, src_idx, rcv_idx):
+        params = VtiParams(vpz2dt2=vpz2dt2, f_eps=f_eps, f_del=f_del,
+                           a=a, b=b, src_idx=src_idx, rcv_idx=rcv_idx)
+
+        def body(s, w_t):
+            return step(s, params, w_t)
+
+        nt = int(wavelet.shape[0])
+        ck = chunk if chunk > 0 else max(8, int(np.sqrt(nt) + 0.5))
+        _, seis = checkpointed_scan(
+            body, zero_vti_state(shape, ndim, vpz2dt2.dtype), wavelet, ck
+        )
+        return seis
+
+    return simulate
