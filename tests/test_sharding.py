@@ -72,3 +72,45 @@ def test_gradient_accumulation_more_shots_than_devices():
         for i in range(16)
     )
     assert abs(J_sh - J_ref) / J_ref < 1e-12
+
+
+def test_multiparameter_problem_shot_dp_matches_sequential():
+    """VdFwiProblem and QFwiProblem with mesh= : shot-sharded (J, grad)
+    == the sequential lax.map path (same problems, mesh=None)."""
+    import numpy as np
+
+    from tpufwi.acquisition import split_spread_survey
+    from tpufwi.adjoint import make_simulator_vd, make_simulator_visco
+    from tpufwi.grid import Grid
+    from tpufwi.invert import QFwiProblem, VdFwiProblem
+    from tpufwi.wavelets import ricker_np
+
+    nz, nx, f0, nt, nsh = 30, 40, 12.0, 80, 4
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=8, order=4)
+    dt = grid.cfl_dt(2200.0, safety=0.7)
+    w = jnp.asarray(ricker_np(f0, dt, nt))
+    geoms = split_spread_survey(grid, nsh, src_z=2, rcv_z=2, rcv_dx=4)
+    rng = np.random.default_rng(0)
+    vp = jnp.asarray(2000.0 + 100 * rng.random((nz, nx)))
+    rho = jnp.asarray(1200.0 + 100 * rng.random((nz, nx)))
+    qm = jnp.asarray(60.0 + 30 * rng.random((nz, nx)))
+    mesh = make_mesh({"shot": nsh}, devices=jax.devices()[:nsh])
+
+    sim_vd = make_simulator_vd(grid, dt, f0, 2200.0, jnp.float64)
+    sim_q = make_simulator_visco(grid, dt, f0, 2200.0, jnp.float64)
+
+    for cls, sim, m in (
+        (VdFwiProblem, sim_vd, (vp, rho)),
+        (QFwiProblem, sim_q, (vp, qm)),
+    ):
+        mk = lambda mesh_, d: cls(sim=sim, grid=grid, dt=dt, geoms=geoms,
+                                  d_obs=d, wavelet=w, mesh=mesh_)
+        d0 = jnp.zeros((nsh, nt, len(geoms.rcv_idx[0])))
+        vg_seq, _ = mk(None, d0).stage_objectives(None)
+        vg_sh, _ = mk(mesh, d0).stage_objectives(None)
+        Js, gs = vg_seq(m)
+        Jp, gp = vg_sh(m)
+        assert abs(float(Js) - float(Jp)) / float(Js) < 1e-12, cls.__name__
+        for a, b in zip(gs, gp):
+            rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-30))
+            assert rel < 1e-11, (cls.__name__, rel)

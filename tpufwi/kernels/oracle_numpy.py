@@ -204,7 +204,10 @@ def oracle_forward_vd(
 
     bh = [to_half(buoy, ax) for ax in range(grid.ndim)]
     shape = grid.padded_shape
-    if q is not None:
+    # NOTE: the flux variable inside the time loop is also named ``q``
+    # (shadows the parameter) — latch the viscoacoustic config here.
+    visco = q is not None
+    if visco:
         tau = np.pad(2.0 / (np.asarray(q, np.float64) - 1.0),
                      [(pad, pad)] * grid.ndim, mode="edge")
         beta = np.exp(-dt * 2.0 * np.pi * f0)
@@ -229,7 +232,7 @@ def oracle_forward_vd(
             dq = dminus(q, ax, h)
             psi[ax] = bn * psi[ax] + an * dq
             lap += dq + psi[ax]
-        if q is None:
+        if not visco:
             p_next = 2.0 * p - p_prev + kdt2 * lap
         else:
             mlap = kdt2 * lap
