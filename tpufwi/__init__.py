@@ -14,12 +14,19 @@ Capability set per BASELINE.json (see SURVEY.md for the blueprint):
 from .grid import Grid, cfl_dt
 from .models import Model
 from .wavelets import ricker
-from .acquisition import Geometry, line_geometry, split_spread_survey
+from .acquisition import (
+    Geometry,
+    OffGridGeometry,
+    PointSet,
+    line_geometry,
+    split_spread_survey,
+)
 from .propagators.acoustic2d import AcousticPropagator
 from .propagators.elastic2d import ElasticPropagator, elastic_cfl_dt
 from .propagators.acoustic3d import ShardedAcoustic3D, domain_sharding
 from .adjoint import (
     make_simulator,
+    make_simulator_offgrid,
     make_simulator_vd,
     make_simulator_visco,
     make_simulator_vti,

@@ -153,6 +153,27 @@ class PointSet:
         return jnp.sum(field[coords] * self.w.astype(field.dtype), axis=-1)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OffGridGeometry:
+    """Continuous-coordinate acquisition: Kaiser-sinc stencils for both
+    sources and receivers (adjoint.make_simulator_offgrid consumes it)."""
+
+    src: PointSet
+    rcv: PointSet
+
+    @staticmethod
+    def from_continuous(
+        grid: Grid, src_m: np.ndarray, rcv_m: np.ndarray, radius: int = 4
+    ) -> "OffGridGeometry":
+        """src_m / rcv_m: (n, ndim) physical positions in METRES (axis
+        order = array layout), anywhere >= radius cells inside the grid."""
+        return OffGridGeometry(
+            src=PointSet.from_coords(grid, src_m, radius=radius),
+            rcv=PointSet.from_coords(grid, rcv_m, radius=radius),
+        )
+
+
 def line_geometry(
     grid: Grid,
     src_z: int,

@@ -396,6 +396,73 @@ def make_simulator_visco(
     return simulate
 
 
+def make_simulator_offgrid(
+    grid: Grid,
+    dt: float,
+    f0: float,
+    c_max: float,
+    dtype=jnp.float32,
+    chunk: int = 0,
+):
+    """Acoustic simulator with CONTINUOUS-coordinate sources/receivers
+    (Kaiser-sinc stencils, Hicks 2002 — acquisition.PointSet).
+
+    ``simulate(c2dt2, wavelet, src_ps, rcv_ps) -> seis`` with src_ps /
+    rcv_ps PointSets (or an acquisition.OffGridGeometry's fields). The
+    source scatters w_t through the sinc stencil scaled by the LOCAL
+    c2dt2 (node-aligned stencils reproduce the on-grid engine exactly);
+    recording is the transposed weighted gather, so reciprocity holds to
+    discretization accuracy. Differentiable in c2dt2, the wavelet AND the
+    stencil weights via the checkpointed scan (promoting to the
+    boundary-saving VJP is mechanical — the step stays affine — but
+    off-grid runs are accuracy studies, not the throughput path)."""
+    from .kernels.acoustic2d_jnp import (
+        AcousticParams,
+        AcousticState,
+        make_acoustic_step,
+        zero_state,
+    )
+    from .propagators.remat import checkpointed_scan
+
+    profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
+    a = tuple(jnp.asarray(p[0], dtype) for p in profs)
+    b = tuple(jnp.asarray(p[1], dtype) for p in profs)
+    base_step = make_acoustic_step(grid)
+    ndim = grid.ndim
+    shape = grid.padded_shape
+    # dummy on-grid indices far inside the pad (zero-amplitude injection)
+    z_idx = jnp.zeros((1, ndim), jnp.int32)
+
+    def simulate(c2dt2, wavelet, src_ps, rcv_ps):
+        params = AcousticParams(
+            c2dt2=c2dt2, a=a, b=b, src_idx=z_idx, rcv_idx=z_idx
+        )
+        sc = tuple(src_ps.idx[..., d] for d in range(ndim))
+
+        fs_row = grid.pad if grid.free_surface else None
+        z_axis = 0 if ndim == 2 else 1
+
+        def body(s, w_t):
+            s, _ = base_step(s, params, 0.0)
+            vals = (src_ps.w * c2dt2[sc]) * w_t
+            p = s.p.at[sc].add(vals.astype(s.p.dtype), mode="drop")
+            if fs_row is not None:  # re-pin: source stencils may touch it
+                idx = [slice(None)] * ndim
+                idx[z_axis] = slice(fs_row, fs_row + 1)
+                p = p.at[tuple(idx)].set(0.0)
+            s = AcousticState(p_prev=s.p_prev, p=p, phi=s.phi, psi=s.psi)
+            return s, rcv_ps.record(p)
+
+        nt = int(wavelet.shape[0])
+        ck = chunk if chunk > 0 else max(8, int(np.sqrt(nt) + 0.5))
+        _, seis = checkpointed_scan(
+            body, zero_state(shape, ndim, c2dt2.dtype), wavelet, ck
+        )
+        return seis
+
+    return simulate
+
+
 def make_simulator_vti(
     grid: Grid,
     dt: float,
