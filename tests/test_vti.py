@@ -103,7 +103,9 @@ def test_gradients_finite_difference():
         grid, np.array([[nz // 2, 8]]),
         np.stack([np.full(6, 8), np.arange(8, 32, 4)], 1),
     )
-    sim = make_simulator_vti(grid, dt, f0, vmax, jnp.float64)
+    # plain-AD path: exact everywhere, the FD reference configuration
+    sim = make_simulator_vti(grid, dt, f0, vmax, jnp.float64,
+                             use_custom_vjp=False)
     vz2 = _pad(vp, grid) ** 2 * dt * dt
     fe = jnp.full(grid.padded_shape, 1.3, jnp.float64)
     fd = jnp.full(grid.padded_shape, 1.1, jnp.float64)
@@ -128,3 +130,47 @@ def test_gradients_finite_difference():
         got = float(jnp.vdot(g[i], v))
         rel = abs(got - float(fd_)) / max(1.0, abs(float(fd_)))
         assert rel < 1e-4, (i, rel)
+
+
+def test_custom_vjp_matches_full_ad():
+    """The boundary-saving VTI adjoint (two-field reverse reconstruction
+    with ring re-imposition) == checkpointed full AD: J to roundoff,
+    model gradients to 1e-10 on the valid interior shrunk by radius+1,
+    wavelet cotangent everywhere."""
+    nz, nx, f0, nt = 34, 42, 13.0, 110
+    rng = np.random.default_rng(9)
+    vp = 2000.0 + 120.0 * rng.random((nz, nx))
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=8, order=4)
+    vmax = float(vp.max()) * np.sqrt(1.5)
+    dt = grid.cfl_dt(vmax, safety=0.6)
+    w = jnp.asarray(ricker_np(f0, dt, nt))
+    geom = Geometry.from_physical(
+        grid, np.array([[nz // 2, 9]]),
+        np.stack([np.full(6, 9), np.arange(9, 33, 4)], 1),
+    )
+    vz2 = _pad(vp, grid) ** 2 * dt * dt
+    fe = _pad(1.22 + 0.1 * rng.random((nz, nx)), grid)
+    fd = _pad(1.08 + 0.05 * rng.random((nz, nx)), grid)
+    sim_c = make_simulator_vti(grid, dt, f0, vmax, jnp.float64)
+    sim_a = make_simulator_vti(grid, dt, f0, vmax, jnp.float64,
+                               use_custom_vjp=False)
+
+    def loss(sim):
+        return lambda m: jnp.sum(
+            sim(m[0], m[1], m[2], m[3], geom.src_idx, geom.rcv_idx) ** 2
+        )
+
+    m = (vz2, fe, fd, w)
+    Jc, gc = jax.value_and_grad(loss(sim_c))(m)
+    Ja, ga = jax.value_and_grad(loss(sim_a))(m)
+    assert abs(float(Jc) - float(Ja)) < 1e-12 * abs(float(Ja))
+    pad, R = grid.pad, grid.radius + 1
+    mask = np.zeros(grid.padded_shape)
+    mask[pad + R : -pad - R, pad + R : -pad - R] = 1.0
+    for name, a, b in zip(("vz2", "f_eps", "f_del"), gc[:3], ga[:3]):
+        a = np.asarray(a) * mask
+        b = np.asarray(b) * mask
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+        assert rel < 1e-10, (name, rel)
+    relw = float(jnp.abs(gc[3] - ga[3]).max() / jnp.abs(ga[3]).max())
+    assert relw < 1e-10, relw

@@ -470,6 +470,7 @@ def make_simulator_vti(
     c_max: float,
     dtype=jnp.float32,
     chunk: int = 0,
+    use_custom_vjp: bool = True,
 ):
     """VTI pseudo-acoustic simulator (kernels.vti_jnp).
 
@@ -477,22 +478,41 @@ def make_simulator_vti(
     with vpz2dt2 = vp^2 dt^2 (vertical velocity, padded grid), f_eps =
     1 + 2 epsilon, f_del = 1 + 2 delta (padded; REQUIRE eps >= delta for
     stability — kernels docstring). Differentiable in all three model
-    fields and the wavelet via the checkpointed scan (chunk=0 ~ sqrt(nt)).
-    ``c_max`` should be the max HORIZONTAL velocity vp*sqrt(1+2 eps) for
-    both the CFL margin and the CPML profile design."""
-    from .kernels.vti_jnp import VtiParams, make_vti_step, zero_vti_state
+    fields and the wavelet. ``c_max`` should be the max HORIZONTAL
+    velocity vp*sqrt(1+2 eps) for both the CFL margin and the CPML
+    profile design.
+
+    Gradient strategy: the coupled system is lossless and affine in its
+    state, so the default is the SAME boundary-saving adjoint as the
+    acoustic/vd engines — reverse reconstruction of BOTH fields with
+    per-step ring re-imposition and jax.vjp of the affine step (memory
+    O(nt * perimeter), not O(nt * grid)). ``use_custom_vjp=False`` falls
+    back to the checkpointed-scan AD (chunk=0 ~ sqrt(nt)) — the ground
+    truth the custom path is tested against (tests/test_vti.py)."""
+    from .kernels.vti_jnp import (
+        VtiParams,
+        VtiState,
+        make_vti_recon,
+        make_vti_step,
+        zero_vti_state,
+    )
     from .propagators.remat import checkpointed_scan
 
     profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
     a = tuple(jnp.asarray(p[0], dtype) for p in profs)
     b = tuple(jnp.asarray(p[1], dtype) for p in profs)
     step = make_vti_step(grid)
+    recon = make_vti_recon(grid)
+    rings = RingSpec.build(grid)
     ndim = grid.ndim
     shape = grid.padded_shape
 
-    def simulate(vpz2dt2, f_eps, f_del, wavelet, src_idx, rcv_idx):
-        params = VtiParams(vpz2dt2=vpz2dt2, f_eps=f_eps, f_del=f_del,
-                           a=a, b=b, src_idx=src_idx, rcv_idx=rcv_idx)
+    def _params(vz2, fe, fd, src_idx, rcv_idx):
+        return VtiParams(vpz2dt2=vz2, f_eps=fe, f_del=fd,
+                         a=a, b=b, src_idx=src_idx, rcv_idx=rcv_idx)
+
+    def simulate_plain(vpz2dt2, f_eps, f_del, wavelet, src_idx, rcv_idx):
+        params = _params(vpz2dt2, f_eps, f_del, src_idx, rcv_idx)
 
         def body(s, w_t):
             return step(s, params, w_t)
@@ -504,4 +524,69 @@ def make_simulator_vti(
         )
         return seis
 
+    if not use_custom_vjp:
+        return simulate_plain
+
+    simulate = jax.custom_vjp(simulate_plain)
+
+    def simulate_fwd(vpz2dt2, f_eps, f_del, wavelet, src_idx, rcv_idx):
+        params = _params(vpz2dt2, f_eps, f_del, src_idx, rcv_idx)
+
+        def body(s, w_t):
+            s, rec = step(s, params, w_t)
+            return s, (rec, (rings.extract(s.p), rings.extract(s.q)))
+
+        final, (seis, tape) = lax.scan(
+            body, zero_vti_state(shape, ndim, vpz2dt2.dtype), wavelet
+        )
+        res = (vpz2dt2, f_eps, f_del, wavelet, src_idx, rcv_idx, tape,
+               (final.p_prev, final.p, final.q_prev, final.q))
+        return seis, res
+
+    def simulate_bwd(res, seis_bar):
+        (vz2, fe, fd, wavelet, src_idx, rcv_idx, tape, fin) = res
+        p_last_prev, p_last, q_last_prev, q_last = fin
+
+        def shift2(T):
+            z = jnp.zeros((2,) + T.shape[1:], T.dtype)
+            return jnp.concatenate([z, T[:-2]], axis=0)
+
+        tape_tm1 = jax.tree.map(shift2, tape)
+
+        def step_m(s, vz2_, fe_, fd_, w_t):
+            return step(s, _params(vz2_, fe_, fd_, src_idx, rcv_idx), w_t)
+
+        def bwd_body(carry, xs):
+            sbar, p_t, p_tp1, q_t, q_tp1, vbar, ebar, dbar = carry
+            (ring_p, ring_q), w_t, ybar_t = xs
+            p_tm1, q_tm1 = recon(p_t, q_t, p_tp1, q_tp1, vz2, fe, fd,
+                                 src_idx, w_t)
+            p_tm1 = rings.impose(p_tm1, ring_p)
+            q_tm1 = rings.impose(q_tm1, ring_q)
+            z = jnp.zeros(shape, vz2.dtype)
+            s_primal = VtiState(
+                p_prev=p_tm1, p=p_t, q_prev=q_tm1, q=q_t,
+                phi=tuple(z for _ in range(ndim)),
+                psi=tuple(z for _ in range(ndim)),
+            )
+            _, pullback = jax.vjp(step_m, s_primal, vz2, fe, fd, w_t)
+            sbar_new, v_inc, e_inc, d_inc, w_inc = pullback((sbar, ybar_t))
+            return (
+                (sbar_new, p_tm1, p_t, q_tm1, q_t,
+                 vbar + v_inc, ebar + e_inc, dbar + d_inc),
+                w_inc,
+            )
+
+        z = jnp.zeros(shape, vz2.dtype)
+        sbar0 = zero_vti_state(shape, ndim, vz2.dtype)
+        carry0 = (sbar0, p_last_prev, p_last, q_last_prev, q_last, z, z, z)
+        xs = (tape_tm1, wavelet, seis_bar)
+        (_, _, _, _, _, vbar, ebar, dbar), wbar = lax.scan(
+            bwd_body, carry0, xs, reverse=True
+        )
+        return (rings.mask_valid(vbar), rings.mask_valid(ebar),
+                rings.mask_valid(dbar), wbar,
+                _int_cotangent(src_idx), _int_cotangent(rcv_idx))
+
+    simulate.defvjp(simulate_fwd, simulate_bwd)
     return simulate

@@ -65,6 +65,45 @@ def zero_vti_state(shape, ndim: int, dtype) -> VtiState:
     )
 
 
+def make_vti_recon(grid: Grid):
+    """Reverse reconstruction for the boundary-saving VTI adjoint: invert
+    the interior (CPML-free) coupled leapfrog —
+
+        p[t-1] = 2 p[t] - p[t+1] + vz2 (f_eps LH p[t] + LZ q[t]) + src
+        q[t-1] = 2 q[t] - q[t+1] + vz2 (f_del LH p[t] + LZ q[t]) + src
+
+    exact wherever the forward update had no CPML contribution; the
+    adjoint engine re-imposes saved rings of BOTH fields."""
+    d2 = [scaled_taps(D2_COEFFS[grid.order], h, 2) for h in grid.h]
+    ndim = grid.ndim
+    z_axis = 0 if ndim == 2 else 1
+    fs_row = grid.pad if grid.free_surface else None
+
+    def recon(p_t, q_t, p_tp1, q_tp1, vz2, f_eps, f_del, src_idx, w_t):
+        lh = None
+        for ax in range(ndim):
+            if ax == z_axis:
+                continue
+            v = apply_stencil(p_t, d2[ax], ax)
+            lh = v if lh is None else lh + v
+        lz = apply_stencil(q_t, d2[z_axis], z_axis)
+        common_z = vz2 * lz
+        p_tm1 = 2.0 * p_t - p_tp1 + vz2 * f_eps * lh + common_z
+        q_tm1 = 2.0 * q_t - q_tp1 + vz2 * f_del * lh + common_z
+        src = tuple(src_idx[..., d] for d in range(ndim))
+        s_amp = vz2[src] * w_t
+        p_tm1 = p_tm1.at[src].add(s_amp, mode="drop")
+        q_tm1 = q_tm1.at[src].add(s_amp, mode="drop")
+        if fs_row is not None:
+            idx = [slice(None)] * ndim
+            idx[z_axis] = slice(fs_row, fs_row + 1)
+            p_tm1 = p_tm1.at[tuple(idx)].set(0.0)
+            q_tm1 = q_tm1.at[tuple(idx)].set(0.0)
+        return p_tm1, q_tm1
+
+    return recon
+
+
 def make_vti_step(grid: Grid):
     """Build ``step(state, params, w_t) -> (state', rec)`` (affine in the
     state for fixed model fields)."""
