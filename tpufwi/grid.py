@@ -93,7 +93,9 @@ def cfl_dt(
         h = [float(h)] * ndim
     s = float(np.abs(D2_COEFFS[order]).sum())
     bound = 2.0 / (c_max * math.sqrt(s * sum(1.0 / hd**2 for hd in h)))
-    return safety * bound
+    # plain Python float: numpy scalars are STRONGLY typed in jax and a
+    # np.float64 dt silently promotes f32 model-field products to f64
+    return float(safety * bound)
 
 
 @dataclasses.dataclass(frozen=True)

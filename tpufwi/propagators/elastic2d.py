@@ -40,7 +40,7 @@ def elastic_cfl_dt(h, vp_max: float, order: int = 4, safety: float = 0.8) -> flo
     if np.isscalar(h):
         h = [float(h)] * 2
     denom = vp_max * cs * np.sqrt(sum(1.0 / hd**2 for hd in h))
-    return safety / denom
+    return float(safety / denom)  # plain float: np scalars are strong-typed
 
 
 def _shift_edge(f, axis):
