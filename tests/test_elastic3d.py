@@ -1,0 +1,116 @@
+"""3D elastic velocity-stress engine (kernels/elastic3d_jnp.py):
+oracle parity, P/S arrival kinematics, and AD gradients through the
+checkpointed scan. Tiny grids — the 27-field state is the
+correctness/differentiability tier (docstring)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufwi import Geometry, Grid
+from tpufwi.kernels.oracle_numpy import oracle_elastic_3d
+from tpufwi.propagators.elastic3d import Elastic3dPropagator, elastic_cfl_dt
+from tpufwi.wavelets import ricker_np
+
+
+def _setup(ny=18, nz=20, nx=22, pml=6, order=4, nt=70, f0=14.0):
+    rng = np.random.default_rng(0)
+    vp = 2200.0 + 150.0 * rng.random((ny, nz, nx))
+    vs = vp / 1.8
+    rho = 1000.0 + 0.3 * vp
+    grid = Grid(shape=(ny, nz, nx), h=(10.0, 10.0, 10.0), pml=pml,
+                order=order)
+    dt = elastic_cfl_dt(grid.h, float(vp.max()), order, safety=0.6)
+    w = ricker_np(f0, dt, nt)
+    src = np.array([[ny // 2, nz // 2, nx // 3]])
+    rcv = np.array([[y, nz // 2 + 2, x]
+                    for y in range(4, ny - 4, 4)
+                    for x in range(4, nx - 4, 5)])
+    geom = Geometry.from_physical(grid, src, rcv)
+    return grid, vp, vs, rho, dt, w, geom, f0
+
+
+@pytest.mark.parametrize("source_type,record",
+                         [("pressure", "v"), ("force_z", "p")])
+def test_forward_matches_oracle(source_type, record):
+    grid, vp, vs, rho, dt, w, geom, f0 = _setup()
+    seis_o = oracle_elastic_3d(
+        vp, vs, rho, grid, dt, w,
+        geom.src_idx - grid.pad, geom.rcv_idx - grid.pad, f0,
+        source_type=source_type, record_fields=record,
+    )
+    prop = Elastic3dPropagator(grid, dt, f0, float(vp.max()),
+                               dtype=jnp.float64, source_type=source_type,
+                               record=record)
+    seis = np.asarray(prop(jnp.asarray(vp), jnp.asarray(vs),
+                           jnp.asarray(rho), geom, jnp.asarray(w)))
+    rms = np.sqrt(np.mean((seis - seis_o) ** 2)) / np.sqrt(np.mean(seis_o**2))
+    assert rms < 1e-9, f"elastic3d vs oracle RMS {rms:.3e}"
+
+
+def test_p_and_s_arrivals():
+    """Homogeneous medium kinematics at ~3 wavelengths offset: an
+    explosive source's pressure arrival travels at vp; a vertical force's
+    broadside vz arrival travels at vs (pure far-field S there)."""
+    f0 = 13.0
+    vp0, vs0 = 2400.0, 1400.0
+    ny, nz, nx = 20, 44, 96
+    vp = np.full((ny, nz, nx), vp0)
+    vs = np.full((ny, nz, nx), vs0)
+    rho = np.full((ny, nz, nx), 1200.0)
+    grid = Grid(shape=(ny, nz, nx), h=(10.0,) * 3, pml=8, order=4)
+    dt = elastic_cfl_dt(grid.h, vp0, 4, safety=0.6)
+    cy, cz, cx = ny // 2, nz // 2, 16
+    d1, d2 = 28, 56  # differential 280 m: wavelet shape cancels
+    t_need = d2 * 10.0 / vs0 + 3.0 / f0
+    nt = int(t_need / dt)
+    w = ricker_np(f0, dt, nt)
+    geom = Geometry.from_physical(
+        grid, np.array([[cy, cz, cx]]),
+        np.array([[cy, cz, cx + d1], [cy, cz, cx + d2]])
+    )
+    ddist = (d2 - d1) * 10.0
+
+    def xcorr_delay(a, b):
+        xc = np.correlate(b, a, "full")
+        k = int(np.argmax(xc))
+        y0, y1, y2 = xc[k - 1], xc[k], xc[k + 1]
+        frac = 0.5 * (y0 - y2) / (y0 - 2 * y1 + y2)
+        return (k + frac - (len(a) - 1)) * dt
+
+    def velocity(source_type, record, comp):
+        prop = Elastic3dPropagator(grid, dt, f0, vp0, dtype=jnp.float64,
+                                   source_type=source_type, record=record)
+        s = np.asarray(prop(jnp.asarray(vp), jnp.asarray(vs),
+                            jnp.asarray(rho), geom, jnp.asarray(w)))
+        tr = (lambda i: s[:, i]) if record == "p" else (lambda i: s[:, i, comp])
+        return ddist / xcorr_delay(tr(0), tr(1))
+
+    v_p = velocity("pressure", "p", None)
+    assert abs(v_p - vp0) < 0.04 * vp0, v_p
+    v_s = velocity("force_z", "v", 0)  # vz broadside: far-field S
+    assert abs(v_s - vs0) < 0.04 * vs0, v_s
+
+
+def test_gradients_finite_difference():
+    grid, vp, vs, rho, dt, w, geom, f0 = _setup(ny=14, nz=16, nx=18, nt=50)
+    prop = Elastic3dPropagator(grid, dt, f0, float(vp.max()),
+                               dtype=jnp.float64)
+    wj = jnp.asarray(w)
+    m0 = (jnp.asarray(vp), jnp.asarray(vs), jnp.asarray(rho))
+
+    def loss(m):
+        s = prop(*m, geom, wj)
+        return jnp.sum(s * s)
+
+    g = jax.grad(loss)(m0)
+    rng = np.random.default_rng(4)
+    for i, h in ((0, 1e-3), (1, 1e-3), (2, 1e-3)):
+        v = jnp.asarray(rng.standard_normal(m0[i].shape))
+        mp = list(m0); mp[i] = m0[i] + h * v
+        mm = list(m0); mm[i] = m0[i] - h * v
+        fd = (loss(tuple(mp)) - loss(tuple(mm))) / (2 * h)
+        got = float(jnp.vdot(g[i], v))
+        rel = abs(got - float(fd)) / max(1.0, abs(float(fd)))
+        assert rel < 1e-5, (i, rel)

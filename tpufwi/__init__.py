@@ -23,6 +23,7 @@ from .acquisition import (
 )
 from .propagators.acoustic2d import AcousticPropagator
 from .propagators.elastic2d import ElasticPropagator, elastic_cfl_dt
+from .propagators.elastic3d import Elastic3dPropagator, make_elastic3d_simulator
 from .propagators.acoustic3d import ShardedAcoustic3D, domain_sharding
 from .adjoint import (
     make_simulator,

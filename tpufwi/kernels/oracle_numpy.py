@@ -411,3 +411,163 @@ def oracle_elastic_2d(
         else:
             seis[t] = -(sxx[rcv] + szz[rcv]) / 2.0
     return seis, []
+
+
+def oracle_elastic_3d(
+    vp: np.ndarray,
+    vs: np.ndarray,
+    rho: np.ndarray,
+    grid: Grid,
+    dt: float,
+    wavelet: np.ndarray,
+    src_idx: np.ndarray,
+    rcv_idx: np.ndarray,
+    f0: float,
+    source_type: str = "pressure",
+    record_fields: str = "v",
+):
+    """3D isotropic elastic velocity-stress forward, fp64, (y, z, x)
+    layout — independent ground truth for kernels/elastic3d_jnp.py
+    (same staggering conventions, written against the equations)."""
+    from ..grid import D1_STAGGERED_COEFFS
+
+    vp = np.asarray(vp, np.float64)
+    vs = np.asarray(vs, np.float64)
+    rho = np.asarray(rho, np.float64)
+    nt = len(wavelet)
+    pad = grid.pad
+    pd = lambda f: np.pad(f, pad, mode="edge")
+    vp_, vs_, rho_ = pd(vp), pd(vs), pd(rho)
+    mu = rho_ * vs_**2
+    lam = rho_ * vp_**2 - 2.0 * mu
+    l2m = lam + 2.0 * mu
+    taps = np.asarray(D1_STAGGERED_COEFFS[grid.order], np.float64)
+    R = len(taps)
+
+    def shiftax(f, k, axis):
+        out = np.zeros_like(f)
+        src_lo = max(0, -k)
+        src_hi = f.shape[axis] - max(0, k)
+        dst_lo = max(0, k)
+        sl_src = [slice(None)] * 3
+        sl_dst = [slice(None)] * 3
+        sl_src[axis] = slice(src_lo, src_hi)
+        sl_dst[axis] = slice(dst_lo, dst_lo + (src_hi - src_lo))
+        out[tuple(sl_dst)] = f[tuple(sl_src)]
+        return out
+
+    def dplus(f, axis, h):
+        out = np.zeros_like(f)
+        for k, c in enumerate(taps):
+            out += c * (shiftax(f, -(k + 1), axis) - shiftax(f, k, axis))
+        return out / h
+
+    def dminus(f, axis, h):
+        out = np.zeros_like(f)
+        for k, c in enumerate(taps):
+            out += c * (shiftax(f, -k, axis) - shiftax(f, k + 1, axis))
+        return out / h
+
+    def edge4(m, ax1, ax2):
+        m1 = np.concatenate(
+            [np.take(m, range(1, m.shape[ax1]), axis=ax1),
+             np.take(m, [-1], axis=ax1)], axis=ax1)
+        m2 = np.concatenate(
+            [np.take(m, range(1, m.shape[ax2]), axis=ax2),
+             np.take(m, [-1], axis=ax2)], axis=ax2)
+        m12 = np.concatenate(
+            [np.take(m1, range(1, m1.shape[ax2]), axis=ax2),
+             np.take(m1, [-1], axis=ax2)], axis=ax2)
+        return 0.25 * (m + m1 + m2 + m12)
+
+    def face2(b, ax):
+        b1 = np.concatenate(
+            [np.take(b, range(1, b.shape[ax]), axis=ax),
+             np.take(b, [-1], axis=ax)], axis=ax)
+        return 0.5 * (b + b1)
+
+    mu_xy = edge4(mu, 2, 0)
+    mu_xz = edge4(mu, 2, 1)
+    mu_yz = edge4(mu, 0, 1)
+    buoy = 1.0 / rho_
+    bx, by, bz = face2(buoy, 2), face2(buoy, 0), face2(buoy, 1)
+
+    prof_n, prof_h = [], []
+    for ax in range(3):
+        kw = dict(n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
+                  h=grid.h[ax], dt=dt, c_max=float(vp.max()), f0=f0)
+        pn = CpmlProfile.build(**kw)
+        ph = CpmlProfile.build(stagger=0.5, **kw)
+        shp = [1, 1, 1]
+        shp[ax] = pn.a.shape[0]
+        prof_n.append((pn.a.reshape(shp), pn.b.reshape(shp)))
+        prof_h.append((ph.a.reshape(shp), ph.b.reshape(shp)))
+
+    shape = grid.padded_shape
+    vx = np.zeros(shape); vy = np.zeros(shape); vz = np.zeros(shape)
+    sxx = np.zeros(shape); syy = np.zeros(shape); szz = np.zeros(shape)
+    sxy = np.zeros(shape); sxz = np.zeros(shape); syz = np.zeros(shape)
+    mV = [np.zeros(shape) for _ in range(9)]
+    mS = [np.zeros(shape) for _ in range(9)]
+    src = tuple(np.asarray(src_idx, np.int64).T + pad)
+    rcv = tuple(np.asarray(rcv_idx, np.int64).T + pad)
+    w = np.asarray(wavelet, np.float64)
+    hy, hz, hx = grid.h
+    AY, AZ, AX = 0, 1, 2
+    nrec = np.asarray(rcv_idx).shape[0]
+    seis = (np.zeros((nt, nrec, 3)) if record_fields == "v"
+            else np.zeros((nt, nrec)))
+
+    def cp(i, mem, d, prof):
+        a, b = prof
+        mem[i] = b * mem[i] + a * d
+        return d + mem[i]
+
+    for t in range(nt):
+        vx += dt * bx * (
+            cp(0, mV, dplus(sxx, AX, hx), prof_h[AX])
+            + cp(1, mV, dminus(sxy, AY, hy), prof_n[AY])
+            + cp(2, mV, dminus(sxz, AZ, hz), prof_n[AZ])
+        )
+        vy += dt * by * (
+            cp(3, mV, dminus(sxy, AX, hx), prof_n[AX])
+            + cp(4, mV, dplus(syy, AY, hy), prof_h[AY])
+            + cp(5, mV, dminus(syz, AZ, hz), prof_n[AZ])
+        )
+        vz += dt * bz * (
+            cp(6, mV, dminus(sxz, AX, hx), prof_n[AX])
+            + cp(7, mV, dminus(syz, AY, hy), prof_n[AY])
+            + cp(8, mV, dplus(szz, AZ, hz), prof_h[AZ])
+        )
+        exx = cp(0, mS, dminus(vx, AX, hx), prof_n[AX])
+        eyy = cp(1, mS, dminus(vy, AY, hy), prof_n[AY])
+        ezz = cp(2, mS, dminus(vz, AZ, hz), prof_n[AZ])
+        tr = exx + eyy + ezz
+        sxx += dt * (lam * tr + 2.0 * mu * exx)
+        syy += dt * (lam * tr + 2.0 * mu * eyy)
+        szz += dt * (lam * tr + 2.0 * mu * ezz)
+        sxy += dt * mu_xy * (
+            cp(3, mS, dplus(vx, AY, hy), prof_h[AY])
+            + cp(4, mS, dplus(vy, AX, hx), prof_h[AX])
+        )
+        sxz += dt * mu_xz * (
+            cp(5, mS, dplus(vx, AZ, hz), prof_h[AZ])
+            + cp(6, mS, dplus(vz, AX, hx), prof_h[AX])
+        )
+        syz += dt * mu_yz * (
+            cp(7, mS, dplus(vy, AZ, hz), prof_h[AZ])
+            + cp(8, mS, dplus(vz, AY, hy), prof_h[AY])
+        )
+        if source_type == "pressure":
+            np.add.at(sxx, src, dt * w[t])
+            np.add.at(syy, src, dt * w[t])
+            np.add.at(szz, src, dt * w[t])
+        else:
+            np.add.at(vz, src, dt * bz[src] * w[t])
+        if record_fields == "v":
+            seis[t, :, 0] = vz[rcv]
+            seis[t, :, 1] = vy[rcv]
+            seis[t, :, 2] = vx[rcv]
+        else:
+            seis[t] = -(sxx[rcv] + syy[rcv] + szz[rcv]) / 3.0
+    return seis
