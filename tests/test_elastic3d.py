@@ -114,3 +114,44 @@ def test_gradients_finite_difference():
         got = float(jnp.vdot(g[i], v))
         rel = abs(got - float(fd)) / max(1.0, abs(float(fd)))
         assert rel < 1e-5, (i, rel)
+
+
+def test_elastic_fwi_problem_drives_3d():
+    """ElasticFwiProblem is propagator-agnostic: with an
+    Elastic3dPropagator it produces finite band-limited objectives and a
+    (vp, vs, rho) gradient that points toward the true model."""
+    from tpufwi.invert import ElasticFwiProblem
+
+    ny, nz, nx, f0, nt = 12, 16, 20, 14.0, 190
+    vp_t = np.full((ny, nz, nx), 2200.0, np.float32)
+    vp_t[:, 8:12, 6:14] = 2350.0
+    vs_t = vp_t / 1.8
+    rho_t = np.full((ny, nz, nx), 1400.0, np.float32)
+    grid = Grid(shape=(ny, nz, nx), h=(10.0,) * 3, pml=5, order=4)
+    dt = elastic_cfl_dt(grid.h, 2350.0, 4, safety=0.6)
+    w = jnp.asarray(ricker_np(f0, dt, nt), jnp.float32)
+    prop = Elastic3dPropagator(grid, dt, f0, 2350.0, dtype=jnp.float32)
+    src = np.array([[[ny // 2, 2, 4]], [[ny // 2, 2, 15]]])
+    rcv = np.array([[y, 3, x] for y in range(3, 10, 3)
+                    for x in range(3, 18, 4)])
+    geoms = jax.tree.map(
+        lambda *x: jnp.stack(x),
+        *[Geometry.from_physical(grid, s, rcv) for s in src],
+    )
+    d_obs = jnp.stack([
+        prop(jnp.asarray(vp_t), jnp.asarray(vs_t), jnp.asarray(rho_t),
+             jax.tree.map(lambda x: x[i], geoms), w)
+        for i in range(2)
+    ])
+    pb = ElasticFwiProblem(prop=prop, geoms=geoms, d_obs=d_obs,
+                           wavelet=w, dt=dt)
+    vg, loss = pb.stage_objectives(12.0)
+    m0 = (jnp.full((ny, nz, nx), 2200.0, jnp.float32),
+          jnp.full((ny, nz, nx), 2200.0 / 1.8, jnp.float32),
+          jnp.asarray(rho_t))
+    J, g = vg(m0)
+    assert np.isfinite(float(J)) and float(J) > 0
+    truth = (jnp.asarray(vp_t), jnp.asarray(vs_t), jnp.asarray(rho_t))
+    d2t = sum(float(jnp.vdot(gi, ti - mi))
+              for gi, mi, ti in zip(g, m0, truth))
+    assert d2t < 0, d2t
