@@ -91,3 +91,45 @@ def test_wolfe_nlcg_quadratic():
     x, infos = minimize(vg, x0, iterations=120, method="nlcg", linesearch="wolfe")
     x_star = jnp.linalg.solve(A, b)
     assert float(jnp.linalg.norm(x - x_star)) < 1e-5
+
+
+def test_backtracking_recovers_from_overscaled_alpha0():
+    """Tiny-amplitude objectives make the scale-heuristic alpha0
+    arbitrarily large; the far-outside-trust-region dive (x1e-3/eval)
+    must still find an acceptable step within the eval budget."""
+    import jax.numpy as jnp
+
+    from tpufwi.optimize.linesearch import backtracking_line_search
+
+    scale = 1e-18
+
+    def f(x):
+        return scale * float(jnp.sum(x * x))
+
+    x0 = jnp.ones(5)
+    g = 2 * scale * x0
+    res = backtracking_line_search(
+        lambda x: f(x), x0, f(x0), g, -g, alpha0=1e22, max_evals=12
+    )
+    assert res.success, res
+    assert res.f_new < f(x0)
+
+
+def test_backtracking_survives_f32_gradient_underflow():
+    """fp32 gradients ~1e-23 have |g|^2 ~ 1e-46, which underflows f32
+    accumulation to zero and used to trip the 'not a descent direction'
+    early-out; the f64 host-side inner products must keep descending."""
+    import jax.numpy as jnp
+
+    from tpufwi.optimize.linesearch import backtracking_line_search
+
+    scale = jnp.float32(1e-20)
+
+    def f(x):
+        return float(scale * jnp.sum(x * x))
+
+    x0 = jnp.ones(8, jnp.float32)
+    g = (2 * scale * x0).astype(jnp.float32)  # ~2e-20 per entry
+    assert float(jnp.vdot(g, g)) >= 0.0  # f32 may underflow to 0 here
+    res = backtracking_line_search(f, x0, f(x0), g, -g, alpha0=1e18)
+    assert res.success and res.f_new < f(x0), res

@@ -33,6 +33,15 @@ class WolfeResult(NamedTuple):
     success: bool
 
 
+def _dot64(a, b):
+    """Host-side f64 inner product: fp32 model gradients can be ~1e-23,
+    whose squared sums underflow f32 accumulation to +-0 and break the
+    descent test (gd >= 0). Tiny host transfer, once per trial."""
+    import numpy as _np
+
+    return float(_np.vdot(_np.asarray(a, _np.float64), _np.asarray(b, _np.float64)))
+
+
 def backtracking_line_search(
     f: Callable[[jnp.ndarray], jnp.ndarray],
     x: jnp.ndarray,
@@ -57,7 +66,7 @@ def backtracking_line_search(
     def project(z):
         return jnp.clip(z, bounds[0], bounds[1]) if bounds is not None else z
 
-    gd = float(jnp.vdot(g, d))
+    gd = _dot64(g, d)
     if gd >= 0.0:
         # not a descent direction — caller should reset; signal failure
         return LineSearchResult(0.0, x, fx, 0, False)
@@ -69,12 +78,20 @@ def backtracking_line_search(
         f_trial = float(f(x_trial))
         n += 1
         # Armijo on the projected step (projected-gradient form)
-        decrease = float(jnp.vdot(g, x_trial - x))
+        decrease = _dot64(g, x_trial - x)
         if jnp.isfinite(f_trial) and f_trial <= fx + c1 * decrease and decrease < 0.0:
             return LineSearchResult(alpha, x_trial, f_trial, n, True)
+        # far outside the trust region (non-finite, or orders of magnitude
+        # above f): dive fast — the 0.1-safeguarded parabola below can only
+        # shrink 10x per eval, which cannot recover from a wildly
+        # overscaled alpha0 (tiny-amplitude objectives make the
+        # 0.01*xscale/|d| first guess arbitrarily large)
+        if (not bool(jnp.isfinite(f_trial))) or f_trial > 100.0 * abs(fx) + 1e-300:
+            alpha *= 1e-3
+            continue
         # parabolic interpolation for the next trial
         denom = f_trial - fx - alpha * gd
-        if denom > 0.0 and jnp.isfinite(f_trial):
+        if denom > 0.0:
             alpha_new = -0.5 * alpha * alpha * gd / denom
             alpha = float(min(max(alpha_new, 0.1 * alpha), 0.5 * alpha))
         else:
@@ -108,7 +125,7 @@ def strong_wolfe_line_search(
     def project(z):
         return jnp.clip(z, bounds[0], bounds[1]) if bounds is not None else z
 
-    gd0 = float(jnp.vdot(g, d))
+    gd0 = _dot64(g, d)
     if gd0 >= 0.0:
         return WolfeResult(0.0, x, fx, None, 0, False)
 
@@ -118,7 +135,7 @@ def strong_wolfe_line_search(
         xt = x + a * d
         f_t, g_t = value_and_grad(xt)
         evals[0] += 1
-        return float(f_t), float(jnp.vdot(g_t, d)), xt, g_t
+        return float(f_t), _dot64(g_t, d), xt, g_t
 
     def interp(a_lo, a_hi, f_lo, gd_lo, f_hi):
         """Safeguarded cubic-ish trial inside (a_lo, a_hi): minimizer of the
