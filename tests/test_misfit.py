@@ -66,8 +66,37 @@ def test_weights_mask_the_functionals():
         masked = float(fn(s, d, weights=w))
         half = float(fn(s[:, :2], d[:, :2]))
         assert masked < full, name
-        if name != "normalized_l2":  # its per-trace norms see all traces
+        # normalized_l2's per-trace norms and w2's global shift constant
+        # both see all traces, so masked != exactly-half for those
+        if name not in ("normalized_l2", "w2"):
             assert abs(masked - half) < 1e-10 * max(1.0, abs(half)), name
+
+
+def test_w2_monotone_in_time_shift_where_l2_saturates():
+    """The W2 misfit keeps growing with the time shift between two
+    wavelets (it measures transport distance), while L2 saturates once
+    the wavelets stop overlapping — the cycle-skipping failure mode W2
+    exists to fix."""
+    from tpufwi.misfit import w2_misfit
+    from tpufwi.wavelets import ricker_np
+
+    nt, dt, f0 = 500, 0.002, 10.0
+    base = np.zeros(nt)
+    wlt = ricker_np(f0, dt, 120)
+    base[60:180] = wlt
+    shifts = [10, 40, 90, 160]
+    d = jnp.asarray(base[:, None])
+    w2 = []
+    l2 = []
+    for s in shifts:
+        shifted = jnp.asarray(np.roll(base, s)[:, None])
+        w2.append(float(w2_misfit(shifted, d)))
+        l2.append(float(l2_misfit(shifted, d)))
+    assert all(b > 1.2 * a for a, b in zip(w2, w2[1:])), w2
+    # L2 blind past no-overlap: the two largest shifts are ~equal
+    assert abs(l2[-1] - l2[-2]) < 0.02 * l2[-1], l2
+    # zero at the optimum
+    assert w2_misfit(d, d) < 1e-12
 
 
 def test_fwi_problem_envelope_objective_decreases():
