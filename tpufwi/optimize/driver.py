@@ -148,6 +148,7 @@ def minimize_pytree(
     x0_tree,
     iterations: int,
     bounds_tree=None,
+    scales_tree=None,
     **kw,
 ):
     """Multiparameter minimize() over a pytree of model fields (e.g. the
@@ -157,27 +158,60 @@ def minimize_pytree(
     minimize() (precond/loss_only operate on flat vectors; use the returned
     `unravel` to map back).
 
-    Returns (x_tree, infos, unravel).
+    ``scales_tree`` balances parameter classes with wildly different
+    magnitudes (vp ~3000 m/s vs Thomsen eps ~0.2): the optimizer works on
+    u = x / s per leaf, so L-BFGS's identity initial Hessian and the line
+    search's single alpha treat each class comparably — the standard
+    multiparameter-FWI nondimensionalization [GENRE: e.g. Operto et al.
+    2013 review]. Accepts a list of positive scalars per leaf, or "auto"
+    to use the bound range (hi - lo) per leaf (requires bounds_tree; falls
+    back to max|x0| per leaf without bounds). None = off (identity).
+
+    Returns (x_tree, infos, unravel) with `unravel` mapping the optimizer's
+    flat SCALED vector back to a model pytree (so precond/loss_only kwargs
+    compose with it unchanged).
     """
     from jax.flatten_util import ravel_pytree
 
-    flat0, unravel = ravel_pytree(x0_tree)
+    flat0, unravel_x = ravel_pytree(x0_tree)
+    leaves, treedef = jax.tree.flatten(x0_tree)
+
+    def per_leaf_vec(vals):
+        return ravel_pytree(treedef.unflatten(
+            [jnp.full_like(x, v) for x, v in zip(leaves, vals)]
+        ))[0]
+
     bounds = None
     if bounds_tree is not None:
-        leaves, treedef = jax.tree.flatten(x0_tree)
         if len(bounds_tree) != len(leaves):
             raise ValueError("bounds_tree must give (lo, hi) per model field")
-        lo_tree = treedef.unflatten(
-            [jnp.full_like(x, b[0]) for x, b in zip(leaves, bounds_tree)]
-        )
-        hi_tree = treedef.unflatten(
-            [jnp.full_like(x, b[1]) for x, b in zip(leaves, bounds_tree)]
-        )
-        bounds = (ravel_pytree(lo_tree)[0], ravel_pytree(hi_tree)[0])
+        bounds = (per_leaf_vec([b[0] for b in bounds_tree]),
+                  per_leaf_vec([b[1] for b in bounds_tree]))
+
+    if scales_tree == "auto":
+        if bounds_tree is not None:
+            scales_tree = [float(hi) - float(lo) for lo, hi in bounds_tree]
+        else:
+            scales_tree = [max(float(jnp.max(jnp.abs(x))), 1e-30)
+                           for x in leaves]
+    if scales_tree is not None:
+        if len(scales_tree) != len(leaves):
+            raise ValueError("scales_tree must give one scale per model field")
+        if any(not (float(s) > 0.0) for s in scales_tree):
+            raise ValueError(f"scales must be positive, got {scales_tree}")
+        svec = per_leaf_vec(scales_tree)
+        flat0 = flat0 / svec
+        if bounds is not None:
+            bounds = (bounds[0] / svec, bounds[1] / svec)
+        unravel = lambda u: unravel_x(u * svec)
+        grad_to_u = lambda g: g * svec  # chain rule: df/du = df/dx * s
+    else:
+        unravel = unravel_x
+        grad_to_u = lambda g: g
 
     def vg_flat(v):
         f, g = value_and_grad(unravel(v))
-        return f, ravel_pytree(g)[0]
+        return f, grad_to_u(ravel_pytree(g)[0])
 
     loss_only = kw.pop("loss_only", None)
     if loss_only is not None:
