@@ -35,6 +35,7 @@ from .adjoint import (
 from .adjoint3d_pallas import make_simulator3d_fused
 from .rtm import migrate
 from .lsrtm import born_operators, gauss_newton, lsrtm
+from .encoding import EncodedFwiProblem, invert_encoded
 
 __version__ = "0.1.0"
 
