@@ -143,6 +143,17 @@ def minimize(
     return x, infos
 
 
+def snap_scales_pow2(scales):
+    """Snap each scale to the nearest power of two. Scaling only needs
+    order-of-magnitude conditioning, and power-of-two factors make the
+    u = x/s round trip BITWISE exact in binary floating point — this is
+    what lets checkpoint/resume of a scaled multiparameter run continue
+    bit-identically (tests/test_resume.py)."""
+    import math
+
+    return [2.0 ** round(math.log2(float(s))) for s in scales]
+
+
 def minimize_pytree(
     value_and_grad: Callable,
     x0_tree,
@@ -199,6 +210,7 @@ def minimize_pytree(
             raise ValueError("scales_tree must give one scale per model field")
         if any(not (float(s) > 0.0) for s in scales_tree):
             raise ValueError(f"scales must be positive, got {scales_tree}")
+        scales_tree = snap_scales_pow2(scales_tree)
         svec = per_leaf_vec(scales_tree)
         flat0 = flat0 / svec
         if bounds is not None:
@@ -213,10 +225,27 @@ def minimize_pytree(
         f, g = value_and_grad(unravel(v))
         return f, grad_to_u(ravel_pytree(g)[0])
 
+    # tree-level preconditioning (mask/smooth/illumination per model field).
+    # The flat gradient lives in scaled space (g_x * s per leaf); unravel_x
+    # gives it model structure, and any per-leaf LINEAR precondition (the
+    # whole standard chain) commutes with the constant per-leaf scale, so
+    # applying it there is exact.
+    precond_tree = kw.pop("precond_tree", None)
+    if precond_tree is not None:
+        if kw.get("precond") is not None:
+            raise ValueError("pass precond_tree or precond, not both")
+        kw["precond"] = lambda gv: ravel_pytree(precond_tree(unravel_x(gv)))[0]
+
     loss_only = kw.pop("loss_only", None)
     if loss_only is not None:
         lo_fn = loss_only
         kw["loss_only"] = lambda v: lo_fn(unravel(v))
+
+    # callback receives the iterate as a MODEL PYTREE in original units
+    # (checkpointing/logging should not see the scaled flat vector)
+    cb_user = kw.pop("callback", None)
+    if cb_user is not None:
+        kw["callback"] = lambda v, info: cb_user(unravel(v), info)
 
     x, infos = minimize(vg_flat, flat0, iterations, bounds=bounds, **kw)
     return unravel(x), infos, unravel
