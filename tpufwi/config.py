@@ -96,6 +96,12 @@ class FwiConfig:
     checkpoint_every: int = 1
     # misfit functional (misfit.MISFITS): "l2", "normalized_l2", "envelope"
     misfit: str = "l2"
+    # physics family driven by the CLI (invert.main): "acoustic" (vp FWI),
+    # "elastic" (joint vp+vs P-SV FWI), "encoded" (random-polarity
+    # simultaneous-source acoustic FWI, tpufwi.encoding)
+    physics: str = "acoustic"
+    # supershot realizations per gradient for physics="encoded"
+    enc_realizations: int = 1
 
     # -- (de)serialization ---------------------------------------------------
 
