@@ -134,3 +134,31 @@ def test_fwi_problem_envelope_objective_decreases():
                       bounds=(1600.0, 2400.0))
     J1 = float(loss(vp1))
     assert J1 < 0.7 * float(J0), (float(J0), J1)
+
+
+def test_traveltime_quadratic_in_shift_and_zero_at_optimum():
+    """The soft cross-correlation traveltime misfit tracks the SHIFT
+    itself: J(shift) ~ 0.5 shift^2 across shifts well beyond a period
+    (where L2 has long gone non-monotonic), J(d, d) = 0 with zero
+    gradient, and pure amplitude scaling contributes nothing."""
+    from tpufwi.misfit import traveltime_misfit
+    from tpufwi.wavelets import ricker_np
+
+    nt, dt, f0 = 500, 0.002, 10.0  # period = 50 samples
+    base = np.zeros(nt)
+    base[60:180] = ricker_np(f0, dt, 120)
+    d = jnp.asarray(base[:, None])
+
+    shifts = [5, 20, 60, 120]  # up to 2.4 periods
+    taus = []
+    for s in shifts:
+        J = float(traveltime_misfit(jnp.asarray(np.roll(base, s)[:, None]), d))
+        taus.append(np.sqrt(2.0 * J))
+    for s, tau in zip(shifts, taus):
+        assert abs(tau - s) < 0.15 * s, (s, tau)
+
+    assert float(traveltime_misfit(d, d)) < 1e-16
+    g = jax.grad(lambda x: traveltime_misfit(x, d))(d)
+    assert float(jnp.max(jnp.abs(g))) < 1e-12
+    # kinematic-only: amplitude error alone is invisible
+    assert float(traveltime_misfit(2.5 * d, d)) < 1e-16

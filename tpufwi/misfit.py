@@ -120,6 +120,59 @@ def w2_misfit(
     return 0.5 * jnp.sum(per_sample)
 
 
+def traveltime_misfit(
+    seis: jnp.ndarray,
+    d_obs: jnp.ndarray,
+    weights=None,
+    beta: float = 100.0,
+    max_lag: int = 0,
+    eps: float = 1e-12,
+):
+    """Cross-correlation traveltime misfit, softened for AD [GENRE: Luo &
+    Schuster 1991 wave-equation traveltime]. Per trace, the lag of the
+    normalized cross-correlation peak is estimated by a softmax-weighted
+    mean (soft-argmax, sharpness ``beta`` — the correlation is in [-1,1],
+    so beta ~ 100 concentrates the weight on the main lobe), and
+
+        J = 0.5 sum_traces w_tr * tau(s, d)^2   (tau in time samples).
+
+    Kinematic-only: amplitude errors that do not move the correlation
+    peak contribute nothing, and tau is linear in a time shift across the
+    whole correlation window — the classic tomographic cycle-skip
+    mitigation (compare L2, which oscillates once shifts exceed half a
+    period; tests/test_misfit.py measures both behaviours). For s == d
+    the autocorrelation is even in lag, the soft-argmax is exactly 0, and
+    J(d, d) = 0 with a zero gradient.
+
+    ``max_lag`` limits the search window (samples; 0 = nt - 1);
+    ``weights`` (per-sample masks from window.py) reduce to per-trace
+    weights by time-averaging."""
+    import jax
+
+    nt = seis.shape[0]
+    L = int(max_lag) if max_lag else nt - 1
+    flat = lambda a: a.reshape(nt, -1)
+    s2, d2 = flat(seis), flat(d_obs)
+    # full linear cross-correlation via zero-padded rFFT, lags -L..L
+    nfft = 1
+    while nfft < 2 * nt:
+        nfft *= 2
+    S = jnp.fft.rfft(s2, n=nfft, axis=0)
+    D = jnp.fft.rfft(d2, n=nfft, axis=0)
+    xc = jnp.fft.irfft(S * jnp.conj(D), n=nfft, axis=0)
+    # xcorr(l) = sum_t s[t] d[t-l]: lag l >= 0 at xc[l], l < 0 at xc[nfft+l]
+    lags = jnp.arange(-L, L + 1, dtype=seis.dtype)
+    xc = jnp.concatenate([xc[nfft - L:], xc[: L + 1]], axis=0)
+    norm = (jnp.linalg.norm(s2, axis=0) * jnp.linalg.norm(d2, axis=0) + eps)
+    p = jax.nn.softmax(beta * xc / norm, axis=0)
+    tau = jnp.sum(lags[:, None] * p, axis=0)  # samples, per trace
+    if weights is not None:
+        w_tr = jnp.mean(flat(jnp.broadcast_to(weights, d_obs.shape)), axis=0)
+    else:
+        w_tr = 1.0
+    return 0.5 * jnp.sum(w_tr * tau**2)
+
+
 #: Functional registry for config/driver selection (FwiProblem.misfit).
 #: Signature: f(seis, d_obs, weights=None) -> scalar.
 MISFITS = {
@@ -127,4 +180,5 @@ MISFITS = {
     "normalized_l2": normalized_l2_misfit,
     "envelope": envelope_misfit,
     "w2": w2_misfit,
+    "traveltime": traveltime_misfit,
 }
