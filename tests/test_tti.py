@@ -1,0 +1,222 @@
+"""TTI pseudo-acoustic engine (kernels/tti_jnp.py): VTI reduction,
+90-degree rotation equivalence (validates the stretched mixed
+derivative), tilted-axis kinematics, AD gradients, and the
+(vp, eps, delta | fixed theta) FWI driver plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufwi import Geometry, Grid
+from tpufwi.adjoint import make_simulator_tti, make_simulator_vti
+from tpufwi.wavelets import ricker_np
+
+
+def _pad(a, grid):
+    return jnp.pad(jnp.asarray(a, jnp.float64), grid.pad, mode="edge")
+
+
+def _trig(th):
+    return jnp.cos(th) ** 2, jnp.sin(th) ** 2, jnp.sin(2.0 * th)
+
+
+def test_vti_reduction():
+    """theta = 0: every rotated term carries an exact 0/1 factor, so the
+    TTI step reduces to the VTI engine at fp64 roundoff."""
+    nz, nx, f0, nt = 44, 56, 13.0, 220
+    rng = np.random.default_rng(0)
+    vp = 2000.0 + 180.0 * rng.random((nz, nx))
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=10, order=8)
+    vmax = float(vp.max()) * np.sqrt(1.5)
+    dt = grid.cfl_dt(vmax, safety=0.6)
+    w = jnp.asarray(ricker_np(f0, dt, nt))
+    geom = Geometry.from_physical(
+        grid, np.array([[nz // 2, nx // 3]]),
+        np.stack([np.full(10, 12), np.arange(6, 46, 4)], 1),
+    )
+    vz2 = _pad(vp, grid) ** 2 * dt * dt
+    fe = _pad(1.0 + 2.0 * 0.2 * rng.random((nz, nx)), grid)
+    fd = fe - 0.1
+    th0 = jnp.zeros(grid.padded_shape, jnp.float64)
+    sim_t = make_simulator_tti(grid, dt, f0, vmax, jnp.float64)
+    sim_v = make_simulator_vti(grid, dt, f0, vmax, jnp.float64,
+                               use_custom_vjp=False)
+    s_t = np.asarray(sim_t(vz2, fe, fd, *_trig(th0), w,
+                           geom.src_idx, geom.rcv_idx))
+    s_v = np.asarray(sim_v(vz2, fe, fd, w, geom.src_idx, geom.rcv_idx))
+    rms = np.sqrt(np.mean((s_t - s_v) ** 2)) / np.sqrt(np.mean(s_v**2))
+    assert rms < 1e-12, f"TTI(theta=0) vs VTI RMS {rms:.3e}"
+
+
+def test_rotation_90():
+    """theta = 90 deg on a SQUARE grid == VTI on the transposed model
+    with transposed acquisition — exercises the rotated combination AND
+    the composed stretched mixed derivative (whose coefficient
+    sin(2*theta) only vanishes at multiples of 90 deg; at exactly 90 the
+    xx/zz roles fully swap, so any mixed-term error would break the
+    equivalence away from the trivial theta=0 case)."""
+    n, f0, nt = 72, 12.0, 320
+    rng = np.random.default_rng(1)
+    from scipy.ndimage import gaussian_filter
+
+    vp = 2000.0 + 600.0 * gaussian_filter(rng.standard_normal((n, n)), 6)
+    eps = np.clip(0.15 + 0.3 * gaussian_filter(
+        rng.standard_normal((n, n)), 8), 0.0, 0.3)
+    dl = eps - 0.08
+    grid = Grid(shape=(n, n), h=(10.0, 10.0), pml=12, order=4)
+    vmax = float((vp * np.sqrt(1 + 2 * eps)).max())
+    dt = 0.8 * grid.cfl_dt(vmax, safety=0.6)
+    w = jnp.asarray(ricker_np(f0, dt, nt))
+    src = np.array([[27, 36]])
+    rcv = np.array([[45, 22], [40, 55]])
+    geom = Geometry.from_physical(grid, src, rcv)
+    geom_T = Geometry.from_physical(grid, src[:, ::-1], rcv[:, ::-1])
+
+    def fields(v, e, d):
+        return (_pad(v, grid) ** 2 * dt * dt,
+                _pad(1 + 2 * e, grid), _pad(1 + 2 * d, grid))
+
+    sim_t = make_simulator_tti(grid, dt, f0, vmax, jnp.float64)
+    sim_v = make_simulator_vti(grid, dt, f0, vmax, jnp.float64,
+                               use_custom_vjp=False)
+    th = jnp.full(grid.padded_shape, np.pi / 2, jnp.float64)
+    s90 = np.asarray(sim_t(*fields(vp, eps, dl), *_trig(th), w,
+                           geom.src_idx, geom.rcv_idx))
+    s_vt = np.asarray(sim_v(*fields(vp.T, eps.T, dl.T), w,
+                            geom_T.src_idx, geom_T.rcv_idx))
+    rms = np.sqrt(np.mean((s90 - s_vt) ** 2)) / np.sqrt(np.mean(s_vt**2))
+    assert rms < 1e-10, f"TTI(90) vs transposed VTI RMS {rms:.3e}"
+
+
+def test_tilted_kinematics():
+    """Homogeneous anelliptic medium tilted 45 deg: the arrival ALONG the
+    tilted symmetry axis travels at vpz; PERPENDICULAR to it at
+    vpz*sqrt(1+2 eps) — the VTI axis velocities rotate with theta."""
+    n, f0, vp0, eps = 160, 13.0, 2000.0, 0.22
+    grid = Grid(shape=(n, n), h=(10.0, 10.0), pml=12, order=8)
+    vmax = vp0 * np.sqrt(1 + 2 * eps)
+    dt = grid.cfl_dt(vmax, safety=0.55)
+    c, k = n // 2, 40  # diagonal offset: distance k*sqrt(2)*h
+    dist = k * np.sqrt(2.0) * 10.0
+    t_need = dist / vp0 + 2.5 / f0
+    nt = int(t_need / dt)
+    w = jnp.asarray(ricker_np(f0, dt, nt))
+    geom = Geometry.from_physical(
+        grid, np.array([[c, c]]),
+        np.array([[c + k, c + k],   # along the 45-deg symmetry axis
+                  [c - k, c + k]]),  # perpendicular to it
+    )
+    sim = make_simulator_tti(grid, dt, f0, vmax, jnp.float64)
+    vz2 = jnp.full(grid.padded_shape, vp0**2, jnp.float64) * dt * dt
+    fe = jnp.full(grid.padded_shape, 1 + 2 * eps, jnp.float64)
+    fd = jnp.full(grid.padded_shape, 1 + 2 * 0.08, jnp.float64)
+    th = jnp.full(grid.padded_shape, np.pi / 4, jnp.float64)
+    s = np.asarray(sim(vz2, fe, fd, *_trig(th), w,
+                       geom.src_idx, geom.rcv_idx))
+    assert np.isfinite(s).all()
+    t0 = 1.5 / f0  # Ricker delay
+    t_axis = np.argmax(np.abs(s[:, 0])) * dt - t0
+    t_perp = np.argmax(np.abs(s[:, 1])) * dt - t0
+    v_axis, v_perp = dist / t_axis, dist / t_perp
+    assert abs(v_axis - vp0) < 0.04 * v_axis, v_axis
+    assert abs(v_perp - vmax) < 0.04 * v_perp, v_perp
+
+
+def test_gradients_finite_difference():
+    """AD gradients through the checkpointed scan match central finite
+    differences for every model field — including the tilt theta through
+    the trig chain — and the wavelet."""
+    nz, nx, f0, nt = 30, 36, 13.0, 90
+    rng = np.random.default_rng(3)
+    vp = 2000.0 + 100.0 * rng.random((nz, nx))
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=8, order=4)
+    vmax = float(vp.max()) * np.sqrt(1.5)
+    dt = grid.cfl_dt(vmax, safety=0.6)
+    w = jnp.asarray(ricker_np(f0, dt, nt))
+    geom = Geometry.from_physical(
+        grid, np.array([[nz // 2, 8]]),
+        np.stack([np.full(6, 8), np.arange(8, 32, 4)], 1),
+    )
+    sim = make_simulator_tti(grid, dt, f0, vmax, jnp.float64)
+    vz2 = _pad(vp, grid) ** 2 * dt * dt
+    fe = jnp.full(grid.padded_shape, 1.3, jnp.float64)
+    fd = jnp.full(grid.padded_shape, 1.1, jnp.float64)
+    th = jnp.full(grid.padded_shape, 0.3, jnp.float64)
+
+    def loss(vz2_, fe_, fd_, th_, w_):
+        s = sim(vz2_, fe_, fd_, *_trig(th_), w_,
+                geom.src_idx, geom.rcv_idx)
+        return jnp.sum(s * s)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(vz2, fe, fd, th, w)
+    md = np.zeros(grid.padded_shape)
+    md[grid.pad + 2 : -grid.pad - 2, grid.pad + 2 : -grid.pad - 2] = 1.0
+    for i, (x0, h) in enumerate(((vz2, 1e-6), (fe, 1e-5), (fd, 1e-5),
+                                 (th, 1e-5), (w, 1e-5))):
+        v = rng.standard_normal(np.asarray(x0).shape)
+        if v.shape == md.shape:
+            v = v * md
+        v = jnp.asarray(v)
+        args = [vz2, fe, fd, th, w]
+        ap = list(args); ap[i] = args[i] + h * v
+        am = list(args); am[i] = args[i] - h * v
+        fd_ = (loss(*ap) - loss(*am)) / (2 * h)
+        got = float(jnp.vdot(g[i], v))
+        rel = abs(got - float(fd_)) / max(1.0, abs(float(fd_)))
+        assert rel < 1e-4, (i, rel)
+
+
+def test_tti_fwi_problem_inverts():
+    """(vp, eps, delta) driver plumbing with a fixed smooth tilt field:
+    the initial gradient points toward the true model (full-tree inner
+    product) and the stage objective decreases strongly."""
+    from tpufwi.acquisition import split_spread_survey
+    from tpufwi.config import StageCfg
+    from tpufwi.invert import TtiFwiProblem, invert_multiparameter
+
+    nz, nx, f0, nt = 36, 60, 11.0, 170
+    vp_t = np.full((nz, nx), 2000.0, np.float32)
+    vp_t[16:26, 20:44] = 2120.0
+    ep_t = np.zeros((nz, nx), np.float32)
+    ep_t[16:26, 20:44] = 0.08
+    dl_t = np.zeros((nz, nx), np.float32)
+    zz, xx = np.mgrid[0:nz, 0:nx]
+    theta = (0.3 * np.sin(np.pi * xx / nx) *
+             np.cos(0.5 * np.pi * zz / nz)).astype(np.float32)
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=8, order=4)
+    vmax = 2200.0 * np.sqrt(1.2)
+    dt = grid.cfl_dt(vmax, safety=0.6)
+    w = jnp.asarray(ricker_np(f0, dt, nt), jnp.float32)
+    geoms = split_spread_survey(grid, 2, src_z=2, rcv_z=2, rcv_dx=3)
+    sim = make_simulator_tti(grid, dt, f0, vmax, jnp.float32)
+    pb0 = TtiFwiProblem(sim=sim, grid=grid, dt=dt, theta=jnp.asarray(theta),
+                        geoms=geoms, d_obs=None, wavelet=w)
+    fields_t = pb0._fields(jnp.asarray(vp_t), jnp.asarray(ep_t),
+                           jnp.asarray(dl_t))
+    d = jnp.stack([
+        sim(*fields_t, w,
+            jax.tree.map(lambda x: x[i], geoms).src_idx,
+            jax.tree.map(lambda x: x[i], geoms).rcv_idx)
+        for i in range(2)
+    ])
+    pb = TtiFwiProblem(sim=sim, grid=grid, dt=dt, theta=jnp.asarray(theta),
+                       geoms=geoms, d_obs=d, wavelet=w)
+    m0 = (jnp.full((nz, nx), 2000.0, jnp.float32),
+          jnp.full((nz, nx), 0.02, jnp.float32),
+          jnp.zeros((nz, nx), jnp.float32))
+    vg0, _ = pb.stage_objectives(9.0)
+    _, g = vg0(m0)
+    truth = (jnp.asarray(vp_t), jnp.asarray(ep_t), jnp.asarray(dl_t))
+    d2t = sum(
+        float(jnp.vdot(gi, ti - mi)) for gi, mi, ti in zip(g, m0, truth)
+    )
+    assert d2t < 0, d2t
+
+    Js = []
+    m1 = invert_multiparameter(
+        pb, m0, [StageCfg(fmax=9.0, iterations=4)],
+        bounds=((1850.0, 2250.0), (0.0, 0.2), (0.0, 0.05)),
+        log_fn=lambda r: Js.append(r["J"]),
+    )
+    assert Js[-1] < 0.6 * Js[0], Js
+    assert all(np.isfinite(np.asarray(x)).all() for x in m1)

@@ -30,6 +30,7 @@ from .adjoint import (
     make_simulator_offgrid,
     make_simulator_vd,
     make_simulator_visco,
+    make_simulator_tti,
     make_simulator_vti,
 )
 from .adjoint3d_pallas import make_simulator3d_fused

@@ -590,3 +590,63 @@ def make_simulator_vti(
 
     simulate.defvjp(simulate_fwd, simulate_bwd)
     return simulate
+
+
+def make_simulator_tti(
+    grid: Grid,
+    dt: float,
+    f0: float,
+    c_max: float,
+    dtype=jnp.float32,
+    chunk: int = 0,
+):
+    """TTI pseudo-acoustic simulator (kernels.tti_jnp).
+
+    ``simulate(vpz2dt2, f_eps, f_del, cos2t, sin2t, s2t, wavelet,
+    src_idx, rcv_idx) -> seis`` with vpz2dt2 = vp^2 dt^2 (symmetry-axis
+    velocity, padded grid), f_eps = 1 + 2 eps, f_del = 1 + 2 delta, and
+    the padded tilt trig fields cos^2(theta) / sin^2(theta) /
+    sin(2 theta) (compute them differentiably from theta upstream —
+    TtiFwiProblem does). Differentiable in every model field and the
+    wavelet. ``c_max`` should be the max phase velocity
+    vp*sqrt(1+2 max(eps,0)) for the CFL margin and CPML design.
+
+    Gradient strategy: plain AD over the checkpointed scan
+    (O(sqrt(nt) * grid) stored states) — the engine-agnostic exact path,
+    same as viscoacoustic. The interior is lossless and reversible, so
+    the VTI-style boundary-saving VJP (make_simulator_vti) is the
+    promotion path if TTI becomes a throughput concern; it needs rings
+    of BOTH fields at width >= radius (the composed mixed derivative
+    reads the full corner frame, which the rectangular ring frame
+    covers)."""
+    from .kernels.tti_jnp import (
+        TtiParams,
+        make_tti_step,
+        zero_tti_state,
+    )
+    from .propagators.remat import checkpointed_scan
+
+    profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
+    a = tuple(jnp.asarray(p[0], dtype) for p in profs)
+    b = tuple(jnp.asarray(p[1], dtype) for p in profs)
+    step = make_tti_step(grid)
+    ndim = grid.ndim
+    shape = grid.padded_shape
+
+    def simulate(vpz2dt2, f_eps, f_del, cos2t, sin2t, s2t,
+                 wavelet, src_idx, rcv_idx):
+        params = TtiParams(vpz2dt2=vpz2dt2, f_eps=f_eps, f_del=f_del,
+                           cos2t=cos2t, sin2t=sin2t, s2t=s2t,
+                           a=a, b=b, src_idx=src_idx, rcv_idx=rcv_idx)
+
+        def body(s, w_t):
+            return step(s, params, w_t)
+
+        nt = int(wavelet.shape[0])
+        ck = chunk if chunk > 0 else max(8, int(np.sqrt(nt) + 0.5))
+        _, seis = checkpointed_scan(
+            body, zero_tti_state(shape, ndim, vpz2dt2.dtype), wavelet, ck
+        )
+        return seis
+
+    return simulate
