@@ -88,6 +88,53 @@ def test_rotation_90():
     assert rms < 1e-10, f"TTI(90) vs transposed VTI RMS {rms:.3e}"
 
 
+def test_3d_reduction_and_rotation():
+    """3D (tilt confined to the z-x plane, y perpendicular): theta = 0
+    reduces to 3D VTI, and theta = 90 deg equals VTI on the z/x-swapped
+    model — the y axis rides along unchanged in both."""
+    ny, nz, nx, f0, nt = 18, 22, 22, 14.0, 80
+    rng = np.random.default_rng(2)
+    from scipy.ndimage import gaussian_filter
+
+    vp = 2000.0 + 400.0 * gaussian_filter(
+        rng.standard_normal((ny, nz, nx)), 3)
+    eps = np.clip(0.15 + 0.2 * gaussian_filter(
+        rng.standard_normal((ny, nz, nx)), 4), 0.0, 0.3)
+    dl = eps - 0.07
+    grid = Grid(shape=(ny, nz, nx), h=(10.0, 10.0, 10.0), pml=6, order=4)
+    vmax = float((vp * np.sqrt(1 + 2 * eps)).max())
+    dt = 0.8 * grid.cfl_dt(vmax, safety=0.5)
+    w = jnp.asarray(ricker_np(f0, dt, nt))
+    src = np.array([[9, 8, 9]])
+    rcv = np.array([[9, 14, 13], [7, 11, 15]])
+    geom = Geometry.from_physical(grid, src, rcv)
+    geom_T = Geometry.from_physical(grid, src[:, [0, 2, 1]],
+                                    rcv[:, [0, 2, 1]])
+    pads = [(grid.pad, grid.pad)] * 3
+    pd = lambda f: jnp.pad(jnp.asarray(f, jnp.float64), pads, mode="edge")
+    mk = lambda v, e, d: (pd(v) ** 2 * dt * dt, 1 + 2 * pd(e),
+                          1 + 2 * pd(d))
+    sim_t = make_simulator_tti(grid, dt, f0, vmax, jnp.float64)
+    sim_v = make_simulator_vti(grid, dt, f0, vmax, jnp.float64,
+                               use_custom_vjp=False)
+    th0 = jnp.zeros(grid.padded_shape, jnp.float64)
+    s0 = np.asarray(sim_t(*mk(vp, eps, dl), *_trig(th0), w,
+                          geom.src_idx, geom.rcv_idx))
+    s_v = np.asarray(sim_v(*mk(vp, eps, dl), w,
+                           geom.src_idx, geom.rcv_idx))
+    rms0 = np.sqrt(np.mean((s0 - s_v) ** 2) / np.mean(s_v**2))
+    assert rms0 < 1e-12, rms0
+
+    sw = lambda f: np.transpose(f, (0, 2, 1))  # swap z <-> x
+    th90 = jnp.full(grid.padded_shape, np.pi / 2, jnp.float64)
+    s90 = np.asarray(sim_t(*mk(vp, eps, dl), *_trig(th90), w,
+                           geom.src_idx, geom.rcv_idx))
+    s_vt = np.asarray(sim_v(*mk(sw(vp), sw(eps), sw(dl)), w,
+                            geom_T.src_idx, geom_T.rcv_idx))
+    rms90 = np.sqrt(np.mean((s90 - s_vt) ** 2) / np.mean(s_vt**2))
+    assert rms90 < 1e-10, rms90
+
+
 def test_tilted_kinematics():
     """Homogeneous anelliptic medium tilted 45 deg: the arrival ALONG the
     tilted symmetry axis travels at vpz; PERPENDICULAR to it at
