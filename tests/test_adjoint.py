@@ -117,3 +117,45 @@ def test_gradient_finite_difference():
     fd = (jp - jm) / (2 * eps)
     rel = abs(fd - gdot) / (abs(fd) + 1e-300)
     assert rel < 1e-7, f"FD check rel err {rel:.3e}"
+
+
+def test_remat_gradient_matches_rings():
+    """gradient="remat" (checkpointed scan, no ring tape) produces the
+    same loss and — on the valid interior — the same model/wavelet
+    gradients as the boundary-saving path, in 2D and 3D. This is the
+    memory escape hatch for full-scale 3D on one chip (adjoint.py
+    docstring)."""
+    from tpufwi.adjoint import make_simulator
+    from tpufwi.wavelets import ricker_np
+
+    for shape, pml in (((30, 36), 8), ((14, 18, 20), 6)):
+        grid = Grid(shape=shape, h=(10.0,) * len(shape), pml=pml, order=4)
+        rng = np.random.default_rng(0)
+        vp = 2000.0 + 150.0 * rng.random(shape)
+        dt = grid.cfl_dt(float(vp.max()), safety=0.6)
+        w = jnp.asarray(ricker_np(13.0, dt, 70))
+        if len(shape) == 2:
+            src = np.array([[15, 8]])
+            rcv = np.stack([np.full(5, 8), np.arange(8, 28, 4)], 1)
+        else:
+            src = np.array([[7, 6, 8]])
+            rcv = np.array([[7, 6, 14], [5, 9, 12]])
+        geom = Geometry.from_physical(grid, src, rcv)
+        pads = [(grid.pad, grid.pad)] * len(shape)
+        c2dt2 = jnp.pad(jnp.asarray(vp), pads, mode="edge") ** 2 * dt * dt
+        s_r = make_simulator(grid, dt, 13.0, float(vp.max()), jnp.float64)
+        s_m = make_simulator(grid, dt, 13.0, float(vp.max()), jnp.float64,
+                             gradient="remat")
+
+        def loss(sim):
+            return lambda c2, w_: jnp.sum(
+                sim(c2, w_, geom.src_idx, geom.rcv_idx) ** 2)
+
+        Jr, (gr, wr) = jax.value_and_grad(loss(s_r), argnums=(0, 1))(c2dt2, w)
+        Jm, (gm, wm) = jax.value_and_grad(loss(s_m), argnums=(0, 1))(c2dt2, w)
+        assert abs(float(Jr - Jm)) <= 1e-12 * float(Jr)
+        gm_v = s_r.rings.mask_valid(gm)
+        assert float(jnp.abs(gm_v - gr).max()) <= 1e-12 * float(
+            jnp.abs(gr).max())
+        assert float(jnp.abs(wm - wr).max()) <= 1e-12 * float(
+            jnp.abs(wr).max())

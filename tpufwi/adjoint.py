@@ -56,6 +56,8 @@ def make_simulator(
     use_custom_vjp: bool = True,
     wavefield_sharding=None,
     wavefield_sharding_batched=None,
+    gradient: str = None,
+    chunk: int = 0,
 ):
     """Build ``simulate(c2dt2, wavelet, src_idx, rcv_idx) -> seis`` with a
     custom VJP implementing the boundary-saving adjoint.
@@ -72,10 +74,21 @@ def make_simulator(
     wavelet; src/rcv integer index arrays get float0 cotangents. It composes
     with jit/vmap/shard_map.
 
-    ``use_custom_vjp=False`` returns the same forward WITHOUT the boundary-
-    saving custom VJP: plain jax AD through the scan (O(nt * grid) memory).
-    Only usable on tiny problems — it is the ground truth the boundary-saving
-    gradient is tested against (tests/test_adjoint.py).
+    ``gradient`` selects the reverse-pass strategy explicitly:
+      - "rings" (default): boundary-saving custom VJP — tape of boundary
+        rings, O(nt * perimeter * radius) memory, zero recompute. The
+        production 2D path.
+      - "remat": plain AD over a checkpointed scan (propagators/remat.py)
+        — O(sqrt(nt) * grid) memory, ~one extra forward of recompute, NO
+        per-step tape. The memory escape hatch for full-scale 3D on one
+        chip, where the ring tape (O(nt * surface * radius), ~36 MB/step
+        at Overthrust scale) exceeds HBM but sqrt(nt) full grids fit
+        (docs/COMPONENTS.md "known constraints").
+      - "full": plain jax AD through the scan (O(nt * grid) memory).
+        Only usable on tiny problems — it is the ground truth the other
+        two are tested against (tests/test_adjoint.py).
+    ``use_custom_vjp=False`` is the legacy spelling of gradient="full".
+    ``chunk`` sets the remat segment length (0 = ~sqrt(nt)).
 
     ``wavefield_sharding``: optional NamedSharding for the wavefield state
     (3D spatial domain decomposition, spec C5). The constraint is applied to
@@ -125,8 +138,31 @@ def make_simulator(
         )
         return seis
 
-    if not use_custom_vjp:
+    mode = gradient if gradient is not None else (
+        "rings" if use_custom_vjp else "full")
+    if mode == "full":
         return simulate_plain
+    if mode == "remat":
+        from .propagators.remat import checkpointed_scan
+
+        def simulate_remat(c2dt2, wavelet, src_idx, rcv_idx):
+            params = _params(_constrain(c2dt2), src_idx, rcv_idx)
+
+            def body(s, w_t):
+                s, rec = step(s, params, w_t)
+                return _constrain(s), rec
+
+            nt = int(wavelet.shape[0])
+            ck = chunk if chunk > 0 else max(8, int(np.sqrt(nt) + 0.5))
+            _, seis = checkpointed_scan(
+                body, _constrain(zero_state(shape, ndim, c2dt2.dtype)),
+                wavelet, ck,
+            )
+            return seis
+
+        return simulate_remat
+    if mode != "rings":
+        raise ValueError(f"unknown gradient mode {mode!r}")
 
     simulate = jax.custom_vjp(simulate_plain)
 
