@@ -74,6 +74,42 @@ def zero_elastic3d_state(shape, dtype) -> Elastic3dState:
 AX_Y, AX_Z, AX_X = 0, 1, 2
 
 
+def make_free_surface_image_3d(grid: Grid):
+    """Levander/Graves stress-image free surface at z = pad (axis AX_Z),
+    the straight 3D extension of the 2D pair
+    (elastic2d_jnp.make_free_surface_image — see its docstring for the
+    ghost-index bookkeeping and the measured requirement that the
+    velocity image run MID-step):
+
+      image_s (end of stress stage): szz(fs) = 0, szz ghost rows odd;
+        sxz, syz (z at half nodes) odd about the surface.
+      image_v (between the V and S stages): vx, vy (z at nodes) even;
+        vz (z at half nodes) even about the surface.
+
+    sxx, syy, sxy carry no z-traction and are not imaged. Returns None
+    when grid.free_surface is off."""
+    if not grid.free_surface:
+        return None
+    fs = grid.pad
+    K = grid.radius
+
+    def image_v(vx, vy, vz):
+        vx = vx.at[:, fs - K : fs].set(vx[:, fs + 1 : fs + K + 1][:, ::-1])
+        vy = vy.at[:, fs - K : fs].set(vy[:, fs + 1 : fs + K + 1][:, ::-1])
+        vz = vz.at[:, fs - K : fs].set(vz[:, fs : fs + K][:, ::-1])
+        return vx, vy, vz
+
+    def image_s(szz, sxz, syz):
+        szz = szz.at[:, fs].set(0.0)
+        szz = szz.at[:, fs - K : fs].set(
+            -szz[:, fs + 1 : fs + K + 1][:, ::-1])
+        sxz = sxz.at[:, fs - K : fs].set(-sxz[:, fs : fs + K][:, ::-1])
+        syz = syz.at[:, fs - K : fs].set(-syz[:, fs : fs + K][:, ::-1])
+        return szz, sxz, syz
+
+    return image_v, image_s
+
+
 def make_elastic3d_step(
     grid: Grid, dt: float, source_type: str = "pressure", record: str = "v"
 ):
@@ -82,6 +118,7 @@ def make_elastic3d_step(
     if grid.ndim != 3:
         raise ValueError("elastic3d kernel needs a 3D grid")
     taps = [scaled_taps(D1_STAGGERED_COEFFS[grid.order], h, 1) for h in grid.h]
+    image = make_free_surface_image_3d(grid)
 
     def dp(f, ax):  # D+ to half-points
         return staggered_diff(f, taps[ax], ax, plus=True)
@@ -115,6 +152,8 @@ def make_elastic3d_step(
         mV[7], t1 = cpml(mV[7], dm(syz, AX_Y), an[AX_Y], bn[AX_Y])
         mV[8], t2 = cpml(mV[8], dp(szz, AX_Z), ah[AX_Z], bh[AX_Z])
         vz = vz + dt * p.buoy_z * (t0 + t1 + t2)
+        if image is not None:  # even ghost-velocity image, MID-step
+            vx, vy, vz = image[0](vx, vy, vz)
 
         # ---- stress stage ----
         mS = list(state.memS)
@@ -145,6 +184,9 @@ def make_elastic3d_step(
             szz = szz.at[src].add(dt * w_t, mode="drop")
         else:  # vertical force on vz
             vz = vz.at[src].add(dt * p.buoy_z[src] * w_t, mode="drop")
+
+        if image is not None:  # free-surface stress image, after sources
+            szz, sxz, syz = image[1](szz, sxz, syz)
 
         rcv = tuple(p.rcv_idx[..., d] for d in range(3))
         if record == "v":

@@ -495,7 +495,8 @@ def oracle_elastic_3d(
     prof_n, prof_h = [], []
     for ax in range(3):
         kw = dict(n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
-                  h=grid.h[ax], dt=dt, c_max=float(vp.max()), f0=f0)
+                  h=grid.h[ax], dt=dt, c_max=float(vp.max()), f0=f0,
+                  free_lo=(grid.free_surface and ax == 1))
         pn = CpmlProfile.build(**kw)
         ph = CpmlProfile.build(stagger=0.5, **kw)
         shp = [1, 1, 1]
@@ -539,6 +540,13 @@ def oracle_elastic_3d(
             + cp(7, mV, dminus(syz, AY, hy), prof_n[AY])
             + cp(8, mV, dplus(szz, AZ, hz), prof_h[AZ])
         )
+        if grid.free_surface:
+            # even ghost-velocity image, MID-step (2D oracle convention)
+            K = grid.radius
+            for k in range(1, K + 1):
+                vx[:, pad - k] = vx[:, pad + k]
+                vy[:, pad - k] = vy[:, pad + k]
+                vz[:, pad - k] = vz[:, pad + k - 1]
         exx = cp(0, mS, dminus(vx, AX, hx), prof_n[AX])
         eyy = cp(1, mS, dminus(vy, AY, hy), prof_n[AY])
         ezz = cp(2, mS, dminus(vz, AZ, hz), prof_n[AZ])
@@ -564,6 +572,15 @@ def oracle_elastic_3d(
             np.add.at(szz, src, dt * w[t])
         else:
             np.add.at(vz, src, dt * bz[src] * w[t])
+        if grid.free_surface:
+            # stress-image free surface [GENRE: Levander 1988], 3D:
+            # zero surface traction, odd mirrors (sxz/syz at half nodes)
+            K = grid.radius
+            szz[:, pad] = 0.0
+            for k in range(1, K + 1):
+                szz[:, pad - k] = -szz[:, pad + k]
+                sxz[:, pad - k] = -sxz[:, pad + k - 1]
+                syz[:, pad - k] = -syz[:, pad + k - 1]
         if record_fields == "v":
             seis[t, :, 0] = vz[rcv]
             seis[t, :, 1] = vy[rcv]

@@ -70,7 +70,8 @@ def make_elastic3d_simulator(
     prof_n, prof_h = [], []
     for ax in range(3):
         kw = dict(n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
-                  h=grid.h[ax], dt=dt, c_max=c_max, f0=f0)
+                  h=grid.h[ax], dt=dt, c_max=c_max, f0=f0,
+                  free_lo=(grid.free_surface and ax == 1))
         pn = CpmlProfile.build(**kw)
         ph = CpmlProfile.build(stagger=0.5, **kw)
         shape_ = [1, 1, 1]
