@@ -36,6 +36,7 @@ from .adjoint import (
 from .adjoint3d_pallas import make_simulator3d_fused
 from .rtm import migrate
 from .resolution import hessian_diag_points, hessian_diag_probe, psf
+from .eikonal import eikonal, first_breaks, traveltime_tomography
 from .lsrtm import born_operators, gauss_newton, lsrtm
 from .encoding import EncodedFwiProblem, invert_encoded
 
