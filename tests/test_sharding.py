@@ -114,3 +114,49 @@ def test_multiparameter_problem_shot_dp_matches_sequential():
         for a, b in zip(gs, gp):
             rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-30))
             assert rel < 1e-11, (cls.__name__, rel)
+
+
+def test_anisotropic_problems_shot_dp_matches_sequential():
+    """VtiFwiProblem and TtiFwiProblem with mesh= : shot-sharded
+    (J, grad) == the sequential path (the shared _mp_total shard_map
+    route, like the Vd/Q test above)."""
+    import numpy as np
+
+    from tpufwi.acquisition import split_spread_survey
+    from tpufwi.adjoint import make_simulator_tti, make_simulator_vti
+    from tpufwi.grid import Grid
+    from tpufwi.invert import TtiFwiProblem, VtiFwiProblem
+    from tpufwi.wavelets import ricker_np
+
+    nz, nx, f0, nt, nsh = 30, 40, 12.0, 80, 4
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=8, order=4)
+    vmax = 2300.0 * np.sqrt(1.4)
+    dt = grid.cfl_dt(vmax, safety=0.7)
+    w = jnp.asarray(ricker_np(f0, dt, nt))
+    geoms = split_spread_survey(grid, nsh, src_z=2, rcv_z=2, rcv_dx=4)
+    rng = np.random.default_rng(0)
+    vp = jnp.asarray(2000.0 + 100 * rng.random((nz, nx)))
+    eps = jnp.asarray(0.1 + 0.05 * rng.random((nz, nx)))
+    dl = eps - 0.05
+    theta = jnp.asarray(0.2 * rng.random((nz, nx)))
+    mesh = make_mesh({"shot": nsh}, devices=jax.devices()[:nsh])
+    d0 = jnp.zeros((nsh, nt, len(geoms.rcv_idx[0])))
+    m = (vp, eps, dl)
+
+    sim_v = make_simulator_vti(grid, dt, f0, vmax, jnp.float64)
+    sim_t = make_simulator_tti(grid, dt, f0, vmax, jnp.float64)
+    mk_v = lambda mesh_: VtiFwiProblem(sim=sim_v, grid=grid, dt=dt,
+                                       geoms=geoms, d_obs=d0, wavelet=w,
+                                       mesh=mesh_)
+    mk_t = lambda mesh_: TtiFwiProblem(sim=sim_t, grid=grid, dt=dt,
+                                       theta=theta, geoms=geoms, d_obs=d0,
+                                       wavelet=w, mesh=mesh_)
+    for name, mk in (("vti", mk_v), ("tti", mk_t)):
+        vg_seq, _ = mk(None).stage_objectives(None)
+        vg_sh, _ = mk(mesh).stage_objectives(None)
+        Js, gs = vg_seq(m)
+        Jp, gp = vg_sh(m)
+        assert abs(float(Js) - float(Jp)) / float(Js) < 1e-12, name
+        for a, b in zip(gs, gp):
+            rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-30))
+            assert rel < 1e-11, (name, rel)
