@@ -88,3 +88,29 @@ def test_elastic_gradient_matches_full_ad():
         scale = np.abs(ga).max()
         err = np.abs(gc * mask - ga).max() / scale
         assert err < 1e-10, f"{name} grad: custom vs full-AD rel err {err:.3e}"
+
+
+def test_forward_snapshots_consistent():
+    """forward_snapshots returns the identical seismogram as __call__
+    plus interior snapshots with live energy (QC/movie path)."""
+    import numpy as np
+
+    from tpufwi.propagators.elastic2d import elastic_cfl_dt
+    from tpufwi.wavelets import ricker_np
+
+    nz, nx, f0, nt = 40, 50, 12.0, 120
+    vp = np.full((nz, nx), 2200.0)
+    vs = vp / 1.8
+    rho = np.full_like(vp, 1800.0)
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=8, order=4)
+    dt = elastic_cfl_dt(grid.h, 2200.0, 4, safety=0.6)
+    w = jnp.asarray(ricker_np(f0, dt, nt))
+    geom = Geometry.from_physical(
+        grid, np.array([[20, 25]]), np.array([[10, 10], [10, 40]]))
+    prop = ElasticPropagator(grid, dt, f0, 2200.0, dtype=jnp.float64)
+    args = (jnp.asarray(vp), jnp.asarray(vs), jnp.asarray(rho), geom, w)
+    seis0 = prop(*args)
+    seis1, snaps = prop.forward_snapshots(*args, stride=10, field="p")
+    assert float(jnp.abs(seis0 - seis1).max()) == 0.0
+    assert snaps.shape == (nt // 10, nz, nx)
+    assert float(jnp.abs(snaps[-1]).max()) > 0.0

@@ -463,6 +463,40 @@ class ElasticPropagator:
             *mats, wavelet.astype(self.dtype), geom.src_idx, geom.rcv_idx
         )
 
+    def forward_snapshots(self, vp, vs, rho, geom: Geometry, wavelet,
+                          stride: int = 1, field: str = "vz"):
+        """Non-differentiable forward that also returns interior snapshots
+        of one wavefield component every ``stride`` steps (QC plots,
+        movie rendering). ``field``: one of vx, vz, sxx, szz, sxz, or
+        "p" (= -(sxx+szz)/2)."""
+        profs = build_profiles(self.grid, self.dt, self._vp_max, self._f0,
+                               dtype=np.float64)
+        az, bz_ = (jnp.asarray(p, self.dtype) for p in profs[0][:2])
+        ax, bx_ = (jnp.asarray(p, self.dtype) for p in profs[1][:2])
+        step = make_elastic_step(self.grid, self.dt, self._source_type,
+                                 self._record)
+        mats = self.material_fields(vp, vs, rho)
+        params = ElasticParams(
+            lam=mats[0], lam2mu=mats[1], mu_xz=mats[2], buoy_x=mats[3],
+            buoy_z=mats[4], az=az, bz=bz_, ax=ax, bx=bx_,
+            src_idx=geom.src_idx, rcv_idx=geom.rcv_idx,
+        )
+        interior = self.grid.interior
+
+        def grab(s):
+            if field == "p":
+                return (-(s.sxx + s.szz) / 2.0)[interior]
+            return getattr(s, field)[interior]
+
+        def body(s, w_t):
+            s, rec = step(s, params, w_t)
+            return s, (rec, grab(s))
+
+        state0 = zero_elastic_state(self.grid.padded_shape, self.dtype)
+        _, (seis, snaps) = jax.lax.scan(
+            body, state0, wavelet.astype(self.dtype))
+        return seis, snaps[::stride] if stride > 1 else snaps
+
     def forward_fused(self, vp, vs, rho, geom: Geometry, wavelet,
                       interpret: bool = False):
         """Forward modeling on the fused Pallas kernels

@@ -54,19 +54,10 @@ def elastic3d_material_fields(grid: Grid, vp, vs, rho, dtype=jnp.float32):
     return lam, lam2mu, mu_xy, mu_xz, mu_yz, buoy_x, buoy_y, buoy_z
 
 
-def make_elastic3d_simulator(
-    grid: Grid,
-    dt: float,
-    f0: float,
-    c_max: float,
-    dtype=jnp.float32,
-    source_type: str = "pressure",
-    record: str = "v",
-    chunk: int = 0,
-):
-    """``simulate(*mats, wavelet, src_idx, rcv_idx) -> seis`` with mats
-    as produced by elastic3d_material_fields; differentiable in all
-    eight material fields and the wavelet."""
+def _elastic3d_profiles(grid: Grid, dt: float, c_max: float, f0: float,
+                        dtype):
+    """Per-axis node/half CPML (a, b) broadcast tuples; z-lo disabled
+    under grid.free_surface."""
     prof_n, prof_h = [], []
     for ax in range(3):
         kw = dict(n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
@@ -80,10 +71,24 @@ def make_elastic3d_simulator(
                        jnp.asarray(pn.b.reshape(shape_), dtype)))
         prof_h.append((jnp.asarray(ph.a.reshape(shape_), dtype),
                        jnp.asarray(ph.b.reshape(shape_), dtype)))
-    a_n = tuple(p[0] for p in prof_n)
-    b_n = tuple(p[1] for p in prof_n)
-    a_h = tuple(p[0] for p in prof_h)
-    b_h = tuple(p[1] for p in prof_h)
+    return (tuple(p[0] for p in prof_n), tuple(p[1] for p in prof_n),
+            tuple(p[0] for p in prof_h), tuple(p[1] for p in prof_h))
+
+
+def make_elastic3d_simulator(
+    grid: Grid,
+    dt: float,
+    f0: float,
+    c_max: float,
+    dtype=jnp.float32,
+    source_type: str = "pressure",
+    record: str = "v",
+    chunk: int = 0,
+):
+    """``simulate(*mats, wavelet, src_idx, rcv_idx) -> seis`` with mats
+    as produced by elastic3d_material_fields; differentiable in all
+    eight material fields and the wavelet."""
+    a_n, b_n, a_h, b_h = _elastic3d_profiles(grid, dt, c_max, f0, dtype)
     step = make_elastic3d_step(grid, dt, source_type, record)
     shape = grid.padded_shape
 
@@ -123,6 +128,10 @@ class Elastic3dPropagator:
         self.grid = grid
         self.dt = float(dt)
         self.dtype = dtype
+        self._f0 = float(f0)
+        self._vp_max = float(vp_max)
+        self._source_type = source_type
+        self._record = record
         self._simulate = make_elastic3d_simulator(
             grid, dt, f0, vp_max, dtype, source_type, record, chunk
         )
@@ -135,3 +144,40 @@ class Elastic3dPropagator:
         return self._simulate(
             *mats, wavelet.astype(self.dtype), geom.src_idx, geom.rcv_idx
         )
+
+    def forward_snapshots(self, vp, vs, rho, geom, wavelet,
+                          stride: int = 1, field: str = "vz"):
+        """Non-differentiable forward that also returns interior snapshots
+        of one component every ``stride`` steps (QC/movies). ``field``:
+        vx, vy, vz, sxx, syy, szz, sxy, sxz, syz, or "p"
+        (= -(sxx+syy+szz)/3)."""
+        a_n, b_n, a_h, b_h = _elastic3d_profiles(
+            self.grid, self.dt, self._vp_max, self._f0, self.dtype)
+        step = make_elastic3d_step(self.grid, self.dt, self._source_type,
+                                   self._record)
+        mats = self.material_fields(vp, vs, rho)
+        params = Elastic3dParams(
+            lam=mats[0], lam2mu=mats[1], mu_xy=mats[2], mu_xz=mats[3],
+            mu_yz=mats[4], buoy_x=mats[5], buoy_y=mats[6], buoy_z=mats[7],
+            a_n=a_n, b_n=b_n, a_h=a_h, b_h=b_h,
+            src_idx=geom.src_idx, rcv_idx=geom.rcv_idx,
+        )
+        interior = self.grid.interior
+        v_names = ("vx", "vy", "vz")
+        s_names = ("sxx", "syy", "szz", "sxy", "sxz", "syz")
+
+        def grab(s):
+            if field == "p":
+                return (-(s.s[0] + s.s[1] + s.s[2]) / 3.0)[interior]
+            if field in v_names:
+                return s.v[v_names.index(field)][interior]
+            return s.s[s_names.index(field)][interior]
+
+        def body(s, w_t):
+            s, rec = step(s, params, w_t)
+            return s, (rec, grab(s))
+
+        state0 = zero_elastic3d_state(self.grid.padded_shape, self.dtype)
+        _, (seis, snaps) = jax.lax.scan(
+            body, state0, wavelet.astype(self.dtype))
+        return seis, snaps[::stride] if stride > 1 else snaps
