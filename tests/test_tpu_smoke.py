@@ -177,3 +177,37 @@ def test_fused3d_grad_compiled():
     m[pad + R : -pad - R, pad + R : -pad - R, pad + R : -pad - R] = 1.0
     err = np.abs((gf - gx) * m).max() / (np.abs(gx * m).max() + 1e-30)
     assert err < 2e-3, f"compiled fused 3D grad rel {err:.3e}"
+
+
+def test_new_engines_compile_on_tpu():
+    """The XLA-engine physics families added in round 2 (TTI, eikonal)
+    compile and run finite on the real chip — they have no Pallas
+    kernels, so this pins lax.scan lowering + fp32 numerics only."""
+    from tpufwi.adjoint import make_simulator_tti
+    from tpufwi.eikonal import eikonal
+    from tpufwi.wavelets import ricker_np
+
+    nz, nx, f0, nt = 40, 48, 12.0, 90
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=8, order=4)
+    vmax = 2200.0 * np.sqrt(1.3)
+    dt = grid.cfl_dt(vmax, safety=0.7)
+    w = jnp.asarray(ricker_np(f0, dt, nt), jnp.float32)
+    geom = Geometry.from_physical(
+        grid, np.array([[20, 12]]),
+        np.stack([np.full(6, 6), np.arange(8, 44, 6)], 1))
+    sim = make_simulator_tti(grid, dt, f0, vmax, jnp.float32)
+    vz2 = jnp.full(grid.padded_shape, 2000.0**2 * dt * dt, jnp.float32)
+    fe = jnp.full(grid.padded_shape, 1.3, jnp.float32)
+    fd = jnp.full(grid.padded_shape, 1.1, jnp.float32)
+    th = jnp.full(grid.padded_shape, 0.3, jnp.float32)
+    trig = (jnp.cos(th) ** 2, jnp.sin(th) ** 2, jnp.sin(2 * th))
+    seis = jax.jit(sim)(vz2, fe, fd, *trig, w, geom.src_idx, geom.rcv_idx)
+    assert bool(jnp.isfinite(seis).all()) and float(jnp.abs(seis).max()) > 0
+
+    s = jnp.full((nz, nx), 1.0 / 2000.0, jnp.float32)
+    t = jax.jit(lambda s_: eikonal(s_, (10.0, 10.0),
+                                   np.array([[20, 24]]), n_iter=120))(s)
+    r = np.hypot(*np.mgrid[0:nz, 0:nx] - np.array([[[20]], [[24]]])) * 10.0
+    m = r > 30.0
+    rel = np.abs(np.asarray(t) - r / 2000.0)[m] / (r[m] / 2000.0)
+    assert rel.max() < 0.06, rel.max()
