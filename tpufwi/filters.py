@@ -71,3 +71,28 @@ def lowpass(x: jnp.ndarray, dt: float, fmax: float, order: int = 6, axis: int = 
     nt = x.shape[axis]
     h2 = lowpass_response(nt, float(dt), float(fmax), order)
     return apply_response(x, h2, axis=axis)
+
+
+def bandpass_response(nt: int, dt: float, fmin: float, fmax: float,
+                      order: int = 6) -> np.ndarray:
+    """Zero-phase band-pass |H|^2: Butterworth high-pass (1/(1+(fc/f)^2n))
+    times the low-pass — for real-data workflows that must also reject
+    energy BELOW the source band (swell/ground-roll noise floor).
+    Sampled like lowpass_response for apply_response()."""
+    n2 = 2 * nt
+    f = np.fft.rfftfreq(n2, float(dt))
+    lp = 1.0 / (1.0 + (f / float(fmax)) ** (2 * order))
+    # overflow-free high-pass form: f^2n / (f^2n + fmin^2n)
+    fn = f ** (2 * order)
+    hp = fn / (fn + float(fmin) ** (2 * order))
+    return lp * hp
+
+
+def bandpass(x: jnp.ndarray, dt: float, fmin: float, fmax: float,
+             order: int = 6, axis: int = 0):
+    """Zero-phase Butterworth band-pass along ``axis`` — the lowpass()
+    sibling with a high-pass edge at ``fmin`` (same linear-convolution
+    application and the same multiscale-consistency caveat)."""
+    nt = x.shape[axis]
+    h2 = bandpass_response(nt, float(dt), float(fmin), float(fmax), order)
+    return apply_response(x, h2, axis=axis)
