@@ -99,3 +99,25 @@ def test_binary_loader_roundtrip(tmp_path):
     assert vp.shape == (25, 40)
     assert dx == 2.5
     assert 1000.0 < vp.min() < vp.max() < 5000.0  # now m/s
+
+
+def test_ormsby_wavelet():
+    """Trapezoidal spectrum: flat inside (f2, f3), rejected outside
+    (f1, f4), unit peak, quiescent start."""
+    import numpy as np
+
+    from tpufwi.wavelets import ormsby
+
+    nt, dt = 2000, 1e-3
+    w = np.asarray(ormsby(5.0, 10.0, 40.0, 60.0, dt, nt))
+    f = np.fft.rfftfreq(nt, dt)
+    W = np.abs(np.fft.rfft(w))
+    W /= W.max()
+    amp = lambda fr: W[np.argmin(np.abs(f - fr))]
+    assert amp(25.0) > 0.9 and amp(15.0) > 0.9
+    assert amp(2.0) < 0.1 and amp(80.0) < 0.05
+    assert abs(w).max() == 1.0 and abs(w[0]) < 0.02
+    import pytest
+
+    with pytest.raises(ValueError):
+        ormsby(10.0, 5.0, 40.0, 60.0, dt, nt)

@@ -13,7 +13,7 @@ Capability set per BASELINE.json (see SURVEY.md for the blueprint):
 
 from .grid import Grid, cfl_dt
 from .models import Model
-from .wavelets import ricker
+from .wavelets import ormsby, ricker
 from .acquisition import (
     Geometry,
     OffGridGeometry,
@@ -46,6 +46,7 @@ __all__ = [
     "Grid",
     "cfl_dt",
     "Model",
+    "ormsby",
     "ricker",
     "Geometry",
     "line_geometry",
