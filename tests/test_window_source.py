@@ -125,6 +125,64 @@ def test_trace_weights_in_problem(tmp_path):
     np.testing.assert_allclose(np.asarray(gh), np.asarray(ghp), rtol=1e-9)
 
 
+def test_canonical_nt_padding(tmp_path):
+    """with_canonical_nt: the padded problem's full-band J and gradient
+    match the unpadded problem (padded steps are masked out of the
+    objective), and band-limited stages agree to filter-edge level."""
+    import pytest
+
+    assert window.canonical_nt(648) == 768
+    assert window.canonical_nt(768) == 768
+    assert window.canonical_nt(1, multiple=100) == 100
+    with pytest.raises(ValueError):
+        window.canonical_nt(100, multiple=0)
+    with pytest.raises(ValueError):
+        window.pad_time(jnp.zeros(10), 5)
+
+    cfg = _cfg(tmp_path)
+    problem, vp0 = build_synthetic_problem(cfg, _tiny_model(), dx=10.0)
+    nt = int(problem.wavelet.shape[0])
+    pbp = problem.with_canonical_nt(128)
+    ntp = int(pbp.wavelet.shape[0])
+    assert ntp % 128 == 0 and ntp >= nt
+    assert pbp.d_obs.shape[1] == ntp
+    assert pbp.with_canonical_nt(128) is pbp  # already canonical: no-op
+
+    # full band: identical physics in the first nt steps + masked tail
+    vg0, _ = problem.stage_objectives(None)
+    vg1, _ = pbp.stage_objectives(None)
+    J0, g0 = vg0(vp0)
+    J1, g1 = vg1(vp0)
+    np.testing.assert_allclose(float(J1), float(J0), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-8,
+                               atol=1e-12 * float(np.abs(g0).max()))
+
+    # band-limited stage: the in-misfit response is built at the padded
+    # nt — agreement is at the filter level, not bitwise
+    vg0f, _ = problem.stage_objectives(8.0)
+    vg1f, _ = pbp.stage_objectives(8.0)
+    J0f, g0f = vg0f(vp0)
+    J1f, g1f = vg1f(vp0)
+    assert abs(float(J1f) - float(J0f)) < 0.02 * abs(float(J0f))
+    cos = float(
+        jnp.vdot(g0f, g1f)
+        / (jnp.linalg.norm(g0f.ravel()) * jnp.linalg.norm(g1f.ravel()))
+    )
+    assert cos > 0.999
+
+    # composes with existing 2D weights (pads them with zeros)
+    half = np.zeros((nt, problem.d_obs.shape[2]))
+    half[: nt // 2] = 1.0
+    p_h = dataclasses.replace(
+        problem, trace_weights=jnp.asarray(half, problem.d_obs.dtype)
+    )
+    p_hp = p_h.with_canonical_nt(128)
+    assert p_hp.trace_weights.shape == (ntp, problem.d_obs.shape[2])
+    _, lh0 = p_h.stage_objectives(None)
+    _, lh1 = p_hp.stage_objectives(None)
+    np.testing.assert_allclose(float(lh1(vp0)), float(lh0(vp0)), rtol=1e-10)
+
+
 # ------------------------------------------------------ source estimation
 
 

@@ -102,6 +102,10 @@ class FwiConfig:
     physics: str = "acoustic"
     # supershot realizations per gradient for physics="encoded"
     enc_realizations: int = 1
+    # snap nt up to a multiple of this (0 = off) so nearby configs share
+    # one compiled program / persistent-cache entry (window.canonical_nt;
+    # applied by FwiProblem.with_canonical_nt for physics="acoustic")
+    pad_nt: int = 0
 
     # -- (de)serialization ---------------------------------------------------
 

@@ -45,6 +45,35 @@ def time_window(nt: int, dt: float, t0: float, t1: float,
     return jnp.asarray(w[:, None], dtype)
 
 
+def canonical_nt(nt: int, multiple: int = 128) -> int:
+    """Round ``nt`` up to the next multiple of ``multiple``.
+
+    Compile-cost control (docs/ROADMAP.md item 12): the time-loop length
+    is baked into every compiled program, so each distinct nt — which
+    falls out of `t_max / cfl_dt(c_max)` and therefore varies with every
+    model/grid tweak — costs a fresh compile (~10 min for the scanres
+    Pallas engine). Snapping nt to a coarse ladder collapses nearby
+    configurations onto one program, so the persistent .jax_cache hits
+    across runs. 128 bounds the wasted propagation at <20% for nt >= 640
+    and shrinks relatively as nt grows.
+    """
+    if multiple <= 0:
+        raise ValueError(f"multiple must be positive, got {multiple}")
+    return int(-(-int(nt) // multiple) * multiple)
+
+
+def pad_time(x: jnp.ndarray, nt_pad: int, axis: int = 0) -> jnp.ndarray:
+    """Zero-pad ``x`` along ``axis`` (the time axis) up to ``nt_pad``."""
+    n = x.shape[axis]
+    if n > nt_pad:
+        raise ValueError(f"pad_time: length {n} exceeds target {nt_pad}")
+    if n == nt_pad:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis if axis >= 0 else x.ndim + axis] = (0, nt_pad - n)
+    return jnp.pad(x, widths)
+
+
 def offset_mute(
     nt: int,
     dt: float,
