@@ -58,3 +58,82 @@ def test_elastic_inversion_reduces_misfit():
     )
     J1 = float(loss(m))
     assert J1 < 0.1 * J0, f"elastic FWI J ratio {J1/J0:.3f}"
+
+
+def _tiny_elastic_problem(**kw):
+    from scipy.ndimage import gaussian_filter
+
+    nz, nx, f0 = 28, 32, 14.0
+    vp_t = np.full((nz, nx), 2300.0)
+    vp_t[10:16, 12:22] = 2100.0
+    vp_t = gaussian_filter(vp_t, 1.0)
+    vs_t, rho = vp_t / 1.8, np.full((nz, nx), 2000.0)
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=8, order=4)
+    dt = elastic_cfl_dt(grid.h, float(vp_t.max()), 4, safety=0.7)
+    w = jnp.asarray(ricker_np(f0, dt, 150))
+    prop = ElasticPropagator(grid, dt, f0, float(vp_t.max()),
+                             dtype=jnp.float64, source_type="force_z")
+    geoms = []
+    for sz in (8, 20):
+        rz = np.arange(3, nz - 3, 4)
+        geoms.append(Geometry.from_physical(
+            grid, np.array([[sz, 3]]),
+            np.stack([rz, np.full_like(rz, nx - 4)], 1)))
+    geoms = jax.tree.map(lambda *a: jnp.stack(a), *geoms)
+    vpj, vsj, rhoj = jnp.asarray(vp_t), jnp.asarray(vs_t), jnp.asarray(rho)
+    d_obs = jax.vmap(lambda si, ri: prop(
+        vpj, vsj, rhoj, Geometry(src_idx=si, rcv_idx=ri), w
+    ))(geoms.src_idx, geoms.rcv_idx)
+    from scipy.ndimage import gaussian_filter as gf
+    m0 = (jnp.asarray(gf(vp_t, 6.0)), jnp.asarray(gf(vs_t, 6.0)), rhoj)
+    pb = ElasticFwiProblem(prop=prop, geoms=geoms, d_obs=d_obs,
+                           wavelet=w, dt=dt, **kw)
+    return pb, m0
+
+
+def test_mp_trace_weights_misfit_and_padding():
+    """The multiparameter problems share FwiProblem's misfit layer:
+    selectable misfits, window.py trace weights (broadcasting over the
+    component axis of multicomponent data), and canonical-nt padding."""
+    import dataclasses
+
+    pb, m0 = _tiny_elastic_problem()
+    nshot, nt, nrec = pb.d_obs.shape[:3]
+    vg0, loss0 = pb.stage_objectives(None)
+    J0, g0 = vg0(m0)
+
+    # all-ones (nt, nrec) weights == unweighted, including against
+    # multicomponent (nt, nrec, 2) seismograms
+    ones = jnp.ones((nt, nrec), pb.d_obs.dtype)
+    p_w = dataclasses.replace(pb, trace_weights=ones)
+    J1, g1 = p_w.stage_objectives(None)[0](m0)
+    np.testing.assert_allclose(float(J1), float(J0), rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+    # a half-time window strictly reduces the misfit; per-shot 3D weights
+    # replicating it agree exactly
+    half = np.zeros((nt, nrec))
+    half[: nt // 2] = 1.0
+    p_h = dataclasses.replace(pb, trace_weights=jnp.asarray(half, pb.d_obs.dtype))
+    Jh = float(p_h.stage_objectives(None)[1](m0))
+    assert 0.0 < Jh < float(J0)
+    w3 = jnp.broadcast_to(jnp.asarray(half, pb.d_obs.dtype), (nshot, nt, nrec))
+    p_3 = dataclasses.replace(pb, trace_weights=w3)
+    np.testing.assert_allclose(
+        float(p_3.stage_objectives(None)[1](m0)), Jh, rtol=1e-12)
+
+    # selectable misfit: normalized_l2 produces a different, finite J
+    p_n = dataclasses.replace(pb, misfit="normalized_l2")
+    Jn, gn = p_n.stage_objectives(None)[0](m0)
+    assert np.isfinite(float(Jn)) and not np.isclose(float(Jn), float(J0))
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(gn))
+
+    # canonical-nt padding: full-band J/grad match the unpadded problem
+    pbp = pb.with_canonical_nt(128)
+    assert int(pbp.wavelet.shape[0]) == 256 and pbp.d_obs.shape[1] == 256
+    Jp, gp = pbp.stage_objectives(None)[0](m0)
+    np.testing.assert_allclose(float(Jp), float(J0), rtol=1e-10)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8,
+                                   atol=1e-12 * float(np.abs(a).max()))
