@@ -5,7 +5,7 @@
 # compile in flight). Poll period 600 s.
 cd "$(dirname "$0")/.."
 mkdir -p runs/tpu_queue
-for i in $(seq 1 60); do
+for i in $(seq 1 120); do
   if timeout 150 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256,256)); print('probe ok', float((x@x)[0,0]))" \

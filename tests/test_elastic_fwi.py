@@ -91,6 +91,38 @@ def _tiny_elastic_problem(**kw):
     return pb, m0
 
 
+def test_mp_source_estimation_recovers_scaled_source():
+    """stage_wavelet on a multiparameter problem: d_obs generated with a
+    scaled true source; at the true model the Wiener-corrected wavelet
+    collapses the misfit that the wrong base wavelet leaves behind. The
+    fit is joint over both components of the elastic gathers."""
+    pb, m0 = _tiny_elastic_problem()
+    # the fixture's d_obs used the base wavelet w; rescale data to fake a
+    # mis-scaled source (linear engine: seis(2.7 w) == 2.7 seis(w))
+    import dataclasses
+
+    pb = dataclasses.replace(pb, d_obs=2.7 * pb.d_obs)
+    m_true = None
+    # true model = fixture truth: rebuild it exactly as the fixture does
+    from scipy.ndimage import gaussian_filter
+
+    vp_t = np.full((28, 32), 2300.0)
+    vp_t[10:16, 12:22] = 2100.0
+    vp_t = gaussian_filter(vp_t, 1.0)
+    m_true = (jnp.asarray(vp_t), jnp.asarray(vp_t / 1.8),
+              jnp.asarray(np.full((28, 32), 2000.0)))
+
+    w_est = pb.stage_wavelet(m_true, fmax=None)
+    np.testing.assert_allclose(
+        np.asarray(w_est), 2.7 * np.asarray(pb.wavelet), atol=2.7e-3
+    )
+    _, loss = pb.stage_objectives(None)
+    J_wrong = float(loss(m_true))
+    vg_est, loss_est = pb.stage_objectives(None, wavelet=w_est)
+    J_est = float(loss_est(m_true))
+    assert J_est < 1e-4 * J_wrong, (J_est, J_wrong)
+
+
 def test_mp_trace_weights_misfit_and_padding():
     """The multiparameter problems share FwiProblem's misfit layer:
     selectable misfits, window.py trace weights (broadcasting over the
