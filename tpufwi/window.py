@@ -127,12 +127,14 @@ def combine(*masks) -> jnp.ndarray:
     return out
 
 
-def shot_offsets(geom, axis: int = -1) -> jnp.ndarray:
-    """(nrec,) per-receiver offsets from a single-shot Geometry.
+def shot_offsets(geom, h: float = 1.0, axis: int = -1) -> jnp.ndarray:
+    """(nrec,) per-receiver offsets from a single-shot Geometry, in
+    grid-index units times ``h`` (pass the inline cell size for metres;
+    the shared padding offset cancels in the difference).
 
     Uses the last (inline) coordinate axis by default; for multi-source
     shots the first source is the offset origin (standard for the
     split-spread single-source surveys built by acquisition.py).
     """
-    src = jnp.asarray(geom.src_coords)[0, axis]
-    return jnp.asarray(geom.rcv_coords)[:, axis] - src
+    src = jnp.asarray(geom.src_idx)[0, axis]
+    return (jnp.asarray(geom.rcv_idx)[:, axis] - src) * h
