@@ -57,6 +57,37 @@ def test_shot_sharded_grad_equals_sequential():
     assert num / den < 1e-11, f"sharded vs sequential grad rel err {num/den:.3e}"
 
 
+def test_multislice_mesh_shot_dp_matches_sequential():
+    """Multi-slice pod layout on virtual devices: shots sharded over the
+    flattened ("slice", "shot") product of a {"slice": 2, "shot": 4} mesh
+    (DCN outer axis x ICI inner axis on hardware), psum over both axes.
+    J and gradient must equal the sequential sum — and the single-axis
+    8-device layout — exactly."""
+    prop, geoms, d_obs, w, vp0 = _setup()
+    mesh = make_mesh({"slice": 2, "shot": 4})
+    ax = ("slice", "shot")
+
+    def one_shot_loss(vp, geom, d):
+        return l2_misfit(prop(vp, geom, w), d)
+
+    total = shot_parallel_loss(one_shot_loss, mesh, axis=ax)
+    J_sh, g_sh = jax.jit(jax.value_and_grad(total))(
+        vp0, shard_shots(geoms, mesh, axis=ax), shard_shots(d_obs, mesh, axis=ax)
+    )
+
+    J_ref = 0.0
+    g_ref = jnp.zeros_like(vp0)
+    for i in range(8):
+        geom_i = jax.tree.map(lambda x: x[i], geoms)
+        Ji, gi = jax.value_and_grad(one_shot_loss)(vp0, geom_i, d_obs[i])
+        J_ref += float(Ji)
+        g_ref = g_ref + gi
+
+    assert abs(float(J_sh) - J_ref) / J_ref < 1e-12
+    rel = float(jnp.abs(g_sh - g_ref).max() / jnp.abs(g_ref).max())
+    assert rel < 1e-11, f"multislice vs sequential grad rel err {rel:.3e}"
+
+
 def test_gradient_accumulation_more_shots_than_devices():
     # 16 shots on 8 devices: 2 sequential shots per device via lax.map
     prop, geoms, d_obs, w, vp0 = _setup(n_shots=16)

@@ -47,9 +47,17 @@ def make_mesh(axis_sizes: dict[str, int] | None = None, devices=None) -> Mesh:
     return Mesh(dev_array, names)
 
 
-def shard_shots(tree, mesh: Mesh, axis: str = "shot"):
+def shard_shots(tree, mesh: Mesh, axis="shot"):
     """Place a pytree of shot-stacked arrays (leading dim = nshots) with the
-    shot dimension sharded over ``axis`` and everything else replicated."""
+    shot dimension sharded over ``axis`` and everything else replicated.
+
+    ``axis`` may be a tuple of mesh axis names to shard shots over the
+    flattened product of several axes — the multi-slice pod layout is
+    ``axis=("slice", "shot")`` on a {"slice": n_slices, "shot": k} mesh:
+    shots split across slices over DCN and within a slice over ICI, and
+    the gradient psum becomes a hierarchical (intra-slice, then
+    inter-slice) reduction that XLA schedules onto the right links.
+    """
     def put(x):
         spec = P(axis, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -66,7 +74,7 @@ def replicate(tree, mesh: Mesh):
 def shot_parallel_loss(
     single_shot_loss: Callable,
     mesh: Mesh,
-    axis: str = "shot",
+    axis="shot",
 ) -> Callable:
     """Lift loss(model, shot_geom, shot_data, *extra) -> scalar to a
     shot-sharded total loss over stacked shots.
@@ -78,6 +86,10 @@ def shot_parallel_loss(
     psum-reduced over ICI. Differentiable: the gradient of the result is
     the psum of per-shot gradients (BASELINE.json:5) via shard_map's
     transpose rule.
+
+    ``axis`` may be a tuple of mesh axis names (see shard_shots): the
+    multi-slice layout ``axis=("slice", "shot")`` psums over both — XLA
+    reduces intra-slice partials over ICI before crossing DCN once.
     """
 
     def total(model, geoms, data, *extra):
