@@ -8,7 +8,10 @@ Run: python scripts/attrib_3d_fused2.py
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

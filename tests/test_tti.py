@@ -213,6 +213,104 @@ def test_gradients_finite_difference():
         assert rel < 1e-4, (i, rel)
 
 
+def _parity_setup(grid, f0, nt, rng, vmax_fac=np.sqrt(1.5)):
+    vp = 2000.0 + 100.0 * rng.random(grid.shape)
+    vmax = float(vp.max()) * vmax_fac
+    dt = grid.cfl_dt(vmax, safety=0.55)
+    w = jnp.asarray(ricker_np(f0, dt, nt))
+    return vp, vmax, dt, w
+
+
+def test_tti_custom_vjp_matches_checkpointed_ad():
+    """Boundary-saving custom VJP (default) == plain AD over the
+    checkpointed scan, for J and for every model-field gradient on the
+    ring-valid region plus the wavelet — 2D with a smooth nonzero tilt,
+    absorbing and free-surface variants."""
+    f0, nt = 13.0, 120
+    rng = np.random.default_rng(7)
+    for free_surface in (False, True):
+        grid = Grid(shape=(34, 40), h=(10.0, 10.0), pml=8, order=4,
+                    free_surface=free_surface)
+        vp, vmax, dt, w = _parity_setup(grid, f0, nt, rng)
+        geom = Geometry.from_physical(
+            grid, np.array([[grid.shape[0] // 2, 9]]),
+            np.stack([np.full(6, 8), np.arange(8, 32, 4)], 1),
+        )
+        vz2 = _pad(vp, grid) ** 2 * dt * dt
+        fe = jnp.full(grid.padded_shape, 1.25, jnp.float64)
+        fd = jnp.full(grid.padded_shape, 1.08, jnp.float64)
+        zz, xx = np.mgrid[: grid.padded_shape[0], : grid.padded_shape[1]]
+        th = jnp.asarray(
+            0.35 * np.sin(np.pi * xx / xx.max())
+            * np.cos(0.5 * np.pi * zz / zz.max())
+        )
+        sim_c = make_simulator_tti(grid, dt, f0, vmax, jnp.float64)
+        sim_a = make_simulator_tti(grid, dt, f0, vmax, jnp.float64,
+                                   use_custom_vjp=False)
+
+        def loss(sim):
+            def f(vz2_, fe_, fd_, th_, w_):
+                s = sim(vz2_, fe_, fd_, *_trig(th_), w_,
+                        geom.src_idx, geom.rcv_idx)
+                return jnp.sum(s * s)
+            return f
+
+        args = (vz2, fe, fd, th, w)
+        Jc, gc = jax.value_and_grad(loss(sim_c), argnums=(0, 1, 2, 3, 4))(
+            *args)
+        Ja, ga = jax.value_and_grad(loss(sim_a), argnums=(0, 1, 2, 3, 4))(
+            *args)
+        assert abs(float(Jc) - float(Ja)) < 1e-12 * abs(float(Ja))
+        from tpufwi.propagators.boundary import RingSpec
+
+        rings = RingSpec.build(grid)
+        for i, (c, a) in enumerate(zip(gc, ga)):
+            if i < 4:  # padded model fields: compare on the valid region
+                a = rings.mask_valid(a)
+            scale = float(jnp.abs(a).max()) or 1.0
+            err = float(jnp.abs(c - a).max()) / scale
+            assert err < 1e-10, (free_surface, i, err)
+
+
+def test_tti_custom_vjp_matches_ad_3d():
+    """Same parity in 3D (tilt in the z-x plane, y rides along)."""
+    f0, nt = 14.0, 60
+    rng = np.random.default_rng(8)
+    grid = Grid(shape=(18, 22, 22), h=(10.0,) * 3, pml=4, order=4)
+    vp, vmax, dt, w = _parity_setup(grid, f0, nt, rng)
+    geom = Geometry.from_physical(
+        grid, np.array([[9, 8, 9]]), np.array([[9, 14, 13], [7, 11, 15]])
+    )
+    pads = [(grid.pad, grid.pad)] * 3
+    pd = lambda f: jnp.pad(jnp.asarray(f, jnp.float64), pads, mode="edge")
+    vz2 = pd(vp) ** 2 * dt * dt
+    fe = jnp.full(grid.padded_shape, 1.2, jnp.float64)
+    fd = jnp.full(grid.padded_shape, 1.05, jnp.float64)
+    th = jnp.full(grid.padded_shape, 0.25, jnp.float64)
+    sim_c = make_simulator_tti(grid, dt, f0, vmax, jnp.float64)
+    sim_a = make_simulator_tti(grid, dt, f0, vmax, jnp.float64,
+                               use_custom_vjp=False)
+
+    def loss(sim):
+        def f(vz2_, th_):
+            s = sim(vz2_, fe, fd, *_trig(th_), w,
+                    geom.src_idx, geom.rcv_idx)
+            return jnp.sum(s * s)
+        return f
+
+    Jc, gc = jax.value_and_grad(loss(sim_c), argnums=(0, 1))(vz2, th)
+    Ja, ga = jax.value_and_grad(loss(sim_a), argnums=(0, 1))(vz2, th)
+    assert abs(float(Jc) - float(Ja)) < 1e-12 * abs(float(Ja))
+    from tpufwi.propagators.boundary import RingSpec
+
+    rings = RingSpec.build(grid)
+    for i, (c, a) in enumerate(zip(gc, ga)):
+        a = rings.mask_valid(a)
+        scale = float(jnp.abs(a).max()) or 1.0
+        err = float(jnp.abs(c - a).max()) / scale
+        assert err < 1e-10, (i, err)
+
+
 def test_tti_fwi_problem_inverts():
     """(vp, eps, delta) driver plumbing with a fixed smooth tilt field:
     the initial gradient points toward the true model (full-tree inner

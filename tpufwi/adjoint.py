@@ -635,6 +635,7 @@ def make_simulator_tti(
     c_max: float,
     dtype=jnp.float32,
     chunk: int = 0,
+    use_custom_vjp: bool = True,
 ):
     """TTI pseudo-acoustic simulator (kernels.tti_jnp).
 
@@ -647,16 +648,21 @@ def make_simulator_tti(
     wavelet. ``c_max`` should be the max phase velocity
     vp*sqrt(1+2 max(eps,0)) for the CFL margin and CPML design.
 
-    Gradient strategy: plain AD over the checkpointed scan
-    (O(sqrt(nt) * grid) stored states) — the engine-agnostic exact path,
-    same as viscoacoustic. The interior is lossless and reversible, so
-    the VTI-style boundary-saving VJP (make_simulator_vti) is the
-    promotion path if TTI becomes a throughput concern; it needs rings
-    of BOTH fields at width >= radius (the composed mixed derivative
-    reads the full corner frame, which the rectangular ring frame
-    covers)."""
+    Gradient strategy: the coupled system is lossless and affine in its
+    state, so the default is the SAME boundary-saving adjoint as the
+    VTI engine — reverse reconstruction of BOTH fields (the interior
+    update is the pure rotated-operator leapfrog, kernels.tti_jnp.
+    make_tti_recon) with per-step ring re-imposition and jax.vjp of the
+    affine step. Rings at width = radius cover the composed mixed
+    derivative's corner reach because the frame is a full rectangle.
+    ``use_custom_vjp=False`` falls back to plain AD over the
+    checkpointed scan (O(sqrt(nt) * grid) states, chunk=0 ~ sqrt(nt)) —
+    the ground truth the custom path is tested against
+    (tests/test_tti.py)."""
     from .kernels.tti_jnp import (
         TtiParams,
+        TtiState,
+        make_tti_recon,
         make_tti_step,
         zero_tti_state,
     )
@@ -666,14 +672,20 @@ def make_simulator_tti(
     a = tuple(jnp.asarray(p[0], dtype) for p in profs)
     b = tuple(jnp.asarray(p[1], dtype) for p in profs)
     step = make_tti_step(grid)
+    recon = make_tti_recon(grid)
+    rings = RingSpec.build(grid)
     ndim = grid.ndim
     shape = grid.padded_shape
 
-    def simulate(vpz2dt2, f_eps, f_del, cos2t, sin2t, s2t,
-                 wavelet, src_idx, rcv_idx):
-        params = TtiParams(vpz2dt2=vpz2dt2, f_eps=f_eps, f_del=f_del,
-                           cos2t=cos2t, sin2t=sin2t, s2t=s2t,
-                           a=a, b=b, src_idx=src_idx, rcv_idx=rcv_idx)
+    def _params(vz2, fe, fd, c2, s2, st, src_idx, rcv_idx):
+        return TtiParams(vpz2dt2=vz2, f_eps=fe, f_del=fd,
+                         cos2t=c2, sin2t=s2, s2t=st,
+                         a=a, b=b, src_idx=src_idx, rcv_idx=rcv_idx)
+
+    def simulate_plain(vpz2dt2, f_eps, f_del, cos2t, sin2t, s2t,
+                       wavelet, src_idx, rcv_idx):
+        params = _params(vpz2dt2, f_eps, f_del, cos2t, sin2t, s2t,
+                         src_idx, rcv_idx)
 
         def body(s, w_t):
             return step(s, params, w_t)
@@ -685,4 +697,82 @@ def make_simulator_tti(
         )
         return seis
 
+    if not use_custom_vjp:
+        return simulate_plain
+
+    simulate = jax.custom_vjp(simulate_plain)
+
+    def simulate_fwd(vpz2dt2, f_eps, f_del, cos2t, sin2t, s2t,
+                     wavelet, src_idx, rcv_idx):
+        params = _params(vpz2dt2, f_eps, f_del, cos2t, sin2t, s2t,
+                         src_idx, rcv_idx)
+
+        def body(s, w_t):
+            s, rec = step(s, params, w_t)
+            return s, (rec, (rings.extract(s.p), rings.extract(s.q)))
+
+        final, (seis, tape) = lax.scan(
+            body, zero_tti_state(shape, ndim, vpz2dt2.dtype), wavelet
+        )
+        res = (vpz2dt2, f_eps, f_del, cos2t, sin2t, s2t, wavelet,
+               src_idx, rcv_idx, tape,
+               (final.p_prev, final.p, final.q_prev, final.q))
+        return seis, res
+
+    def simulate_bwd(res, seis_bar):
+        (vz2, fe, fd, c2, s2, st, wavelet, src_idx, rcv_idx, tape,
+         fin) = res
+        p_last_prev, p_last, q_last_prev, q_last = fin
+
+        def shift2(T):
+            z = jnp.zeros((2,) + T.shape[1:], T.dtype)
+            return jnp.concatenate([z, T[:-2]], axis=0)
+
+        tape_tm1 = jax.tree.map(shift2, tape)
+
+        def step_m(s, vz2_, fe_, fd_, c2_, s2_, st_, w_t):
+            return step(
+                s, _params(vz2_, fe_, fd_, c2_, s2_, st_, src_idx, rcv_idx),
+                w_t,
+            )
+
+        nmod = 6  # vz2, fe, fd, c2, s2, st
+
+        def bwd_body(carry, xs):
+            sbar, p_t, p_tp1, q_t, q_tp1, mbars = carry
+            (ring_p, ring_q), w_t, ybar_t = xs
+            p_tm1, q_tm1 = recon(p_t, q_t, p_tp1, q_tp1, vz2, fe, fd,
+                                 c2, s2, st, src_idx, w_t)
+            p_tm1 = rings.impose(p_tm1, ring_p)
+            q_tm1 = rings.impose(q_tm1, ring_q)
+            z = jnp.zeros(shape, vz2.dtype)
+            zs = tuple(z for _ in range(ndim))
+            s_primal = TtiState(
+                p_prev=p_tm1, p=p_t, q_prev=q_tm1, q=q_t,
+                phi_p=zs, psi_p=zs, phi_q=zs, psi_q=zs,
+                mix_p=z, mix_q=z,
+            )
+            _, pullback = jax.vjp(step_m, s_primal, vz2, fe, fd, c2, s2, st,
+                                  w_t)
+            pulled = pullback((sbar, ybar_t))
+            sbar_new, m_incs, w_inc = pulled[0], pulled[1:-1], pulled[-1]
+            mbars_new = tuple(mb + mi for mb, mi in zip(mbars, m_incs))
+            return (
+                (sbar_new, p_tm1, p_t, q_tm1, q_t, mbars_new),
+                w_inc,
+            )
+
+        z = jnp.zeros(shape, vz2.dtype)
+        sbar0 = zero_tti_state(shape, ndim, vz2.dtype)
+        carry0 = (sbar0, p_last_prev, p_last, q_last_prev, q_last,
+                  tuple(z for _ in range(nmod)))
+        xs = (tape_tm1, wavelet, seis_bar)
+        (_, _, _, _, _, mbars), wbar = lax.scan(
+            bwd_body, carry0, xs, reverse=True
+        )
+        return tuple(rings.mask_valid(mb) for mb in mbars) + (
+            wbar, _int_cotangent(src_idx), _int_cotangent(rcv_idx)
+        )
+
+    simulate.defvjp(simulate_fwd, simulate_bwd)
     return simulate

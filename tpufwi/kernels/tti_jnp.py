@@ -90,6 +90,61 @@ def zero_tti_state(shape, ndim: int, dtype) -> TtiState:
                     mix_p=z, mix_q=z)
 
 
+def make_tti_recon(grid: Grid):
+    """Reverse reconstruction for the boundary-saving TTI adjoint: invert
+    the interior (CPML-free) coupled leapfrog —
+
+        p[t-1] = 2 p[t] - p[t+1] + vz2 (f_eps H1 p[t] + H2 q[t]) + src
+        q[t-1] = 2 q[t] - q[t+1] + vz2 (f_del H1 p[t] + H2 q[t]) + src
+
+    with H1/H2 the PURE (unstretched) rotated operators: in the interior
+    every CPML memory is identically zero (a = 0 there), so the forward
+    update reduces to the plain trig combination of Dxx/Dzz[/Dyy] and the
+    composed mixed derivative Dxz = D1z(D1x f). Exact wherever the
+    forward update had no CPML contribution; the adjoint engine
+    re-imposes saved rings of BOTH fields (width = radius covers the
+    composed corner reach — the frame is a full rectangle, module
+    docstring)."""
+    d1 = [scaled_taps(D1_COEFFS[grid.order], h, 1) for h in grid.h]
+    d2 = [scaled_taps(D2_COEFFS[grid.order], h, 2) for h in grid.h]
+    ndim = grid.ndim
+    z_axis = 0 if ndim == 2 else 1
+    x_axis = ndim - 1
+    fs_row = grid.pad if grid.free_surface else None
+
+    def recon(p_t, q_t, p_tp1, q_tp1, vz2, fe, fd, c2, s2, s2t,
+              src_idx, w_t):
+        def h12(f):
+            dxx = apply_stencil(f, d2[x_axis], x_axis)
+            dzz = apply_stencil(f, d2[z_axis], z_axis)
+            dxz = apply_stencil(
+                apply_stencil(f, d1[x_axis], x_axis), d1[z_axis], z_axis
+            )
+            h1 = c2 * dxx + s2 * dzz - s2t * dxz
+            h2 = s2 * dxx + c2 * dzz + s2t * dxz
+            if ndim == 3:
+                h1 = h1 + apply_stencil(f, d2[0], 0)
+            return h1, h2
+
+        h1p, _ = h12(p_t)
+        _, h2q = h12(q_t)
+        common = vz2 * h2q
+        p_tm1 = 2.0 * p_t - p_tp1 + vz2 * fe * h1p + common
+        q_tm1 = 2.0 * q_t - q_tp1 + vz2 * fd * h1p + common
+        src = tuple(src_idx[..., d] for d in range(ndim))
+        s_amp = vz2[src] * w_t
+        p_tm1 = p_tm1.at[src].add(s_amp, mode="drop")
+        q_tm1 = q_tm1.at[src].add(s_amp, mode="drop")
+        if fs_row is not None:
+            idx = [slice(None)] * ndim
+            idx[z_axis] = slice(fs_row, fs_row + 1)
+            p_tm1 = p_tm1.at[tuple(idx)].set(0.0)
+            q_tm1 = q_tm1.at[tuple(idx)].set(0.0)
+        return p_tm1, q_tm1
+
+    return recon
+
+
 def make_tti_step(grid: Grid):
     """Build ``step(state, params, w_t) -> (state', rec)`` (affine in the
     state for fixed model fields). Axis layout matches the other
