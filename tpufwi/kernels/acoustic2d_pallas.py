@@ -38,6 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import bspec
+
 from ..grid import D1_COEFFS, D2_COEFFS, Grid
 
 # Aligned border widths of the padded-carry layout (see module docstring).
@@ -290,7 +292,7 @@ def make_fused_forward_step(grid: Grid, interpret: bool = False,
             ]
 
     dtype = jnp.float32
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vspec = bspec(memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((EZ, EX), dtype),  # p_next (extended)
         jax.ShapeDtypeStruct((2, S, NX), dtype),
@@ -377,7 +379,7 @@ def make_leapfrog_kernel(grid: Grid, interpret: bool = False, with_lap: bool = F
         )
 
     dtype = jnp.float32
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vspec = bspec(memory_space=pltpu.VMEM)
     outs = [jax.ShapeDtypeStruct((EZ, EX), dtype)]
     if with_lap:
         outs.append(jax.ShapeDtypeStruct((NZ, NX), dtype))

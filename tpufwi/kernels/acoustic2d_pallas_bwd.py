@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import bspec
+
 from ..grid import D1_COEFFS, D2_COEFFS, Grid
 from .acoustic2d_pallas import (
     PX,
@@ -104,7 +106,7 @@ def make_recon_kernel(grid: Grid, interpret: bool = False, nsrc: int | None = No
             out_ref[sl[0], sl[1]] = ring_ref[:]
 
     dtype = jnp.float32
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vspec = bspec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -273,7 +275,7 @@ def make_fused_adjoint_step(grid: Grid, interpret: bool = False, nrec: int | Non
             q_p_o_ref[:, ext] = q_p_o_ref[:, ext] + d2w - d1y
 
     dtype = jnp.float32
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vspec = bspec(memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((NZ, NX), dtype),  # q_pm'
         jax.ShapeDtypeStruct((NZ, NX), dtype),  # q_p'
@@ -485,7 +487,7 @@ def make_fused_reverse_step(grid: Grid, nsrc: int, nrec: int,
             q_p_o_ref[:, ext] = q_p_o_ref[:, ext] + d2w - d1y
 
     dtype = jnp.float32
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vspec = bspec(memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((NZ, NX), dtype),  # p_tm1
         jax.ShapeDtypeStruct((NZ, NX), dtype),  # q_pm'

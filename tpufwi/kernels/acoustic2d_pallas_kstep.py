@@ -48,6 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import bspec
+
 from ..grid import D1_COEFFS, D2_COEFFS, Grid
 from .acoustic2d_pallas import (
     PX,
@@ -253,8 +255,8 @@ def make_kstep_forward(grid: Grid, K: int, nsrc: int, rcv_rows: int,
         phix_o[0], phix_o[1] = strips[("phix", 0)], strips[("phix", 1)]
         psix_o[0], psix_o[1] = strips[("psix", 0)], strips[("psix", 1)]
 
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vspec = bspec(memory_space=pltpu.VMEM)
+    sspec = bspec(memory_space=pltpu.SMEM)
     out_shape = (
         jax.ShapeDtypeStruct((EZ, EX), dtype),  # outA = p_{K-1}
         jax.ShapeDtypeStruct((EZ, EX), dtype),  # outB = p_K
@@ -528,7 +530,7 @@ def make_kstep_reverse(grid: Grid, K: int, nsrc: int, nrec: int,
         pbx_o[0], pbx_o[1] = strips[("pbx", 0)], strips[("pbx", 1)]
         psx_o[0], psx_o[1] = strips[("psx", 0)], strips[("psx", 1)]
 
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vspec = bspec(memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((EZ, EX), dtype),  # pA
         jax.ShapeDtypeStruct((EZ, EX), dtype),  # pB
@@ -549,7 +551,7 @@ def make_kstep_reverse(grid: Grid, K: int, nsrc: int, nrec: int,
         pltpu.VMEM((S + 3 * r, NX), dtype) for _ in range(4)
     ] + [pltpu.VMEM((NZ, S + 3 * r), dtype) for _ in range(4)]
 
-    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    sspec = bspec(memory_space=pltpu.SMEM)
     call = pl.pallas_call(
         kernel,
         out_shape=out_shape,

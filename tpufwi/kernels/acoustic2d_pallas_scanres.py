@@ -44,6 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import bspec
+
 from ..grid import D1_COEFFS, D2_COEFFS, Grid
 from .acoustic2d_pallas import (
     PX,
@@ -369,35 +371,35 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
             plast_ref[:] = pb[:]
 
     out_specs = [
-        pl.BlockSpec((1, CH, nrec), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
+        bspec((1, CH, nrec), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
     ]
     out_shape = [jax.ShapeDtypeStruct((nC, CH, nrec), dtype)]
     for dims in ring_dims:
         out_specs.append(
-            pl.BlockSpec((CH,) + dims, lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
+            bspec((CH,) + dims, lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((nt,) + dims, dtype))
     for _ in range(2):  # p_penult, p_last
         out_specs.append(
-            pl.BlockSpec((EZ, EX), lambda c: (0, 0), memory_space=pltpu.VMEM)
+            bspec((EZ, EX), lambda c: (0, 0), memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((EZ, EX), dtype))
 
     const2 = lambda c: (0, 0)  # noqa: E731
     const3 = lambda c: (0, 0, 0)  # noqa: E731
     in_specs = [
-        pl.BlockSpec((EZ, EX), const2, memory_space=pltpu.VMEM),  # c2
-        pl.BlockSpec((2, S, 1), const3, memory_space=pltpu.VMEM),  # az
-        pl.BlockSpec((2, S, 1), const3, memory_space=pltpu.VMEM),  # bz
-        pl.BlockSpec((2, 1, S), const3, memory_space=pltpu.VMEM),  # ax
-        pl.BlockSpec((2, 1, S), const3, memory_space=pltpu.VMEM),  # bx
-        pl.BlockSpec((nt,), lambda c: (0,), memory_space=pltpu.SMEM),  # w (whole)
-        pl.BlockSpec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # c2src
-        pl.BlockSpec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # sz
-        pl.BlockSpec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # sx
-        pl.BlockSpec((1, nrec), const2, memory_space=pltpu.VMEM),  # rxr
-        pl.BlockSpec((1, nrec), const2, memory_space=pltpu.VMEM),  # rzr
-        pl.BlockSpec((1,), lambda c: (0,), memory_space=pltpu.SMEM),  # r0
+        bspec((EZ, EX), const2, memory_space=pltpu.VMEM),  # c2
+        bspec((2, S, 1), const3, memory_space=pltpu.VMEM),  # az
+        bspec((2, S, 1), const3, memory_space=pltpu.VMEM),  # bz
+        bspec((2, 1, S), const3, memory_space=pltpu.VMEM),  # ax
+        bspec((2, 1, S), const3, memory_space=pltpu.VMEM),  # bx
+        bspec((nt,), lambda c: (0,), memory_space=pltpu.SMEM),  # w (whole)
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # c2src
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # sz
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # sx
+        bspec((1, nrec), const2, memory_space=pltpu.VMEM),  # rxr
+        bspec((1, nrec), const2, memory_space=pltpu.VMEM),  # rzr
+        bspec((1,), lambda c: (0,), memory_space=pltpu.SMEM),  # r0
     ]
     scratch = [
         pltpu.VMEM((EZ, EX), dtype),  # pa
@@ -722,29 +724,29 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
     const3 = lambda c: (0, 0, 0)  # noqa: E731
 
     in_specs = [
-        pl.BlockSpec((NZ, NX), const2, memory_space=pltpu.VMEM),  # c2
-        pl.BlockSpec((2, S, 1), const3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, S, 1), const3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, 1, S), const3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, 1, S), const3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((nt,), lambda c: (0,), memory_space=pltpu.SMEM),  # w (whole)
-        pl.BlockSpec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),
-        pl.BlockSpec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),
-        pl.BlockSpec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, nrec), const2, memory_space=pltpu.VMEM),  # rxr
-        pl.BlockSpec((1, nrec), const2, memory_space=pltpu.VMEM),  # rzr
-        pl.BlockSpec((1,), lambda c: (0,), memory_space=pltpu.SMEM),  # r0
-        pl.BlockSpec((1, CH, nrec), rev_idx3, memory_space=pltpu.VMEM),  # ybar3
+        bspec((NZ, NX), const2, memory_space=pltpu.VMEM),  # c2
+        bspec((2, S, 1), const3, memory_space=pltpu.VMEM),
+        bspec((2, S, 1), const3, memory_space=pltpu.VMEM),
+        bspec((2, 1, S), const3, memory_space=pltpu.VMEM),
+        bspec((2, 1, S), const3, memory_space=pltpu.VMEM),
+        bspec((nt,), lambda c: (0,), memory_space=pltpu.SMEM),  # w (whole)
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),
+        bspec((1, nrec), const2, memory_space=pltpu.VMEM),  # rxr
+        bspec((1, nrec), const2, memory_space=pltpu.VMEM),  # rzr
+        bspec((1,), lambda c: (0,), memory_space=pltpu.SMEM),  # r0
+        bspec((1, CH, nrec), rev_idx3, memory_space=pltpu.VMEM),  # ybar3
     ] + [
-        pl.BlockSpec((CH,) + dims, rev_idx3, memory_space=pltpu.VMEM)
+        bspec((CH,) + dims, rev_idx3, memory_space=pltpu.VMEM)
         for dims in ring_dims
     ] + [
-        pl.BlockSpec((EZ, EX), const2, memory_space=pltpu.VMEM),  # p_penult
-        pl.BlockSpec((EZ, EX), const2, memory_space=pltpu.VMEM),  # p_last
+        bspec((EZ, EX), const2, memory_space=pltpu.VMEM),  # p_penult
+        bspec((EZ, EX), const2, memory_space=pltpu.VMEM),  # p_last
     ]
     out_specs = (
-        pl.BlockSpec((NZ, NX), const2, memory_space=pltpu.VMEM),  # gbar
-        pl.BlockSpec((1, CH, nsrc), rev_idx3, memory_space=pltpu.VMEM),  # lam_src
+        bspec((NZ, NX), const2, memory_space=pltpu.VMEM),  # gbar
+        bspec((1, CH, nsrc), rev_idx3, memory_space=pltpu.VMEM),  # lam_src
     )
     out_shape = (
         jax.ShapeDtypeStruct((NZ, NX), dtype),

@@ -51,6 +51,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import bspec
+
 from ..grid import D2_COEFFS, Grid
 from .acoustic3d_pallas import y_extended, z_extended
 from .acoustic3d_strips_pallas import _band, _taps_axis
@@ -211,39 +213,39 @@ def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
                     def _(rref=rref, dlo=dlo, dhi=dhi, s0=s0, s1=s1):
                         out_ref[:, dlo:dhi, :] = rref[:, s0:s1, :]
 
-    blk = pl.BlockSpec((BY, BZ, NX), lambda gz, gy: (gy, gz, 0),
+    blk = bspec((BY, BZ, NX), lambda gz, gy: (gy, gz, 0),
                        memory_space=pltpu.VMEM)
-    ylo = pl.BlockSpec(
+    ylo = bspec(
         (H, BZ, NX),
         lambda gz, gy: (jnp.maximum(gy * YB8 - 1, 0), gz, 0),
         memory_space=pltpu.VMEM,
     )
-    yhi = pl.BlockSpec(
+    yhi = bspec(
         (H, BZ, NX),
         lambda gz, gy: (jnp.minimum((gy + 1) * YB8, nyb * YB8 - 1), gz, 0),
         memory_space=pltpu.VMEM,
     )
-    zlo = pl.BlockSpec(
+    zlo = bspec(
         (BY, H, NX),
         lambda gz, gy: (gy, jnp.maximum(gz * ZB8 - 1, 0), 0),
         memory_space=pltpu.VMEM,
     )
-    zhi = pl.BlockSpec(
+    zhi = bspec(
         (BY, H, NX),
         lambda gz, gy: (gy, jnp.minimum((gz + 1) * ZB8, nzb * ZB8 - 1), 0),
         memory_space=pltpu.VMEM,
     )
     # ring slab specs: y slabs whole-rows x z-blocked; z slabs y-blocked x
     # whole-window; x slabs fully blocked
-    ry = pl.BlockSpec((wyl, BZ, NX), lambda gz, gy: (0, gz, 0),
+    ry = bspec((wyl, BZ, NX), lambda gz, gy: (0, gz, 0),
                       memory_space=pltpu.VMEM)
-    ryh_s = pl.BlockSpec((wyh, BZ, NX), lambda gz, gy: (0, gz, 0),
+    ryh_s = bspec((wyh, BZ, NX), lambda gz, gy: (0, gz, 0),
                          memory_space=pltpu.VMEM)
-    rz = pl.BlockSpec((BY, wzl, NX), lambda gz, gy: (gy, 0, 0),
+    rz = bspec((BY, wzl, NX), lambda gz, gy: (gy, 0, 0),
                       memory_space=pltpu.VMEM)
-    rzh_s = pl.BlockSpec((BY, wzh, NX), lambda gz, gy: (gy, 0, 0),
+    rzh_s = bspec((BY, wzh, NX), lambda gz, gy: (gy, 0, 0),
                          memory_space=pltpu.VMEM)
-    rx = pl.BlockSpec((BY, BZ, r), lambda gz, gy: (gy, gz, 0),
+    rx = bspec((BY, BZ, r), lambda gz, gy: (gy, gz, 0),
                       memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
@@ -338,12 +340,12 @@ def make_tcorr3d_y(grid: Grid, side: int, bz: int, NZe: int, by: int,
         upd_o[:] = jnp.zeros((WP, BZ, NX), dtype)
         upd_o[pad_lo + E0 : pad_lo + E0 + S + r] = d2w - d1y
 
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    blkW = pl.BlockSpec((W, BZ, NX), lambda i: (0, i, 0),
+    vspec = bspec(memory_space=pltpu.VMEM)
+    blkW = bspec((W, BZ, NX), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
-    blkS = pl.BlockSpec((S, BZ, NX), lambda i: (0, i, 0),
+    blkS = bspec((S, BZ, NX), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
-    blkU = pl.BlockSpec((WP, BZ, NX), lambda i: (0, i, 0),
+    blkU = bspec((WP, BZ, NX), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -440,12 +442,12 @@ def make_tcorr3d_z(grid: Grid, side: int, by: int, NYe: int,
         upd_o[:] = jnp.zeros((BY, WZP, NX), dtype)
         upd_o[:, pad_lo + E0 : pad_lo + E0 + S + r, :] = d2w - d1y
 
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    blkW = pl.BlockSpec((BY, W, NX), lambda i: (i, 0, 0),
+    vspec = bspec(memory_space=pltpu.VMEM)
+    blkW = bspec((BY, W, NX), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    blkS = pl.BlockSpec((BY, S, NX), lambda i: (i, 0, 0),
+    blkS = bspec((BY, S, NX), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    blkU = pl.BlockSpec((BY, WZP, NX), lambda i: (i, 0, 0),
+    blkU = bspec((BY, WZP, NX), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
@@ -669,39 +671,39 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
                     (BY, 1, NX), dtype
                 )
 
-    blk = pl.BlockSpec((BY, BZ, NX), lambda gz, gy: (gy, gz, 0),
+    blk = bspec((BY, BZ, NX), lambda gz, gy: (gy, gz, 0),
                        memory_space=pltpu.VMEM)
-    blkS = pl.BlockSpec((BY, BZ, S), lambda gz, gy: (gy, gz, 0),
+    blkS = bspec((BY, BZ, S), lambda gz, gy: (gy, gz, 0),
                         memory_space=pltpu.VMEM)
-    ylo = pl.BlockSpec(
+    ylo = bspec(
         (H, BZ, NX),
         lambda gz, gy: (jnp.maximum(gy * YB8 - 1, 0), gz, 0),
         memory_space=pltpu.VMEM,
     )
-    yhi = pl.BlockSpec(
+    yhi = bspec(
         (H, BZ, NX),
         lambda gz, gy: (jnp.minimum((gy + 1) * YB8, nyb * YB8 - 1), gz, 0),
         memory_space=pltpu.VMEM,
     )
-    zlo = pl.BlockSpec(
+    zlo = bspec(
         (BY, H, NX),
         lambda gz, gy: (gy, jnp.maximum(gz * ZB8 - 1, 0), 0),
         memory_space=pltpu.VMEM,
     )
-    zhi = pl.BlockSpec(
+    zhi = bspec(
         (BY, H, NX),
         lambda gz, gy: (gy, jnp.minimum((gz + 1) * ZB8, nzb * ZB8 - 1), 0),
         memory_space=pltpu.VMEM,
     )
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vspec = bspec(memory_space=pltpu.VMEM)
     yl1 = yspan[0][1]
     yh0, yh1 = yspan[1][0], yspan[1][1]
-    uyl = pl.BlockSpec(
+    uyl = bspec(
         (BY, BZ, NX),
         lambda gz, gy: (jnp.minimum(gy, yl1), gz, 0),
         memory_space=pltpu.VMEM,
     )
-    uyh = pl.BlockSpec(
+    uyh = bspec(
         (BY, BZ, NX),
         lambda gz, gy: (jnp.clip(gy - yh0, 0, yh1 - yh0), gz, 0),
         memory_space=pltpu.VMEM,
@@ -717,7 +719,7 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
                 used = used | (gz == jb)
             return (jnp.where(used, gy, 0), 0, 0)
 
-        return pl.BlockSpec((BY, WZP, NX), idx, memory_space=pltpu.VMEM)
+        return bspec((BY, WZP, NX), idx, memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
         kernel,

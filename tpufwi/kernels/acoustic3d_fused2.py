@@ -43,6 +43,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import bspec
+
 from ..grid import D1_COEFFS, D2_COEFFS, Grid
 from .acoustic3d_pallas import y_extended, z_extended
 from .acoustic3d_strips_pallas import _band, _taps_axis
@@ -123,12 +125,12 @@ def make_corr3d_y(grid: Grid, side: int, bz: int, NZe: int, by: int,
             + c2_ref[C0 : C0 + S] * ps
         )
 
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    blkW = pl.BlockSpec((W, BZ, NX), lambda i: (0, i, 0),
+    vspec = bspec(memory_space=pltpu.VMEM)
+    blkW = bspec((W, BZ, NX), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
-    blkS = pl.BlockSpec((S, BZ, NX), lambda i: (0, i, 0),
+    blkS = bspec((S, BZ, NX), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
-    blkU = pl.BlockSpec((WP, BZ, NX), lambda i: (0, i, 0),
+    blkU = bspec((WP, BZ, NX), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -215,12 +217,12 @@ def make_corr3d_z(grid: Grid, side: int, by: int, NYe: int,
             + c2_ref[:, C0 : C0 + S, :] * ps
         )
 
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    blkW = pl.BlockSpec((BY, W, NX), lambda i: (i, 0, 0),
+    vspec = bspec(memory_space=pltpu.VMEM)
+    blkW = bspec((BY, W, NX), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    blkS = pl.BlockSpec((BY, S, NX), lambda i: (i, 0, 0),
+    blkS = bspec((BY, S, NX), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    blkU = pl.BlockSpec((BY, WZP, NX), lambda i: (i, 0, 0),
+    blkU = bspec((BY, WZP, NX), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
@@ -459,41 +461,41 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                     (BY, 1, NX), dtype
                 )
 
-    blk = pl.BlockSpec((BY, BZ, NX), lambda gz, gy: (gy, gz, 0),
+    blk = bspec((BY, BZ, NX), lambda gz, gy: (gy, gz, 0),
                        memory_space=pltpu.VMEM)
-    blkS = pl.BlockSpec((BY, BZ, S), lambda gz, gy: (gy, gz, 0),
+    blkS = bspec((BY, BZ, S), lambda gz, gy: (gy, gz, 0),
                         memory_space=pltpu.VMEM)
-    ylo = pl.BlockSpec(
+    ylo = bspec(
         (H, BZ, NX),
         lambda gz, gy: (jnp.maximum(gy * YB8 - 1, 0), gz, 0),
         memory_space=pltpu.VMEM,
     )
-    yhi = pl.BlockSpec(
+    yhi = bspec(
         (H, BZ, NX),
         lambda gz, gy: (jnp.minimum((gy + 1) * YB8, nyb * YB8 - 1), gz, 0),
         memory_space=pltpu.VMEM,
     )
-    zlo = pl.BlockSpec(
+    zlo = bspec(
         (BY, H, NX),
         lambda gz, gy: (gy, jnp.maximum(gz * ZB8 - 1, 0), 0),
         memory_space=pltpu.VMEM,
     )
-    zhi = pl.BlockSpec(
+    zhi = bspec(
         (BY, H, NX),
         lambda gz, gy: (gy, jnp.minimum((gz + 1) * ZB8, nzb * ZB8 - 1), 0),
         memory_space=pltpu.VMEM,
     )
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vspec = bspec(memory_space=pltpu.VMEM)
     # sticky maps: fetch the face slabs only on the rows/steps that use
     # them; clamp to a constant elsewhere so revisiting skips the DMA
     yl1 = yspan[0][1]
     yh0, yh1 = yspan[1][0], yspan[1][1]
-    uyl = pl.BlockSpec(
+    uyl = bspec(
         (BY, BZ, NX),
         lambda gz, gy: (jnp.minimum(gy, yl1), gz, 0),
         memory_space=pltpu.VMEM,
     )
-    uyh = pl.BlockSpec(
+    uyh = bspec(
         (BY, BZ, NX),
         lambda gz, gy: (jnp.clip(gy - yh0, 0, yh1 - yh0), gz, 0),
         memory_space=pltpu.VMEM,
@@ -509,7 +511,7 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                 used = used | (gz == jb)
             return (jnp.where(used, gy, 0), 0, 0)
 
-        return pl.BlockSpec((BY, WZP, NX), idx, memory_space=pltpu.VMEM)
+        return bspec((BY, WZP, NX), idx, memory_space=pltpu.VMEM)
 
     uzl_spec = _uz_spec(0)
     uzh_spec = _uz_spec(1)

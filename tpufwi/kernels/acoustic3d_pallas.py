@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import bspec
+
 from ..grid import D2_COEFFS, Grid
 
 
@@ -151,20 +153,20 @@ def make_leapfrog3d_kernel(grid: Grid, by: int = 8, xs: int = 1,
             lap = lap + c * scr_ref[r : r + BY, PZ : PZ + NZ, x0 : x0 + BX]
         out_ref[:] = 2.0 * p_ref[:] - p_prev_ref[:] + c2_ref[:] * lap
 
-    blk = lambda: pl.BlockSpec(
+    blk = lambda: bspec(
         (BY, NZ, BX), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
-    yhalo = lambda: pl.BlockSpec(
+    yhalo = lambda: bspec(
         (r, NZ, BX), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
     # neighbour blocks with clamped column index (edges read themselves;
     # the kernel masks those out)
-    xprev = lambda: pl.BlockSpec(
+    xprev = lambda: bspec(
         (BY, NZ, BX),
         lambda i, j: (i, 0, jnp.maximum(j - 1, 0)),
         memory_space=pltpu.VMEM,
     )
-    xnext = lambda: pl.BlockSpec(
+    xnext = lambda: bspec(
         (BY, NZ, BX),
         lambda i, j: (i, 0, jnp.minimum(j + 1, xs - 1)),
         memory_space=pltpu.VMEM,
@@ -306,26 +308,26 @@ def make_leapfrog3d_zsplit(grid: Grid, by: int = 16, bz: int = 64,
             lap = lap + c * scr_ref[r : r + BY, H : H + BZ, x0 : x0 + NX]
         out_ref[:] = 2.0 * p_ref[:] - p_prev_ref[:] + c2_ref[:] * lap
 
-    blk = pl.BlockSpec((BY, BZ, NX), lambda i, j: (i, j, 0),
+    blk = bspec((BY, BZ, NX), lambda i, j: (i, j, 0),
                        memory_space=pltpu.VMEM)
     # packed halo slabs addressed in 8-row block units of p itself;
     # clamped at the edges (the kernel zeroes those margins instead)
-    ylo = pl.BlockSpec(
+    ylo = bspec(
         (H, BZ, NX),
         lambda i, j: (jnp.maximum(i * YB8 - 1, 0), j, 0),
         memory_space=pltpu.VMEM,
     )
-    yhi = pl.BlockSpec(
+    yhi = bspec(
         (H, BZ, NX),
         lambda i, j: (jnp.minimum((i + 1) * YB8, nyb * YB8 - 1), j, 0),
         memory_space=pltpu.VMEM,
     )
-    zlo = pl.BlockSpec(
+    zlo = bspec(
         (BY, H, NX),
         lambda i, j: (i, jnp.maximum(j * ZB8 - 1, 0), 0),
         memory_space=pltpu.VMEM,
     )
-    zhi = pl.BlockSpec(
+    zhi = bspec(
         (BY, H, NX),
         lambda i, j: (i, jnp.minimum((j + 1) * ZB8, nzb * ZB8 - 1), 0),
         memory_space=pltpu.VMEM,

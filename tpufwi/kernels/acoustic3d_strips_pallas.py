@@ -35,6 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import bspec
+
 from ..grid import D1_COEFFS, D2_COEFFS, Grid
 
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -116,10 +118,10 @@ def make_strip3d_z(grid: Grid, side: int, by: int, NYe: int, NZe: int,
             pn_o[:, C0 : C0 + S, :] + c2_ref[:, C0 : C0 + S, :] * ps
         )
 
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    blkW = pl.BlockSpec((BY, W, NX), lambda i: (i, 0, 0),
+    vspec = bspec(memory_space=pltpu.VMEM)
+    blkW = bspec((BY, W, NX), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    blkS = pl.BlockSpec((BY, S, NX), lambda i: (i, 0, 0),
+    blkS = bspec((BY, S, NX), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -186,10 +188,10 @@ def make_strip3d_x(grid: Grid, side: int, by: int, NYe: int, NZe: int,
             pn_o[:, :, C0 : C0 + S] + c2_ref[:, :, C0 : C0 + S] * ps
         )
 
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    blkW = pl.BlockSpec((BY, NZe, WL), lambda i: (i, 0, 0),
+    vspec = bspec(memory_space=pltpu.VMEM)
+    blkW = bspec((BY, NZe, WL), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    blkS = pl.BlockSpec((BY, NZe, S), lambda i: (i, 0, 0),
+    blkS = bspec((BY, NZe, S), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -272,10 +274,10 @@ def make_strip3d_y(grid: Grid, side: int, bz: int, NZe: int,
         )
         pn_o[C0 : C0 + S] = pn_o[C0 : C0 + S] + c2_ref[C0 : C0 + S] * ps
 
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    blkW = pl.BlockSpec((W, BZ, NX), lambda i: (0, i, 0),
+    vspec = bspec(memory_space=pltpu.VMEM)
+    blkW = bspec((W, BZ, NX), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
-    blkS = pl.BlockSpec((S, BZ, NX), lambda i: (0, i, 0),
+    blkS = bspec((S, BZ, NX), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import bspec
+
 from ..grid import D1_STAGGERED_COEFFS, Grid
 from .acoustic2d_pallas import strip_depth
 
@@ -104,7 +106,7 @@ def make_elastic_fused_step(grid: Grid, dt: float, interpret: bool = False):
     dt = float(dt)
     PZ, PX = 8, 128
     dtype = jnp.float32
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vspec = bspec(memory_space=pltpu.VMEM)
     rr = r + 1  # staggered taps reach r one way, r+1 the other
 
     def _load_padded(scr_ref, f_ref):

@@ -42,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import bspec
+
 from ..grid import D1_STAGGERED_COEFFS, Grid
 from .acoustic2d_pallas import strip_depth
 from .elastic2d_pallas import _stag_cols, _stag_rows
@@ -301,8 +303,8 @@ def make_elastic_bwd_kernels(grid: Grid, dt: float, source_type: str = "pressure
     xstrip = jax.ShapeDtypeStruct((2, NZ, S), dtype)
     zstrip = jax.ShapeDtypeStruct((2, S, NX), dtype)
     scr = pltpu.VMEM((NZ + 2 * PZ, NX + 2 * PX), dtype)
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vspec = bspec(memory_space=pltpu.VMEM)
+    sspec = bspec(memory_space=pltpu.SMEM)
     params = (
         None
         if interpret
