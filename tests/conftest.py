@@ -13,11 +13,24 @@ first use. Set TPUFWI_TEST_PLATFORM=axon to run the same suite on hardware.
 """
 
 import os
+import tempfile
 
 platform = os.environ.get("TPUFWI_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Isolate the persistent compilation cache: tests that drive the CLI
+# (tests/test_cli.py -> invert.main) enable jax's on-disk cache for the
+# rest of the pytest process, and sharing the repo's .jax_cache with
+# concurrently-running TPU benchmark processes is how we got a SIGSEGV in
+# compilation_cache.get_executable_and_time (a reader deserializing an
+# entry truncated by a killed writer). A per-session tmpdir keeps the
+# suite hermetic; invert.main honours the env var.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    tempfile.mkdtemp(prefix="tpufwi_test_jax_cache_"),
+)
 
 import jax  # noqa: E402  (already imported by sitecustomize anyway)
 
