@@ -262,7 +262,9 @@ def z_window(grid: Grid, side: int):
 
 
 def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           dimension_semantics=None,
+                           vmem_limit_mb: int = 120):
     """Merged kernel: blocked leapfrog + in-block x-face CPML + whole-block
     application of the y/z face update slabs.
 
@@ -538,7 +540,10 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
         input_output_aliases={0: 0, 7: 1, 8: 2, 9: 3, 10: 4},
         compiler_params=None
         if interpret
-        else pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        else pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+            dimension_semantics=dimension_semantics,
+        ),
         interpret=interpret,
     )
 
@@ -555,7 +560,9 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
 
 def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
                                 c_max: float, by: int = 16, bz: int = 64,
-                                bz_y: int = 16, interpret: bool = False):
+                                bz_y: int = 16, interpret: bool = False,
+                                dimension_semantics=None,
+                                vmem_limit_mb: int = 120):
     """Production fused 3D step v2 (see module docstring): 4 corr slab
     kernels + 1 merged kernel, no dynamic_update_slice.
 
@@ -576,7 +583,11 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
     NZe = z_extended(grid, bz)
     dtype = jnp.float32
 
-    merged = make_leapfrog3d_merged(grid, by=by, bz=bz, interpret=interpret)
+    merged = make_leapfrog3d_merged(
+        grid, by=by, bz=bz, interpret=interpret,
+        dimension_semantics=dimension_semantics,
+        vmem_limit_mb=vmem_limit_mb,
+    )
     corr_y = {s: make_corr3d_y(grid, s, bz_y, NZe, by, interpret)
               for s in (0, 1)}
     corr_z = {s: make_corr3d_z(grid, s, by, NYe, interpret) for s in (0, 1)}
