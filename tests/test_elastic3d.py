@@ -96,7 +96,7 @@ def test_p_and_s_arrivals():
 def test_gradients_finite_difference():
     grid, vp, vs, rho, dt, w, geom, f0 = _setup(ny=14, nz=16, nx=18, nt=50)
     prop = Elastic3dPropagator(grid, dt, f0, float(vp.max()),
-                               dtype=jnp.float64)
+                               dtype=jnp.float64, gradient="remat")
     wj = jnp.asarray(w)
     m0 = (jnp.asarray(vp), jnp.asarray(vs), jnp.asarray(rho))
 
@@ -228,7 +228,8 @@ def test_gradients_finite_difference_free_surface():
     geom = Geometry.from_physical(
         grid, np.array([[7, 3, 6]]), np.array([[7, 4, 12], [5, 7, 9]]))
     prop = Elastic3dPropagator(grid, dt, f0, float(vp.max()),
-                               dtype=jnp.float64, source_type="force_z")
+                               dtype=jnp.float64, source_type="force_z",
+                               gradient="remat")
 
     def loss(vp_, vs_, rho_):
         s = prop(vp_, vs_, rho_, geom, w)
@@ -244,3 +245,52 @@ def test_gradients_finite_difference_free_surface():
         got = float(jnp.vdot(g[i], v))
         rel = abs(got - float(fd)) / max(abs(float(fd)), 1e-300)
         assert rel < 1e-5, (i, rel)
+
+
+@pytest.mark.parametrize("free_surface,source_type",
+                         [(False, "pressure"), (True, "force_z")])
+def test_rings_gradient_matches_remat(free_surface, source_type):
+    """Boundary-saving rings gradient == plain AD over the checkpointed
+    scan (the 3D analog of test_elastic_gradient_matches_full_ad): J to
+    1e-10 rel and all three material gradients to 1e-10 rel on the
+    interior shrunk by radius+1 (staggered material averaging chains one
+    cell outward; the outer radius frame is zero by construction on the
+    rings path — see RingSpec.mask_valid)."""
+    ny, nz, nx, f0, nt = 14, 16, 18, 14.0, 60
+    rng = np.random.default_rng(7)
+    vp = 2200.0 + 150.0 * rng.random((ny, nz, nx))
+    vs = vp / 1.8
+    rho = 1000.0 + 0.3 * vp
+    grid = Grid(shape=(ny, nz, nx), h=(10.0, 10.0, 10.0), pml=6, order=4,
+                free_surface=free_surface)
+    dt = elastic_cfl_dt(grid.h, float(vp.max()), 4, safety=0.6)
+    w = jnp.asarray(ricker_np(f0, dt, nt))
+    geom = Geometry.from_physical(
+        grid, np.array([[7, 5, 6]]), np.array([[7, 4, 12], [5, 7, 9]]))
+    kw = dict(dtype=jnp.float64, source_type=source_type)
+    prop_r = Elastic3dPropagator(grid, dt, f0, float(vp.max()),
+                                 gradient="rings", **kw)
+    prop_a = Elastic3dPropagator(grid, dt, f0, float(vp.max()),
+                                 gradient="remat", **kw)
+    m0 = (jnp.asarray(vp), jnp.asarray(vs), jnp.asarray(rho))
+    d_obs = prop_a(m0[0] * 1.02, m0[1], m0[2], geom, w)
+
+    def loss(prop):
+        def f(m):
+            r = prop(*m, geom, w) - d_obs
+            return 0.5 * jnp.sum(r * r)
+        return f
+
+    J_r, g_r = jax.value_and_grad(loss(prop_r))(m0)
+    J_a, g_a = jax.value_and_grad(loss(prop_a))(m0)
+    assert abs(float(J_r) - float(J_a)) < 1e-10 * abs(float(J_a))
+
+    rr = grid.radius + 1
+    mask = np.zeros(grid.shape)
+    mask[rr:-rr, rr:-rr, rr:-rr] = 1.0
+    for name, gr, ga in zip(("vp", "vs", "rho"), g_r, g_a):
+        gr = np.asarray(gr) * mask
+        ga = np.asarray(ga) * mask
+        scale = np.abs(ga).max()
+        err = np.abs(gr - ga).max() / scale
+        assert err < 1e-10, f"{name}: rings vs remat rel err {err:.3e}"

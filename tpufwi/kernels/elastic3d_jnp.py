@@ -130,13 +130,13 @@ def make_elastic3d_step(
         m = b * m_old + a * d
         return m, d + m
 
-    def step(state: Elastic3dState, p: Elastic3dParams, w_t):
-        vx, vy, vz = state.v
-        sxx, syy, szz, sxy, sxz, syz = state.s
+    def stage_v(v3, s6, memV, p: Elastic3dParams, w_t):
+        """Velocity half-step (9 CPML'd derivative terms) + MID-step
+        ghost-velocity image."""
+        vx, vy, vz = v3
+        sxx, syy, szz, sxy, sxz, syz = s6
         an, bn, ah, bh = p.a_n, p.b_n, p.a_h, p.b_h
-
-        # ---- velocity stage (9 CPML'd derivative terms) ----
-        mV = list(state.memV)
+        mV = list(memV)
         # vx: D+x sxx (half-x), D-y sxy (node-y), D-z sxz (node-z)
         mV[0], t0 = cpml(mV[0], dp(sxx, AX_X), ah[AX_X], bh[AX_X])
         mV[1], t1 = cpml(mV[1], dm(sxy, AX_Y), an[AX_Y], bn[AX_Y])
@@ -154,9 +154,14 @@ def make_elastic3d_step(
         vz = vz + dt * p.buoy_z * (t0 + t1 + t2)
         if image is not None:  # even ghost-velocity image, MID-step
             vx, vy, vz = image[0](vx, vy, vz)
+        return (vx, vy, vz), tuple(mV)
 
-        # ---- stress stage ----
-        mS = list(state.memS)
+    def stage_s(v3, s6, memS, p: Elastic3dParams, w_t):
+        """Stress half-step + sources + stress image + receivers."""
+        vx, vy, vz = v3
+        sxx, syy, szz, sxy, sxz, syz = s6
+        an, bn, ah, bh = p.a_n, p.b_n, p.a_h, p.b_h
+        mS = list(memS)
         mS[0], exx = cpml(mS[0], dm(vx, AX_X), an[AX_X], bn[AX_X])
         mS[1], eyy = cpml(mS[1], dm(vy, AX_Y), an[AX_Y], bn[AX_Y])
         mS[2], ezz = cpml(mS[2], dm(vz, AX_Z), an[AX_Z], bn[AX_Z])
@@ -193,12 +198,76 @@ def make_elastic3d_step(
             rec = jnp.stack([vz[rcv], vy[rcv], vx[rcv]], axis=-1)
         else:
             rec = -(sxx[rcv] + syy[rcv] + szz[rcv]) / 3.0
-        return (
-            Elastic3dState(
-                v=(vx, vy, vz), s=(sxx, syy, szz, sxy, sxz, syz),
-                memV=tuple(mV), memS=tuple(mS),
-            ),
-            rec,
-        )
+        return ((vx, vy, vz), (sxx, syy, szz, sxy, sxz, syz),
+                tuple(mS), rec)
 
+    def step(state: Elastic3dState, p: Elastic3dParams, w_t):
+        v3, memV = stage_v(state.v, state.s, state.memV, p, w_t)
+        v3, s6, memS, rec = stage_s(v3, state.s, state.memS, p, w_t)
+        return Elastic3dState(v=v3, s=s6, memV=memV, memS=memS), rec
+
+    step.stage_v = stage_v
+    step.stage_s = stage_s
     return step
+
+
+def make_elastic3d_reverse_reconstruct(grid: Grid, dt: float,
+                                       source_type: str = "pressure"):
+    """Invert the interior staggered leapfrog (no CPML), in two stages —
+    the straight 3D extension of elastic2d_jnp.make_elastic_reverse_
+    reconstruct (see its docstring for why the caller must re-impose the
+    stress rings between the stages):
+
+      stage S: sigma_t = sigma_{t+1} - dt C(e(v_{t+1/2})) - src_t
+      stage V: v_{t-1/2} = v_{t+1/2} - dt buoy (D sigma_t)
+    """
+    if grid.ndim != 3:
+        raise ValueError("elastic3d reconstruct needs a 3D grid")
+    taps = [scaled_taps(D1_STAGGERED_COEFFS[grid.order], h, 1)
+            for h in grid.h]
+    dt = float(dt)
+
+    def dp(f, ax):
+        return staggered_diff(f, taps[ax], ax, plus=True)
+
+    def dm(f, ax):
+        return staggered_diff(f, taps[ax], ax, plus=False)
+
+    def recon_stress(v3, s6, p: Elastic3dParams, w_t):
+        vx, vy, vz = v3
+        sxx, syy, szz, sxy, sxz, syz = s6
+        src = tuple(p.src_idx[..., d] for d in range(3))
+        # undo the sources first (the force source landed on vz AFTER the
+        # stress update consumed vz, so the strains below need pre-source vz)
+        if source_type == "pressure":
+            sxx = sxx.at[src].add(-dt * w_t, mode="drop")
+            syy = syy.at[src].add(-dt * w_t, mode="drop")
+            szz = szz.at[src].add(-dt * w_t, mode="drop")
+        else:
+            vz = vz.at[src].add(-dt * p.buoy_z[src] * w_t, mode="drop")
+        exx = dm(vx, AX_X)
+        eyy = dm(vy, AX_Y)
+        ezz = dm(vz, AX_Z)
+        tr = exx + eyy + ezz
+        two_mu = p.lam2mu - p.lam
+        sxx_t = sxx - dt * (p.lam * tr + two_mu * exx)
+        syy_t = syy - dt * (p.lam * tr + two_mu * eyy)
+        szz_t = szz - dt * (p.lam * tr + two_mu * ezz)
+        sxy_t = sxy - dt * p.mu_xy * (dp(vx, AX_Y) + dp(vy, AX_X))
+        sxz_t = sxz - dt * p.mu_xz * (dp(vx, AX_Z) + dp(vz, AX_X))
+        syz_t = syz - dt * p.mu_yz * (dp(vy, AX_Z) + dp(vz, AX_Y))
+        return ((vx, vy, vz),
+                (sxx_t, syy_t, szz_t, sxy_t, sxz_t, syz_t))
+
+    def recon_velocity(v3, s6_t, p: Elastic3dParams):
+        vx, vy, vz = v3
+        sxx, syy, szz, sxy, sxz, syz = s6_t
+        vx_t = vx - dt * p.buoy_x * (
+            dp(sxx, AX_X) + dm(sxy, AX_Y) + dm(sxz, AX_Z))
+        vy_t = vy - dt * p.buoy_y * (
+            dm(sxy, AX_X) + dp(syy, AX_Y) + dm(syz, AX_Z))
+        vz_t = vz - dt * p.buoy_z * (
+            dm(sxz, AX_X) + dm(syz, AX_Y) + dp(szz, AX_Z))
+        return (vx_t, vy_t, vz_t)
+
+    return recon_stress, recon_velocity
