@@ -159,3 +159,53 @@ def test_remat_gradient_matches_rings():
             jnp.abs(gr).max())
         assert float(jnp.abs(wm - wr).max()) <= 1e-12 * float(
             jnp.abs(wr).max())
+
+
+def test_bf16_tape_gradient():
+    """tape_dtype=bfloat16 halves the ring-tape bytes; the rounding
+    perturbs the reverse reconstruction only on the ring, and the model
+    gradient it yields stays within ~1e-2 of the fp32-tape gradient in
+    direction and magnitude (2D and 3D) — accurate enough for FWI, where
+    the gradient feeds a line search. This is the memory lever for 3D
+    runs where the tape binds (docs/COMPONENTS.md known constraints)."""
+    from tpufwi.adjoint import make_simulator
+    from tpufwi.wavelets import ricker_np
+
+    for shape, pml in (((30, 36), 8), ((14, 18, 20), 6)):
+        grid = Grid(shape=shape, h=(10.0,) * len(shape), pml=pml, order=4)
+        rng = np.random.default_rng(0)
+        vp = 2000.0 + 150.0 * rng.random(shape)
+        dt = grid.cfl_dt(float(vp.max()), safety=0.6)
+        w = jnp.asarray(ricker_np(13.0, dt, 90), jnp.float32)
+        if len(shape) == 2:
+            src = np.array([[15, 8]])
+            rcv = np.stack([np.full(5, 8), np.arange(8, 28, 4)], 1)
+        else:
+            src = np.array([[7, 6, 8]])
+            rcv = np.array([[7, 6, 14], [5, 9, 12]])
+        geom = Geometry.from_physical(grid, src, rcv)
+        pads = [(grid.pad, grid.pad)] * len(shape)
+        c2dt2 = (jnp.pad(jnp.asarray(vp, jnp.float32), pads, mode="edge")
+                 ** 2 * dt * dt).astype(jnp.float32)
+        s32 = make_simulator(grid, dt, 13.0, float(vp.max()), jnp.float32)
+        s16 = make_simulator(grid, dt, 13.0, float(vp.max()), jnp.float32,
+                             tape_dtype=jnp.bfloat16)
+
+        assert s16.rings.tape_dtype == jnp.bfloat16
+        r0 = s16.rings.extract(jnp.zeros(grid.padded_shape, jnp.float32))
+        assert all(r.dtype == jnp.bfloat16 for r in r0)
+
+        def loss(sim):
+            return lambda c2: jnp.sum(
+                sim(c2, w, geom.src_idx, geom.rcv_idx) ** 2)
+
+        J32, g32 = jax.value_and_grad(loss(s32))(c2dt2)
+        J16, g16 = jax.value_and_grad(loss(s16))(c2dt2)
+        # identical forward (tape compression only affects the reverse pass)
+        assert float(jnp.abs(J32 - J16)) <= 1e-6 * float(J32)
+        g32 = np.asarray(g32, np.float64).ravel()
+        g16 = np.asarray(g16, np.float64).ravel()
+        rel = np.linalg.norm(g16 - g32) / np.linalg.norm(g32)
+        cos = float(g16 @ g32 / (np.linalg.norm(g16) * np.linalg.norm(g32)))
+        assert rel < 2e-2, f"{shape}: bf16-tape grad rel L2 err {rel:.3e}"
+        assert cos > 0.999, f"{shape}: bf16-tape grad cos {cos:.6f}"

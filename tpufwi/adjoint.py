@@ -58,6 +58,7 @@ def make_simulator(
     wavefield_sharding_batched=None,
     gradient: str = None,
     chunk: int = 0,
+    tape_dtype=None,
 ):
     """Build ``simulate(c2dt2, wavelet, src_idx, rcv_idx) -> seis`` with a
     custom VJP implementing the boundary-saving adjoint.
@@ -89,6 +90,10 @@ def make_simulator(
         two are tested against (tests/test_adjoint.py).
     ``use_custom_vjp=False`` is the legacy spelling of gradient="full".
     ``chunk`` sets the remat segment length (0 = ~sqrt(nt)).
+    ``tape_dtype`` (rings mode only; e.g. jnp.bfloat16) stores the ring
+    tape compressed — halves tape HBM, the other lever (besides "remat")
+    for 3D runs where the tape binds memory. Gradient error it induces is
+    measured at ~1e-3 relative (test_adjoint.py::test_bf16_tape_gradient).
 
     ``wavefield_sharding``: optional NamedSharding for the wavefield state
     (3D spatial domain decomposition, spec C5). The constraint is applied to
@@ -103,7 +108,7 @@ def make_simulator(
     b_ax = tuple(jnp.asarray(p[1], dtype) for p in profs)
     step = make_acoustic_step(grid)
     recon = make_reverse_reconstruct_step(grid)
-    rings = RingSpec.build(grid)
+    rings = RingSpec.build(grid, tape_dtype=tape_dtype)
     ndim = grid.ndim
     shape = grid.padded_shape
 

@@ -40,12 +40,17 @@ class AcousticPropagator:
         c_max: float,
         dtype=jnp.float32,
         impl: str = "auto",
+        tape_dtype=None,
     ):
         """impl: 'pallas' (fused single-step TPU kernels),
         'pallas_scanres' (whole-scan-resident kernels — fastest; requires
         all receivers of a shot within a 16-row slab, e.g. surface
         acquisition), 'jnp' (XLA twin — CPU, fp64, 3D), or 'auto'
-        (pallas when 2D+fp32 on a TPU backend)."""
+        (pallas when 2D+fp32 on a TPU backend).
+
+        tape_dtype (jnp engine only, e.g. jnp.bfloat16): store the
+        boundary-ring tape compressed — halves tape memory at a measured
+        ~1e-3 relative gradient error (adjoint.make_simulator)."""
         grid.check_dt(dt, c_max)
         self.grid = grid
         self.dt = float(dt)
@@ -73,7 +78,10 @@ class AcousticPropagator:
                 raise ValueError("pallas path is fp32 only")
             self._simulate = make_simulator_pallas_scanres(grid, dt, f0, c_max)
         else:
-            self._simulate = make_simulator(grid, dt, f0, c_max, dtype)
+            self._simulate = make_simulator(grid, dt, f0, c_max, dtype,
+                                            tape_dtype=tape_dtype)
+        if tape_dtype is not None and impl != "jnp":
+            raise ValueError("tape_dtype is a jnp-engine option")
         profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
         self._a = tuple(jnp.asarray(p[0], dtype) for p in profs)
         self._b = tuple(jnp.asarray(p[1], dtype) for p in profs)

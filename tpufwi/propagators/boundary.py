@@ -36,14 +36,24 @@ class RingSpec:
 
     slices: Tuple[Tuple[slice, ...], ...]
     valid: Tuple[slice, ...]  # region where reconstruction/gradient is exact
+    tape_dtype: object = None  # None = store rings at wavefield dtype
 
     @staticmethod
-    def build(grid: Grid, width: int | None = None) -> "RingSpec":
+    def build(grid: Grid, width: int | None = None,
+              tape_dtype=None) -> "RingSpec":
         """``width`` overrides the ring thickness (default: the stencil
         radius). The variable-density engine's composite staggered
         operator D-(b D+(p)) reaches 2R-1 cells (R = order/2 staggered
         taps), so its rings must be that wide for exact reconstruction
-        (adjoint.make_simulator_vd passes width=2R-1)."""
+        (adjoint.make_simulator_vd passes width=2R-1).
+
+        ``tape_dtype`` (e.g. jnp.bfloat16) stores the ring tape compressed:
+        extract() rounds to it, impose() casts back to the wavefield dtype.
+        Halves tape HBM at bf16 — the lever for full-scale 3D where the
+        tape is the memory binder (docs/COMPONENTS.md known constraints).
+        Reconstruction is then inexact at ~bf16 eps on the ring; the
+        measured gradient error this induces is checked by
+        tests/test_adjoint.py::test_bf16_tape_gradient."""
         pad, r = grid.pad, (grid.radius if width is None else int(width))
         for n in grid.shape:
             if n <= 4 * r:
@@ -66,14 +76,17 @@ class RingSpec:
             slabs.append(tuple(lo))
             slabs.append(tuple(hi))
         valid = tuple(slice(pad + r, pad + n - r) for n in grid.shape)
-        return RingSpec(slices=tuple(slabs), valid=valid)
+        return RingSpec(slices=tuple(slabs), valid=valid,
+                        tape_dtype=tape_dtype)
 
     def extract(self, p: jax.Array) -> Tuple[jax.Array, ...]:
+        if self.tape_dtype is not None:
+            return tuple(p[s].astype(self.tape_dtype) for s in self.slices)
         return tuple(p[s] for s in self.slices)
 
     def impose(self, p: jax.Array, rings: Tuple[jax.Array, ...]) -> jax.Array:
         for s, r in zip(self.slices, rings):
-            p = p.at[s].set(r)
+            p = p.at[s].set(r.astype(p.dtype))
         return p
 
     def zeros_like_rings(self, shape, dtype) -> Tuple[jax.Array, ...]:
