@@ -39,6 +39,7 @@ from .resolution import hessian_diag_points, hessian_diag_probe, psf
 from .eikonal import eikonal, first_breaks, traveltime_tomography
 from .lsrtm import born_operators, gauss_newton, lsrtm
 from .encoding import EncodedFwiProblem, invert_encoded
+from .timelapse import double_difference_data, double_difference_problem
 
 __version__ = "0.1.0"
 
