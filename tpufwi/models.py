@@ -66,3 +66,33 @@ def from_lame(lam, mu, rho, grid: Grid) -> Model:
     vs = jnp.sqrt(mu / rho)
     vp = jnp.sqrt((lam + 2.0 * mu) / rho)
     return Model(vp=vp, grid=grid, vs=vs, rho=rho)
+
+
+def resample(m: jax.Array, new_shape, method: str = "linear") -> jax.Array:
+    """Differentiable model resampling onto ``new_shape`` (any ndim).
+
+    jax.image.resize with half-pixel-centered sampling: the coarse and
+    fine grids cover the same physical extent, so ``h_new = h_old *
+    (old-1)/(new-1)`` only approximately — for FWI grid continuation use
+    extents that keep h integral, or accept the sub-cell shift (it is
+    far below the low-band wavelength where coarse grids are used).
+    Linear is the right default both ways: downsampling a smooth starting
+    model aliases nothing at FWI frequencies, and upsampling is the
+    standard prolongation. Differentiable, so a coarse-stage result can
+    even sit inside an outer fine-grid objective.
+    """
+    return jax.image.resize(m, tuple(int(n) for n in new_shape), method)
+
+
+def coarse_grid(grid: Grid, factor: int) -> Grid:
+    """Grid for ``resample``-based frequency/grid continuation: every
+    spatial extent divided by ``factor`` (ceil), spacing multiplied so the
+    physical extent (n-1)*h is preserved per axis; pml/order/free_surface
+    carried over. Points-per-wavelength bookkeeping is the caller's: at
+    stage fmax the coarse h must keep c_min/(fmax*h) >= ~4 for order 8
+    [GENRE: Levander 1988 dispersion limits]."""
+    new_shape = tuple(max(2, -(-n // factor)) for n in grid.shape)
+    new_h = tuple(
+        h * (n - 1) / (m - 1) for h, n, m in zip(grid.h, grid.shape, new_shape)
+    )
+    return dataclasses.replace(grid, shape=new_shape, h=new_h)
