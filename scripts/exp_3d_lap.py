@@ -1,0 +1,187 @@
+"""Is the merged 3D kernel VMEM-tap-bound?
+
+The merged kernel runs at ~34% of its 5.25-field HBM bound
+(runs/tpu_queue2/attrib_3d.log). Hypothesis: the 25 shifted full-block
+reads of the 8th-order laplacian saturate VMEM bandwidth (~87 MB VMEM
+tap reads per 3.5 MB block), so HBM streaming is not the binding
+constraint. Test: the same merged-only kernel at order=4 reads 13 taps
+instead of 25 — if ms/step drops ~2x, the kernel is tap-read-bound and
+an MXU offload of one axis is the right lever; if it barely moves, the
+cost is elsewhere (pipeline, scratch copies, margins).
+
+Also: by8_bz256 makes z fully block-resident (nzb=1, no z-halo streams,
+no z-slab sticky maps) as a structural simplification probe.
+
+Run: python scripts/exp_3d_lap.py   (one TPU process at a time)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from tpufwi.cpml import CpmlProfile
+from tpufwi.grid import Grid
+from tpufwi.kernels.acoustic3d_fused2 import (
+    _face_span,
+    make_acoustic3d_fused_step2,
+    make_leapfrog3d_merged,
+    z_window,
+)
+from tpufwi.kernels.acoustic3d_pallas import extend_yz, y_extended, z_extended
+
+ny, nz, nx = 801, 187, 801
+pml = 20
+c_max, f0 = 6000.0, 8.0
+
+
+def slope(prog, arg, nts=(8, 40), reps=3):
+    times = {}
+    for nt in nts:
+        p = prog(nt)
+        float(p(arg * 1.01))
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            float(p(arg * (1.01 + 1e-4 * i)))
+            ts.append(time.perf_counter() - t0)
+        times[nt] = sorted(ts)[len(ts) // 2]
+    return (times[nts[1]] - times[nts[0]]) / (nts[1] - nts[0])
+
+
+def profs3(grid, dt):
+    S = grid.pml + grid.radius
+    out = []
+    for ax in range(3):
+        prof = CpmlProfile.build(
+            n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
+            h=grid.h[ax], dt=dt, c_max=c_max, f0=f0,
+        )
+        n_pad = grid.padded_shape[ax]
+        shp = [(S, 1, 1), (1, S, 1), (1, 1, S)][ax]
+        lo = (jnp.asarray(prof.a[:S], jnp.float32).reshape(shp),
+              jnp.asarray(prof.b[:S], jnp.float32).reshape(shp))
+        hi = (jnp.asarray(prof.a[n_pad - S:], jnp.float32).reshape(shp),
+              jnp.asarray(prof.b[n_pad - S:], jnp.float32).reshape(shp))
+        out.append((lo, hi))
+    return out
+
+
+def run_merged_only(order, by, bz, tag=""):
+    for attempt in range(3):
+        try:
+            grid = Grid(shape=(ny, nz, nx), h=(25.0,) * 3, pml=pml,
+                        order=order)
+            dt = grid.cfl_dt(c_max, safety=0.7)
+            NY, NZ, NX = grid.padded_shape
+            S = grid.pml + grid.radius
+            W = S + 2 * grid.radius
+            NYe, NZe = y_extended(grid, by), z_extended(grid, bz)
+            rng = np.random.default_rng(0)
+            vp = (3000.0 + 100.0 * rng.standard_normal(
+                (NY, NZ, NX))).astype(np.float32)
+            c2 = extend_yz(jnp.asarray((vp * dt) ** 2), grid, by=by, bz=bz)
+            merged = make_leapfrog3d_merged(grid, by=by, bz=bz)
+            (axl, bxl), (axh, bxh) = profs3(grid, dt)[2]
+            WPyl = (_face_span(0, W, by)[1] + 1) * by
+            h0, h1, _ = _face_span(NY - W, W, by)
+            uyl = jnp.zeros((WPyl, NZe, NX), jnp.float32)
+            uyh = jnp.zeros(((h1 - h0 + 1) * by, NZe, NX), jnp.float32)
+            uzl = jnp.zeros((NYe, z_window(grid, 0)[1], NX), jnp.float32)
+            uzh = jnp.zeros((NYe, z_window(grid, 1)[1], NX), jnp.float32)
+            zS = jnp.zeros((NYe, NZe, S), jnp.float32)
+
+            def prog(nt):
+                @jax.jit
+                def f(c2_, uyl_, uyh_, uzl_, uzh_, zS_):
+                    def body(carry, _):
+                        pp, p, phl, psl, phh, psh = carry
+                        pn, phl2, psl2, phh2, psh2 = merged(
+                            pp, p, c2_, phl, psl, phh, psh,
+                            axl, bxl, axh, bxh, uyl_, uyh_, uzl_, uzh_,
+                        )
+                        return (p, pn, phl2, psl2, phh2, psh2), None
+
+                    z = jnp.zeros_like(c2_)
+                    p0 = z.at[NY // 2, NZ // 2, NX // 2].set(1.0)
+                    (_, p, *_), _ = lax.scan(
+                        body, (z, p0, zS_, zS_, zS_, zS_), None, length=nt
+                    )
+                    return jnp.sum(p * p)
+
+                return lambda c2_: f(c2_, uyl, uyh, uzl, uzh, zS)
+
+            per = slope(prog, c2)
+            cells = NYe * NZe * NX
+            print(f"merged-only order={order} by={by} bz={bz}{tag}: "
+                  f"{per*1e3:8.2f} ms/step  {cells/per*1e-9:6.2f} Gcu/s",
+                  flush=True)
+            return
+        except Exception as e:  # noqa: BLE001
+            if "remote_compile: HTTP 500" in repr(e) and attempt < 2:
+                print("transient compile-helper 500, retrying", flush=True)
+                continue
+            print(f"merged-only order={order} by={by} bz={bz}{tag}: "
+                  f"FAILED {repr(e)[:200]}", flush=True)
+            return
+
+
+def run_full(by, bz, bz_y=16):
+    for attempt in range(3):
+        try:
+            grid = Grid(shape=(ny, nz, nx), h=(25.0,) * 3, pml=pml, order=8)
+            dt = grid.cfl_dt(c_max, safety=0.7)
+            NY, NZ, NX = grid.padded_shape
+            rng = np.random.default_rng(0)
+            vp = (3000.0 + 100.0 * rng.standard_normal(
+                (NY, NZ, NX))).astype(np.float32)
+            c2 = extend_yz(jnp.asarray((vp * dt) ** 2), grid, by=by, bz=bz)
+            step2, zs = make_acoustic3d_fused_step2(
+                grid, dt, f0, c_max, by=by, bz=bz, bz_y=bz_y)
+
+            def prog(nt):
+                @jax.jit
+                def f(c2_):
+                    def body(s, _):
+                        return step2(s, c2_), None
+
+                    s0 = zs()
+                    s0 = (s0[0],
+                          s0[1].at[NY // 2, NZ // 2, NX // 2].set(1.0),
+                          s0[2])
+                    (_, p, _), _ = lax.scan(body, s0, None, length=nt)
+                    return jnp.sum(p * p)
+
+                return f
+
+            per = slope(prog, c2)
+            cells = y_extended(grid, by) * z_extended(grid, bz) * NX
+            print(f"full2 by={by} bz={bz} bz_y={bz_y}: {per*1e3:8.2f} ms/step"
+                  f"  {cells/per*1e-9:6.2f} Gcu/s", flush=True)
+            return
+        except Exception as e:  # noqa: BLE001
+            if "remote_compile: HTTP 500" in repr(e) and attempt < 2:
+                print("transient compile-helper 500, retrying", flush=True)
+                continue
+            print(f"full2 by={by} bz={bz}: FAILED {repr(e)[:200]}", flush=True)
+            return
+
+
+if __name__ == "__main__":
+    run_merged_only(8, 16, 64, "  (reference)")
+    run_merged_only(4, 16, 64, "  (13 taps vs 25)")
+    run_merged_only(2, 16, 64, "  (7 taps)")
+    run_full(8, 256)  # z fully block-resident: nzb=1, no z-halo streams
+    print("done", flush=True)

@@ -13,9 +13,18 @@ first use. Set TPUFWI_TEST_PLATFORM=axon to run the same suite on hardware.
 """
 
 import os
+import sys
 import tempfile
 
 platform = os.environ.get("TPUFWI_TEST_PLATFORM", "cpu")
+
+# Mosaic lowering of the long-scan kernels (scanres: the whole time loop in
+# one pallas_call) recurses proportionally to jaxpr depth; under pytest's
+# assertion-rewritten frames the default 1000 limit overflows on the
+# hardware lane (runs/tpu_queue3/tpu_ci.log: RecursionError inside
+# lower_jaxpr_to_transform_func). Interpret mode on CPU never lowers
+# through Mosaic, which is why only TPUFWI_TEST_PLATFORM=axon saw it.
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 10000))
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -36,3 +45,20 @@ import jax  # noqa: E402  (already imported by sitecustomize anyway)
 
 jax.config.update("jax_platforms", platform)
 jax.config.update("jax_enable_x64", True)
+
+if platform != "cpu":
+    # Hardware lane only: the axon relay's remote-compile helper fails
+    # transiently with "HTTP 500: tpu_compile_helper subprocess exit code 1"
+    # (observed for kernels that compile fine minutes later —
+    # runs/tpu_queue*/tpu_ci.log). Retry the test call once; failed compiles
+    # are not cached, so the rerun re-enters the helper pool.
+    import pytest  # noqa: E402
+
+    @pytest.hookimpl(hookwrapper=True)
+    def pytest_runtest_call(item):
+        outcome = yield
+        if outcome.excinfo is not None and "remote_compile: HTTP 500" in repr(
+            outcome.excinfo[1]
+        ):
+            item.runtest()  # raises on a genuine (repeated) failure
+            outcome.force_result(None)

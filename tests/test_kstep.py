@@ -23,6 +23,13 @@ from tpufwi.wavelets import ricker_np
 
 INTERPRET = jax.default_backend() == "cpu"
 
+# Gradient-parity tolerance: interpret mode is bit-disciplined; on hardware
+# the two engines accumulate the same ~1e2-step fp32 sums in different
+# orders (and the relay compiles with --xla_allow_excess_precision), so the
+# max-element rel err lands at ~1e-4..1e-3 (runs/tpu_queue3/tpu_ci.log) —
+# accumulation order, not physics.
+GTOL = 1e-4 if INTERPRET else 2e-3
+
 
 def _setup(order=8, nt=135, nsrc=1):
     grid = Grid(shape=(48, 72), h=(10.0, 10.0), pml=10, order=order)
@@ -69,12 +76,12 @@ def test_kstep_matches_jnp(K, nt):
     J_k, (g_k, gw_k) = jax.value_and_grad(
         _loss(sim_k, w, geom, d_obs), argnums=(0, 1)
     )(c2 * 1.01, w)
-    assert abs(float(J_j) - float(J_k)) / float(J_j) < 1e-4
+    assert abs(float(J_j) - float(J_k)) / float(J_j) < GTOL
     g_j = np.asarray(RingSpec.build(grid).mask_valid(g_j))
     err = np.abs(np.asarray(g_k) - g_j).max() / np.abs(g_j).max()
-    assert err < 1e-4, f"K={K} gradient max rel err {err:.3e}"
+    assert err < GTOL, f"K={K} gradient max rel err {err:.3e}"
     werr = np.abs(np.asarray(gw_k) - np.asarray(gw_j)).max() / np.abs(gw_j).max()
-    assert werr < 1e-4, f"K={K} wavelet-gradient max rel err {werr:.3e}"
+    assert werr < GTOL, f"K={K} wavelet-gradient max rel err {werr:.3e}"
 
 
 def test_kstep_multisource():
@@ -88,7 +95,7 @@ def test_kstep_multisource():
     J_k, g_k = jax.value_and_grad(_loss(sim_k, w, geom, d_obs))(c2 * 1.01, w)
     g_j = np.asarray(RingSpec.build(grid).mask_valid(g_j))
     err = np.abs(np.asarray(g_k) - g_j).max() / np.abs(g_j).max()
-    assert err < 1e-4, f"multisource gradient max rel err {err:.3e}"
+    assert err < GTOL, f"multisource gradient max rel err {err:.3e}"
 
 
 def test_kstep_rcv_window_rejects_concrete_violation():
@@ -133,5 +140,6 @@ def test_kstep_vmap_multishot_matches_sequential():
         jax.vmap(lambda si, ri: sim_k(c2, w, si, ri))
     )(batched.src_idx, batched.rcv_idx)
     for i, g in enumerate(geoms):
-        s_i = sim_k(c2, w, g.src_idx, g.rcv_idx)
-        np.testing.assert_allclose(np.asarray(seis_b[i]), np.asarray(s_i), atol=1e-6)
+        s_i = np.asarray(sim_k(c2, w, g.src_idx, g.rcv_idx))
+        atol = 1e-6 if INTERPRET else 1e-5 * float(np.abs(s_i).max())
+        np.testing.assert_allclose(np.asarray(seis_b[i]), s_i, atol=atol)

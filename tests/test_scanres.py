@@ -23,6 +23,9 @@ from tpufwi.wavelets import ricker_np
 
 INTERPRET = jax.default_backend() == "cpu"
 
+# See tests/test_kstep.py: hardware accumulation-order slack vs interpret.
+GTOL = 1e-4 if INTERPRET else 2e-3
+
 
 def _setup(order=8, nt=135, nsrc=1, free_surface=False):
     grid = Grid(
@@ -72,12 +75,12 @@ def test_scanres_matches_jnp(nt):
     J_s, (g_s, gw_s) = jax.value_and_grad(
         _loss(sim_s, geom, d_obs), argnums=(0, 1)
     )(c2 * 1.01, w)
-    assert abs(float(J_j) - float(J_s)) / float(J_j) < 1e-4
+    assert abs(float(J_j) - float(J_s)) / float(J_j) < GTOL
     g_j = np.asarray(RingSpec.build(grid).mask_valid(g_j))
     err = np.abs(np.asarray(g_s) - g_j).max() / np.abs(g_j).max()
-    assert err < 1e-4, f"nt={nt} gradient max rel err {err:.3e}"
+    assert err < GTOL, f"nt={nt} gradient max rel err {err:.3e}"
     werr = np.abs(np.asarray(gw_s) - np.asarray(gw_j)).max() / np.abs(gw_j).max()
-    assert werr < 1e-4, f"nt={nt} wavelet-gradient max rel err {werr:.3e}"
+    assert werr < GTOL, f"nt={nt} wavelet-gradient max rel err {werr:.3e}"
 
 
 def test_scanres_multisource():
@@ -91,7 +94,7 @@ def test_scanres_multisource():
     J_s, g_s = jax.value_and_grad(_loss(sim_s, geom, d_obs))(c2 * 1.01, w)
     g_j = np.asarray(RingSpec.build(grid).mask_valid(g_j))
     err = np.abs(np.asarray(g_s) - g_j).max() / np.abs(g_j).max()
-    assert err < 1e-4, f"multisource gradient max rel err {err:.3e}"
+    assert err < GTOL, f"multisource gradient max rel err {err:.3e}"
 
 
 def test_scanres_free_surface():
@@ -109,7 +112,7 @@ def test_scanres_free_surface():
     J_s, g_s = jax.value_and_grad(_loss(sim_s, geom, d_obs))(c2 * 1.01, w)
     g_j = np.asarray(RingSpec.build(grid).mask_valid(g_j))
     err = np.abs(np.asarray(g_s) - g_j).max() / np.abs(g_j).max()
-    assert err < 1e-4, f"free-surface gradient max rel err {err:.3e}"
+    assert err < GTOL, f"free-surface gradient max rel err {err:.3e}"
 
 
 def test_scanres_rcv_window_rejects_concrete_violation():
