@@ -48,16 +48,23 @@ DT = None  # set in main() per CFL
 
 
 def slope_us(fn, args, nts=NTS, reps=3):
-    """Per-step microseconds via the nt-slope of scalar-output programs."""
+    """Per-step microseconds via the nt-slope of scalar-output programs.
+
+    The wavelet is perturbed per repetition: the relay caches results for
+    identical program+inputs, and re-timing a cached call produced the
+    negative elastic_fused fwd slope in runs/tpu_queue2/bench_engines.log.
+    """
     times = {}
     for nt in nts:
-        w = jnp.asarray(ricker_np(F0, DT, nt))
-        jitted = jax.jit(lambda *a: fn(w, *a))
-        float(jitted(*args))  # compile + warm
+        w0 = jnp.asarray(ricker_np(F0, DT, nt))
+        jitted = jax.jit(lambda w_, *a: fn(w_, *a))
+        float(jitted(w0, *args))  # compile + warm
         ts = []
-        for _ in range(reps):
+        for i in range(reps):
+            w = w0 * (1.0 + 1e-4 * (i + 1))
+            jax.block_until_ready(w)
             t0 = time.perf_counter()
-            float(jitted(*args))
+            float(jitted(w, *args))
             ts.append(time.perf_counter() - t0)
         times[nt] = sorted(ts)[len(ts) // 2]
     return 1e6 * (times[nts[1]] - times[nts[0]]) / (nts[1] - nts[0])
