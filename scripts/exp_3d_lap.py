@@ -179,9 +179,107 @@ def run_full(by, bz, bz_y=16):
             return
 
 
+def run_vmem_tap_bw():
+    """Effective VMEM shifted-read throughput: a kernel whose block lives
+    in VMEM scratch and is read K times at mixed (sublane, lane) offsets,
+    like a stencil's taps. The K-slope of ms/invocation isolates the
+    per-tap cost; bytes/tap / slope = effective VMEM read bandwidth. If
+    this lands near the merged kernel's implied ~1.5 TB/s, the 3D (and
+    2D) lap kernels are at the machine's effective VMEM ceiling and only
+    fewer/narrower taps can speed them up."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpufwi.kernels.pallas_util import bspec as bspec_local
+
+    BY, BZ, NX = 16, 64, 849
+    r, H8 = 4, 8  # same margin alignment as the real merged kernel
+    dtype = jnp.float32
+
+    def make(K):
+        def kernel(p_ref, o_ref, scr):
+            scr[r : r + BY, H8 : H8 + BZ, 128 : 128 + NX] = p_ref[:]
+            acc = None
+            for k in range(K):
+                # cycle through y / z / x offsets like the real lap
+                dy, dz, dx = 0, 0, 0
+                if k % 3 == 0:
+                    dy = k % (2 * r + 1)
+                elif k % 3 == 1:
+                    dz = k % (2 * r + 1)
+                else:
+                    dx = k % (2 * r + 1)
+                t = (0.1 + 0.01 * k) * scr[
+                    dy : dy + BY,
+                    H8 + dz - r : H8 + dz - r + BZ,
+                    128 + dx - r : 128 + dx - r + NX,
+                ]
+                acc = t if acc is None else acc + t
+            o_ref[:] = acc
+
+        NYb, NZb = 864, 256
+        blk = bspec_local((BY, BZ, NX), lambda gz, gy: (gy, gz, 0),
+                          memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(NZb // BZ, NYb // BY),
+            in_specs=[blk],
+            out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((NYb, NZb, NX), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((BY + 2 * r, BZ + 2 * H8, NX + 256), dtype)
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024
+            ),
+        )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((864, 256, NX)).astype(np.float32))
+    res = {}
+    for K in (5, 25):
+        for attempt in range(3):
+            try:
+                call = make(K)
+
+                def prog(nt):
+                    @jax.jit
+                    def f(x_):
+                        def body(v, _):
+                            return call(v), None
+
+                        v, _ = lax.scan(body, x_, None, length=nt)
+                        return jnp.sum(v[0, 0])
+
+                    return f
+
+                per = slope(prog, x)
+                res[K] = per
+                print(f"vmem-tap K={K}: {per*1e3:8.2f} ms/invocation",
+                      flush=True)
+                break
+            except Exception as e:  # noqa: BLE001
+                if "remote_compile: HTTP 500" in repr(e) and attempt < 2:
+                    continue
+                print(f"vmem-tap K={K}: FAILED {repr(e)[:200]}", flush=True)
+                return
+    if 5 in res and 25 in res:
+        per_tap = (res[25] - res[5]) / 20.0
+        nbytes = 864 * 256 * NX * 4
+        print(f"per-tap {per_tap*1e3:.3f} ms -> effective VMEM read BW "
+              f"{nbytes/per_tap/1e12:.2f} TB/s", flush=True)
+
+
 if __name__ == "__main__":
-    run_merged_only(8, 16, 64, "  (reference)")
-    run_merged_only(4, 16, 64, "  (13 taps vs 25)")
-    run_merged_only(2, 16, 64, "  (7 taps)")
-    run_full(8, 256)  # z fully block-resident: nzb=1, no z-halo streams
+    which = set(sys.argv[1:]) or {"all"}
+    prec = os.environ.get("TPUFWI_3D_MXU_PRECISION", "highest")
+    if which & {"all", "merged"}:
+        run_merged_only(8, 16, 64, f"  (prec={prec})")
+    if which & {"all"}:
+        run_merged_only(4, 16, 64, "  (13 taps vs 25)")
+        run_merged_only(2, 16, 64, "  (7 taps)")
+        run_full(8, 256)  # z fully block-resident: no z-halo streams
+        run_vmem_tap_bw()
+    if which & {"full"}:
+        run_full(16, 64, bz_y=16)
     print("done", flush=True)

@@ -49,7 +49,20 @@ from ..grid import D1_COEFFS, D2_COEFFS, Grid
 from .acoustic3d_pallas import y_extended, z_extended
 from .acoustic3d_strips_pallas import _band, _taps_axis
 
-HIGHEST = jax.lax.Precision.HIGHEST
+# MXU precision for the banded face products. HIGHEST (6-pass fp32
+# emulation) is the correctness default; the experiment knob exists
+# because the banded matrices are tiny and badly tiled on the MXU, so
+# the pass count multiplies a poorly-utilized operation (suspected
+# order-independent ~half of the merged kernel's 14.6 ms/step —
+# runs/tpu_queue3/exp_3d_lap.log shows tap count doesn't matter).
+import os as _os
+
+_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+HIGHEST = _PREC[_os.environ.get("TPUFWI_3D_MXU_PRECISION", "highest").lower()]
 
 
 def _face_span(n_face0: int, W: int, blk: int):
