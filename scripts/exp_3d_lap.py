@@ -79,7 +79,7 @@ def profs3(grid, dt):
     return out
 
 
-def run_merged_only(order, by, bz, tag=""):
+def run_merged_only(order, by, bz, tag="", x_face="mxu"):
     for attempt in range(3):
         try:
             grid = Grid(shape=(ny, nz, nx), h=(25.0,) * 3, pml=pml,
@@ -93,7 +93,8 @@ def run_merged_only(order, by, bz, tag=""):
             vp = (3000.0 + 100.0 * rng.standard_normal(
                 (NY, NZ, NX))).astype(np.float32)
             c2 = extend_yz(jnp.asarray((vp * dt) ** 2), grid, by=by, bz=bz)
-            merged = make_leapfrog3d_merged(grid, by=by, bz=bz)
+            merged = make_leapfrog3d_merged(grid, by=by, bz=bz,
+                                            x_face=x_face)
             (axl, bxl), (axh, bxh) = profs3(grid, dt)[2]
             WPyl = (_face_span(0, W, by)[1] + 1) * by
             h0, h1, _ = _face_span(NY - W, W, by)
@@ -138,7 +139,7 @@ def run_merged_only(order, by, bz, tag=""):
             return
 
 
-def run_full(by, bz, bz_y=16):
+def run_full(by, bz, bz_y=16, x_face=None):
     for attempt in range(3):
         try:
             grid = Grid(shape=(ny, nz, nx), h=(25.0,) * 3, pml=pml, order=8)
@@ -149,7 +150,7 @@ def run_full(by, bz, bz_y=16):
                 (NY, NZ, NX))).astype(np.float32)
             c2 = extend_yz(jnp.asarray((vp * dt) ** 2), grid, by=by, bz=bz)
             step2, zs = make_acoustic3d_fused_step2(
-                grid, dt, f0, c_max, by=by, bz=bz, bz_y=bz_y)
+                grid, dt, f0, c_max, by=by, bz=bz, bz_y=bz_y, x_face=x_face)
 
             def prog(nt):
                 @jax.jit
@@ -168,7 +169,8 @@ def run_full(by, bz, bz_y=16):
 
             per = slope(prog, c2)
             cells = y_extended(grid, by) * z_extended(grid, bz) * NX
-            print(f"full2 by={by} bz={bz} bz_y={bz_y}: {per*1e3:8.2f} ms/step"
+            print(f"full2 by={by} bz={bz} bz_y={bz_y} xf={x_face}: "
+                  f"{per*1e3:8.2f} ms/step"
                   f"  {cells/per*1e-9:6.2f} Gcu/s", flush=True)
             return
         except Exception as e:  # noqa: BLE001
@@ -270,6 +272,137 @@ def run_vmem_tap_bw():
               f"{nbytes/per_tap/1e12:.2f} TB/s", flush=True)
 
 
+def run_stream_bw():
+    """Pure-DMA roofline for the merged kernel's exact pipeline shape.
+
+    Three kernels over the same (16, 64, NX) block grid as the merged
+    leapfrog, identical index maps, but no stencil:
+      copy1   — one input block, one output (peak streaming through this
+                block pipeline: the machine's ceiling for ANY step kernel
+                with this block shape).
+      step5   — pp + p + c2 + the four y/z halo slabs, out = sum
+                (the merged kernel's 5.25-field HBM traffic with trivial
+                compute). If this lands near the merged 14.7 ms/step, the
+                kernel is DMA-pipeline-bound and the lever is LESS
+                TRAFFIC (K=2 time steps per call); if it is much faster,
+                the cost is in the kernel body (scratch staging).
+      step5s  — step5 plus the whole-block scratch round-trip the real
+                kernel does (stage p into the margined scratch, read it
+                back once): isolates the staging cost.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpufwi.kernels.pallas_util import bspec as bspec_local
+
+    grid = Grid(shape=(ny, nz, nx), h=(25.0,) * 3, pml=pml, order=8)
+    BY, BZ = 16, 64
+    r, H = 4, 8
+    NY = y_extended(grid, BY)
+    NZ = z_extended(grid, BZ)
+    NX = grid.padded_shape[2]
+    nyb, nzb = NY // BY, NZ // BZ
+    dtype = jnp.float32
+    YB8, ZB8 = BY // 8, BZ // 8
+
+    blk = bspec_local((BY, BZ, NX), lambda gz, gy: (gy, gz, 0),
+                      memory_space=pltpu.VMEM)
+    ylo = bspec_local((H, BZ, NX),
+                      lambda gz, gy: (jnp.maximum(gy * YB8 - 1, 0), gz, 0),
+                      memory_space=pltpu.VMEM)
+    yhi = bspec_local(
+        (H, BZ, NX),
+        lambda gz, gy: (jnp.minimum((gy + 1) * YB8, nyb * YB8 - 1), gz, 0),
+        memory_space=pltpu.VMEM)
+    zlo = bspec_local((BY, H, NX),
+                      lambda gz, gy: (gy, jnp.maximum(gz * ZB8 - 1, 0), 0),
+                      memory_space=pltpu.VMEM)
+    zhi = bspec_local(
+        (BY, H, NX),
+        lambda gz, gy: (gy, jnp.minimum((gz + 1) * ZB8, nzb * ZB8 - 1), 0),
+        memory_space=pltpu.VMEM)
+
+    def k_copy1(p_ref, o_ref):
+        o_ref[:] = p_ref[:] + 1.0
+
+    def k_step5(pp_ref, p_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref, c2_ref,
+                o_ref):
+        o_ref[:] = pp_ref[:] + p_ref[:] + c2_ref[:]
+        o_ref[0:H, :, :] = o_ref[0:H, :, :] + ylo_ref[:]
+        o_ref[BY - H : BY, :, :] = o_ref[BY - H : BY, :, :] + yhi_ref[:]
+        o_ref[:, 0:H, :] = o_ref[:, 0:H, :] + zlo_ref[:]
+        o_ref[:, BZ - H : BZ, :] = o_ref[:, BZ - H : BZ, :] + zhi_ref[:]
+
+    def k_step5s(pp_ref, p_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref, c2_ref,
+                 o_ref, scr):
+        scr[r : r + BY, H : H + BZ, 128 : 128 + NX] = p_ref[:]
+        o_ref[:] = (pp_ref[:] + c2_ref[:]
+                    + scr[r : r + BY, H : H + BZ, 128 : 128 + NX])
+        o_ref[0:H, :, :] = o_ref[0:H, :, :] + ylo_ref[:]
+        o_ref[BY - H : BY, :, :] = o_ref[BY - H : BY, :, :] + yhi_ref[:]
+        o_ref[:, 0:H, :] = o_ref[:, 0:H, :] + zlo_ref[:]
+        o_ref[:, BZ - H : BZ, :] = o_ref[:, BZ - H : BZ, :] + zhi_ref[:]
+
+    def make(name):
+        cp = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
+        if name == "copy1":
+            return pl.pallas_call(
+                k_copy1, grid=(nzb, nyb), in_specs=[blk], out_specs=blk,
+                out_shape=jax.ShapeDtypeStruct((NY, NZ, NX), dtype),
+                compiler_params=cp), 2.0
+        specs = [blk, blk, ylo, yhi, zlo, zhi, blk]
+        fields = 5.25 + 1.0  # 5.25 read + 1 write
+        if name == "step5":
+            return pl.pallas_call(
+                k_step5, grid=(nzb, nyb), in_specs=specs, out_specs=blk,
+                out_shape=jax.ShapeDtypeStruct((NY, NZ, NX), dtype),
+                compiler_params=cp), fields
+        return pl.pallas_call(
+            k_step5s, grid=(nzb, nyb), in_specs=specs, out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((NY, NZ, NX), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((BY + 2 * r, BZ + 2 * H, NX + 256), dtype)],
+            compiler_params=cp), fields
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((NY, NZ, NX)).astype(np.float32))
+    for name in ("copy1", "step5", "step5s"):
+        for attempt in range(3):
+            try:
+                call, fields = make(name)
+                if name == "copy1":
+                    def prog(nt, call=call):
+                        @jax.jit
+                        def f(x_):
+                            def body(v, _):
+                                return call(v), None
+                            v, _ = lax.scan(body, x_, None, length=nt)
+                            return jnp.sum(v[0, 0])
+                        return f
+                else:
+                    def prog(nt, call=call):
+                        @jax.jit
+                        def f(x_):
+                            def body(carry, _):
+                                pp, p = carry
+                                o = call(pp, p, p, p, p, p, p)
+                                return (p, o), None
+                            (pp, p), _ = lax.scan(
+                                body, (x_, x_ * 0.5), None, length=nt)
+                            return jnp.sum(p[0, 0])
+                        return f
+                per = slope(prog, x)
+                gb = NY * NZ * NX * 4 * fields / 1e9
+                print(f"stream {name}: {per*1e3:8.2f} ms/step  "
+                      f"{gb/per:6.0f} GB/s effective", flush=True)
+                break
+            except Exception as e:  # noqa: BLE001
+                if "remote_compile: HTTP 500" in repr(e) and attempt < 2:
+                    continue
+                print(f"stream {name}: FAILED {repr(e)[:200]}", flush=True)
+                break
+
+
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {"all"}
     prec = os.environ.get("TPUFWI_3D_MXU_PRECISION", "highest")
@@ -282,4 +415,13 @@ if __name__ == "__main__":
         run_vmem_tap_bw()
     if which & {"full"}:
         run_full(16, 64, bz_y=16)
+    if which & {"xface"}:
+        # x-face CPML implementation A/B (ROADMAP: the 4 banded MXU
+        # products at HIGHEST are the suspected serialized cost)
+        run_merged_only(8, 16, 64, "  (xf=mxu)", x_face="mxu")
+        run_merged_only(8, 16, 64, "  (xf=vpu)", x_face="vpu")
+        run_merged_only(8, 16, 64, "  (xf=off)", x_face="off")
+        run_full(16, 64, bz_y=16, x_face="vpu")
+    if which & {"stream"}:
+        run_stream_bw()
     print("done", flush=True)

@@ -15,7 +15,7 @@ from tpufwi.kernels.acoustic3d_pallas import (
 from tpufwi.kernels.acoustic3d_fused2 import make_acoustic3d_fused_step2
 
 
-def _run_pair(grid, by, bz, nsteps=30):
+def _run_pair(grid, by, bz, nsteps=30, x_face=None):
     c_max, f0 = 3000.0, 10.0
     dt = grid.cfl_dt(c_max, safety=0.6)
     rng = np.random.default_rng(1)
@@ -26,7 +26,8 @@ def _run_pair(grid, by, bz, nsteps=30):
     step_a, zs_a = make_acoustic3d_strip_step(grid, dt, f0, c_max, by=8,
                                               interpret=True)
     step_b, zs_b = make_acoustic3d_fused_step2(
-        grid, dt, f0, c_max, by=by, bz=bz, bz_y=bz, interpret=True
+        grid, dt, f0, c_max, by=by, bz=bz, bz_y=bz, interpret=True,
+        x_face=x_face or "mxu",
     )
     c2a = extend_y(c2, grid, 8)
     c2b = extend_yz(c2, grid, by=by, bz=bz)
@@ -61,6 +62,16 @@ def test_fused2_matches_xla_strip_step_by16():
     pa, pb = _run_pair(grid, by=16, bz=32)
     err = np.abs(pa - pb).max() / np.abs(pa).max()
     assert err < 1e-6, f"fused2 vs XLA-strip 3D step: {err:.3e}"
+
+
+def test_fused2_vpu_x_face_matches_xla_strip_step():
+    """x_face="vpu" (shift-sum lane algebra instead of banded MXU
+    products) is numerically the same step: the shift-sums ARE the band
+    matrices' rows, zero-extension encoded by the scratch margins."""
+    grid = Grid(shape=(24, 30, 40), h=(10.0, 10.0, 10.0), pml=8, order=8)
+    pa, pb = _run_pair(grid, by=8, bz=16, x_face="vpu")
+    err = np.abs(pa - pb).max() / np.abs(pa).max()
+    assert err < 1e-6, f"fused2(vpu x-face) vs XLA-strip 3D step: {err:.3e}"
 
 
 def test_fused2_matches_xla_strip_step_by24():

@@ -277,7 +277,8 @@ def z_window(grid: Grid, side: int):
 def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                            interpret: bool = False,
                            dimension_semantics=None,
-                           vmem_limit_mb: int = 120):
+                           vmem_limit_mb: int = 120,
+                           x_face: str = "mxu"):
     """Merged kernel: blocked leapfrog + in-block x-face CPML + whole-block
     application of the y/z face update slabs.
 
@@ -296,6 +297,16 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
     jnp engine's _pin_surface); the z-lo CPML is disabled upstream by the
     profile builder (free_lo => a = b = 0, so the z-lo corr slab is a
     structural no-op).
+
+    ``x_face`` selects the x-face CPML implementation:
+      * "mxu"  — banded MXU lane products at precision=HIGHEST (v2 default;
+        6-pass fp32 emulation on tiny badly-tiled matrices).
+      * "vpu"  — the same algebra as shift-sums over static lane offsets
+        (exp_3d_lap measured effective VMEM read BW at 7.5 TB/s with taps
+        nearly free, so 9 shifted S-lane reads per derivative should beat
+        4 small serialized MXU products per block).
+      * "off"  — skip the x faces entirely (attribution probe only; the
+        phi/psi x-state passes through unchanged).
     """
     if grid.ndim != 3:
         raise ValueError("3D kernel needs a 3D grid")
@@ -352,12 +363,16 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
             sites.append((jb, lo - jb * BZ, hi - jb * BZ, lo - o, hi - o))
         zapply[s] = (o, WZP, sites)
 
+    if x_face not in ("mxu", "vpu", "off"):
+        raise ValueError(f"unknown x_face mode {x_face!r}")
+
     def kernel(pp_ref, p_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref, c2_ref,
                phxl_ref, psxl_ref, phxh_ref, psxh_ref,
                axl_ref, bxl_ref, axh_ref, bxh_ref,
                kx12_ref, kcxl_ref, kcxh_ref,
                uyl_ref, uyh_ref, uzl_ref, uzh_ref,
-               out_ref, phxl_o, psxl_o, phxh_o, psxh_o, scr_ref):
+               out_ref, phxl_o, psxl_o, phxh_o, psxh_o, scr_ref,
+               *xscr):
         gz = pl.program_id(0)
         gy = pl.program_id(1)  # fastest
         zcol = jnp.zeros((BY + 2 * r, BZ + 2 * H, r), dtype)
@@ -409,30 +424,67 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
             lap = lap + c * scr_ref[r : r + BY, H : H + BZ, x0 : x0 + NX]
         out_ref[:] = 2.0 * p_ref[:] - pp_ref[:] + c2_ref[:] * lap
 
-        # ---- x faces, in-block (banded lane products on the window) ----
+        # ---- x faces, in-block ----
         for side, phir, psir, pho, pso, ar, br, kcr in (
             (0, phxl_ref, psxl_ref, phxl_o, psxl_o, axl_ref, bxl_ref,
              kcxl_ref),
             (1, phxh_ref, psxh_ref, phxh_o, psxh_o, axh_ref, bxh_ref,
              kcxh_ref),
         ):
+            if x_face == "off":
+                pho[:] = phir[:]
+                pso[:] = psir[:]
+                continue
             C0x = 0 if side == 0 else NX - S
             E0x = 0 if side == 0 else NX - S - r
             w0 = PX + C0x - r
-            slab = scr_ref[r : r + BY, H : H + BZ, w0 : w0 + S + 2 * r]
-            d12 = jax.lax.dot_general(
-                slab, kx12_ref[:], (((2,), (1,)), ((), ())),
-                preferred_element_type=dtype, precision=HIGHEST,
-            )  # (BY, BZ, 2S)
-            d1p, d2p = d12[..., :S], d12[..., S:]
+            if x_face == "mxu":
+                # banded MXU lane products on the (S+2r)-lane window
+                slab = scr_ref[r : r + BY, H : H + BZ, w0 : w0 + S + 2 * r]
+                d12 = jax.lax.dot_general(
+                    slab, kx12_ref[:], (((2,), (1,)), ((), ())),
+                    preferred_element_type=dtype, precision=HIGHEST,
+                )  # (BY, BZ, 2S)
+                d1p, d2p = d12[..., :S], d12[..., S:]
+            else:
+                # VPU shift-sums: 2r+1 shifted S-lane reads per derivative
+                # (static lane offsets; the window's outer r lanes are the
+                # scratch's zero x-margin — same zero-extension semantics
+                # as the band matrices)
+                d1p = d2p = None
+                for k in range(len(d1x)):
+                    sl = scr_ref[r : r + BY, H : H + BZ, w0 + k : w0 + k + S]
+                    if d1x[k] != 0.0:
+                        t = d1x[k] * sl
+                        d1p = t if d1p is None else d1p + t
+                    if d2x1[k] != 0.0:
+                        t2 = d2x1[k] * sl
+                        d2p = t2 if d2p is None else d2p + t2
             a = ar[0]  # (1, S)
             b = br[0]
             ph = b * phir[:] + a * d1p
             pho[:] = ph
-            corr = jax.lax.dot_general(
-                ph, kcr[:], (((2,), (0,)), ((), ())),
-                preferred_element_type=dtype, precision=HIGHEST,
-            )  # (BY, BZ, S+r)
+            if x_face == "mxu":
+                corr = jax.lax.dot_general(
+                    ph, kcr[:], (((2,), (0,)), ((), ())),
+                    preferred_element_type=dtype, precision=HIGHEST,
+                )  # (BY, BZ, S+r)
+            else:
+                # corr[i] = sum_k d1[k] * ph_ext[E0x + i + k - r]: write ph
+                # into a zero-margined lane scratch and shift-sum
+                xs = xscr[0]
+                off = (C0x - E0x) + r
+                xs[:, :, 0:off] = jnp.zeros((BY, BZ, off), dtype)
+                xs[:, :, off : off + S] = ph
+                xs[:, :, off + S :] = jnp.zeros(
+                    (BY, BZ, S + 3 * r - off - S), dtype
+                )
+                corr = None
+                for k in range(len(d1x)):
+                    if d1x[k] == 0.0:
+                        continue
+                    t = d1x[k] * xs[:, :, k : k + S + r]
+                    corr = t if corr is None else corr + t
             v = d2p + corr[..., C0x - E0x : C0x - E0x + S]
             ps = b * psir[:] + a * v
             pso[:] = ps
@@ -549,7 +601,8 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
         out_specs=(blk, blkS, blkS, blkS, blkS),
         scratch_shapes=[
             pltpu.VMEM((BY + 2 * r, BZ + 2 * H, NX + 2 * PX), dtype)
-        ],
+        ] + ([pltpu.VMEM((BY, BZ, S + 3 * r), dtype)]
+             if x_face == "vpu" else []),
         input_output_aliases={0: 0, 7: 1, 8: 2, 9: 3, 10: 4},
         compiler_params=None
         if interpret
@@ -575,7 +628,8 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
                                 c_max: float, by: int = 16, bz: int = 64,
                                 bz_y: int = 16, interpret: bool = False,
                                 dimension_semantics=None,
-                                vmem_limit_mb: int = 120):
+                                vmem_limit_mb: int = 120,
+                                x_face: str | None = None):
     """Production fused 3D step v2 (see module docstring): 4 corr slab
     kernels + 1 merged kernel, no dynamic_update_slice.
 
@@ -596,10 +650,12 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
     NZe = z_extended(grid, bz)
     dtype = jnp.float32
 
+    if x_face is None:
+        x_face = _os.environ.get("TPUFWI_3D_XFACE", "mxu").lower()
     merged = make_leapfrog3d_merged(
         grid, by=by, bz=bz, interpret=interpret,
         dimension_semantics=dimension_semantics,
-        vmem_limit_mb=vmem_limit_mb,
+        vmem_limit_mb=vmem_limit_mb, x_face=x_face,
     )
     corr_y = {s: make_corr3d_y(grid, s, bz_y, NZe, by, interpret)
               for s in (0, 1)}
