@@ -274,11 +274,52 @@ def z_window(grid: Grid, side: int):
     return o, WZP
 
 
+def can_fold_z(grid: Grid, bz: int) -> bool:
+    """True when both z faces fit inside single z-blocks so the merged
+    kernel can compute their CPML correction in-block (fold_z):
+      * z-lo: correction rows [0, S+r) inside block 0, taps within the
+        H-halo,
+      * z-hi: the W-row window [NZ-W, NZ) inside the LAST z block
+        (base >= 0) with its correction rows within the block.
+    Production (bz=64, pml=20, order 8) satisfies this; tiny test grids
+    with bz=16 do not and fall back to the corr-slab kernels."""
+    r = grid.radius
+    S = grid.pml + r
+    W = S + 2 * r
+    NZ = grid.padded_shape[1]
+    NZe = z_extended(grid, bz)
+    nzb = NZe // bz
+    H = 8
+    base_hi = NZ - W - (nzb - 1) * bz
+    return (
+        bz >= S + r
+        and S + 2 * r <= bz + H
+        and 0 <= base_hi
+        and base_hi + W <= bz
+        and nzb >= 2
+    )
+
+
+def can_fold_y(grid: Grid, by: int) -> bool:
+    """True when the merged kernel can compute the y-face CPML in-block
+    (fold_y): the lo and hi face block spans must be disjoint (they share
+    staging scratch), and the p reach of recomputed neighbour phi rows
+    (2r) must fit the widened scratch halo (H = 8 rows)."""
+    r = grid.radius
+    S = grid.pml + r
+    NY = grid.padded_shape[0]
+    lo_last = (S + r - 1) // by
+    hi_first = (NY - S - r) // by
+    return 2 * r <= 8 and lo_last < hi_first
+
+
 def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                            interpret: bool = False,
                            dimension_semantics=None,
                            vmem_limit_mb: int = 120,
-                           x_face: str = "mxu"):
+                           x_face: str = "mxu",
+                           fold_z: bool = False,
+                           fold_y: bool = False):
     """Merged kernel: blocked leapfrog + in-block x-face CPML + whole-block
     application of the y/z face update slabs.
 
@@ -307,9 +348,26 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
         4 small serialized MXU products per block).
       * "off"  — skip the x faces entirely (attribution probe only; the
         phi/psi x-state passes through unchanged).
+
+    ``fold_z`` computes BOTH z-face CPML corrections in-block too (the
+    z-face window lives inside a single z-block at production shapes —
+    see can_fold_z), taking the per-side phi/psi (NYe, S, NX) state as
+    additional aliased in/outs with sticky index maps (fetched only on
+    the face z-row of blocks). This removes the two corr_z slab kernels,
+    their four XLA slab slices and the uz update-slab streams — measured
+    at ~10x their HBM traffic bound in per-call pipeline overhead
+    (runs/tpu_queue4). The merged signature then takes
+    (..., uyl, uyh, phzl, pszl, phzh, pszh, azl, bzl, azh, bzh) and
+    returns 4 extra state outputs.
     """
     if grid.ndim != 3:
         raise ValueError("3D kernel needs a 3D grid")
+    if fold_z and not can_fold_z(grid, bz):
+        raise ValueError("fold_z requires the z faces inside single "
+                         "z-blocks (see can_fold_z)")
+    if fold_y and not can_fold_y(grid, by):
+        raise ValueError("fold_y requires disjoint y-face block spans "
+                         "(see can_fold_y)")
     if bz % 8 != 0 or by % 8 != 0:
         raise ValueError("by and bz must be multiples of 8")
     NYe = y_extended(grid, by)
@@ -325,9 +383,49 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
     d2z = tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order])
     d2x = tuple(float(c) / grid.h[2] ** 2 for c in D2_COEFFS[grid.order])
     d1x, d2x1 = _taps_axis(grid, 2)
+    d1zf, d2zf = _taps_axis(grid, 1)  # z-face CPML taps (fold_z)
+    d1yf, d2yf = _taps_axis(grid, 0)  # y-face CPML taps (fold_y)
     PX = 128
     H = 8
     dtype = jnp.float32
+    # z-face geometry (fold_z): window [face0, face0+W) sits inside block
+    # jb at in-block row offset `base`
+    zface = {}
+    for s in (0, 1):
+        face0 = 0 if s == 0 else NZ - W
+        jb = 0 if s == 0 else nzb - 1
+        zface[s] = (jb, face0 - jb * BZ)
+    # y-face geometry (fold_y): per side, the static per-block row
+    # assignment. phi/psi live on global rows [p0, p0+S); the corr
+    # output covers [c0, c0+S+r). Each spanning block computes phi' for
+    # the rows its OWN corr/psi rows reach (recomputing up to r neighbour
+    # rows locally from the p halo instead of a cross-block dependency),
+    # writes its own phi/psi rows to the side's slab scratch, and adds
+    # its own corr/psi terms to out. Every row range below is static.
+    yfold = {}
+    for s in (0, 1):
+        p0 = 0 if s == 0 else NY - S
+        c0 = 0 if s == 0 else NY - S - r
+        g0b = min(p0, c0) // BY
+        g1b = (max(p0 + S, c0 + S + r) - 1) // BY
+        sites = []
+        for g in range(g0b, g1b + 1):
+            b0, b1 = g * BY, g * BY + BY
+            oa, ob = max(p0, b0) - p0, min(p0 + S, b1) - p0  # phi/psi own
+            ca, cb = max(c0, b0) - c0, min(c0 + S + r, b1) - c0  # corr own
+            ca, cb = max(ca, 0), max(cb, 0)
+            oa, ob = max(oa, 0), max(ob, 0)
+            # corr rows this block evaluates: its out rows + its psi rows
+            ea = min(ca, (p0 + oa) - c0) if ob > oa else ca
+            eb = max(cb, (p0 + ob) - c0) if ob > oa else cb
+            # phi rows needed for those corr rows (clipped to [0, S))
+            na = max(0, (c0 + ea) - r - p0)
+            nb = min(S, (c0 + eb - 1) + r + 1 - p0)
+            if eb <= ea and ob <= oa:
+                continue
+            sites.append(dict(g=g, p0=p0, c0=c0, oa=oa, ob=ob, ca=ca,
+                              cb=cb, ea=ea, eb=eb, na=na, nb=nb))
+        yfold[s] = (g0b, g1b, sites)
 
     # x-face banded matrices on the (S+2r)-lane window (strip +- r; the
     # window's outer r lanes are the scratch's zero x-margin = physical
@@ -366,62 +464,99 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
     if x_face not in ("mxu", "vpu", "off"):
         raise ValueError(f"unknown x_face mode {x_face!r}")
 
-    def kernel(pp_ref, p_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref, c2_ref,
-               phxl_ref, psxl_ref, phxh_ref, psxh_ref,
-               axl_ref, bxl_ref, axh_ref, bxh_ref,
-               kx12_ref, kcxl_ref, kcxh_ref,
-               uyl_ref, uyh_ref, uzl_ref, uzh_ref,
-               out_ref, phxl_o, psxl_o, phxh_o, psxh_o, scr_ref,
-               *xscr):
+    YOFF = 2 * r if fold_y else r  # scratch y-halo width
+
+    def kernel(*refs):
+        (pp_ref, p_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref, c2_ref,
+         phxl_ref, psxl_ref, phxh_ref, psxh_ref,
+         axl_ref, bxl_ref, axh_ref, bxh_ref,
+         kx12_ref, kcxl_ref, kcxh_ref) = refs[:18]
+        i = 18
+        if fold_y:
+            (phyl_ref, psyl_ref, phyh_ref, psyh_ref,
+             ayl_ref, byl_ref, ayh_ref, byh_ref) = refs[i : i + 8]
+            i += 8
+        else:
+            uyl_ref, uyh_ref = refs[i : i + 2]
+            i += 2
+        if fold_z:
+            (phzl_ref, pszl_ref, phzh_ref, pszh_ref,
+             azl_ref, bzl_ref, azh_ref, bzh_ref) = refs[i : i + 8]
+            i += 8
+        else:
+            uzl_ref, uzh_ref = refs[i : i + 2]
+            i += 2
+        out_ref, phxl_o, psxl_o, phxh_o, psxh_o = refs[i : i + 5]
+        i += 5
+        if fold_z:
+            phzl_o, pszl_o, phzh_o, pszh_o = refs[i : i + 4]
+            i += 4
+        if fold_y:
+            phyl_o, psyl_o, phyh_o, psyh_o = refs[i : i + 4]
+            i += 4
+        scr_ref = refs[i]
+        i += 1
+        if fold_z:
+            zscr_ref, zphi_s, zpsi_s, zsem = refs[i : i + 4]
+            i += 4
+        if fold_y:
+            (yscr_ref, yphi_in_s, yphi_out_s, ypsi_s, ysem) = refs[i : i + 5]
+            i += 5
+        xscr = refs[i:]
         gz = pl.program_id(0)
         gy = pl.program_id(1)  # fastest
-        zcol = jnp.zeros((BY + 2 * r, BZ + 2 * H, r), dtype)
+        zcol = jnp.zeros((BY + 2 * YOFF, BZ + 2 * H, r), dtype)
         scr_ref[:, :, PX - r : PX] = zcol
         scr_ref[:, :, PX + NX : PX + NX + r] = zcol
-        scr_ref[r : r + BY, H : H + BZ, PX : PX + NX] = p_ref[:]
+        scr_ref[YOFF : YOFF + BY, H : H + BZ, PX : PX + NX] = p_ref[:]
 
-        zy = jnp.zeros((r, BZ, NX), dtype)
-        scr_ref[0:r, H : H + BZ, PX : PX + NX] = zy
-        scr_ref[r + BY : 2 * r + BY, H : H + BZ, PX : PX + NX] = zy
+        zy = jnp.zeros((YOFF, BZ, NX), dtype)
+        scr_ref[0:YOFF, H : H + BZ, PX : PX + NX] = zy
+        scr_ref[YOFF + BY : 2 * YOFF + BY, H : H + BZ, PX : PX + NX] = zy
 
         @pl.when(gy > 0)
         def _():
-            scr_ref[0:r, H : H + BZ, PX : PX + NX] = ylo_ref[H - r : H]
+            scr_ref[0:YOFF, H : H + BZ, PX : PX + NX] = ylo_ref[H - YOFF : H]
 
         @pl.when(gy < nyb - 1)
         def _():
-            scr_ref[r + BY : 2 * r + BY, H : H + BZ, PX : PX + NX] = (
-                yhi_ref[0:r]
+            scr_ref[YOFF + BY : 2 * YOFF + BY, H : H + BZ, PX : PX + NX] = (
+                yhi_ref[0:YOFF]
             )
 
         zz = jnp.zeros((BY, H, NX), dtype)
-        scr_ref[r : r + BY, 0:H, PX : PX + NX] = zz
-        scr_ref[r : r + BY, H + BZ : H + BZ + H, PX : PX + NX] = zz
+        scr_ref[YOFF : YOFF + BY, 0:H, PX : PX + NX] = zz
+        scr_ref[YOFF : YOFF + BY, H + BZ : H + BZ + H, PX : PX + NX] = zz
 
         @pl.when(gz > 0)
         def _():
-            scr_ref[r : r + BY, 0:H, PX : PX + NX] = zlo_ref[:]
+            scr_ref[YOFF : YOFF + BY, 0:H, PX : PX + NX] = zlo_ref[:]
 
         @pl.when(gz < nzb - 1)
         def _():
-            scr_ref[r : r + BY, H + BZ : H + BZ + H, PX : PX + NX] = zhi_ref[:]
+            scr_ref[YOFF : YOFF + BY, H + BZ : H + BZ + H, PX : PX + NX] = (
+                zhi_ref[:]
+            )
 
         lap = None
         for k, c in enumerate(d2y):
             if c == 0.0:
                 continue
-            t = c * scr_ref[k : k + BY, H : H + BZ, PX : PX + NX]
+            y0 = YOFF - r + k
+            t = c * scr_ref[y0 : y0 + BY, H : H + BZ, PX : PX + NX]
             lap = t if lap is None else lap + t
         for k, c in enumerate(d2z):
             if c == 0.0:
                 continue
             z0 = H + k - r
-            lap = lap + c * scr_ref[r : r + BY, z0 : z0 + BZ, PX : PX + NX]
+            lap = lap + c * scr_ref[YOFF : YOFF + BY, z0 : z0 + BZ,
+                                    PX : PX + NX]
         for k, c in enumerate(d2x):
             if c == 0.0:
                 continue
             x0 = PX + k - r
-            lap = lap + c * scr_ref[r : r + BY, H : H + BZ, x0 : x0 + NX]
+            lap = lap + c * scr_ref[YOFF : YOFF + BY, H : H + BZ,
+                                    x0 : x0 + NX]
         out_ref[:] = 2.0 * p_ref[:] - pp_ref[:] + c2_ref[:] * lap
 
         # ---- x faces, in-block ----
@@ -440,7 +575,7 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
             w0 = PX + C0x - r
             if x_face == "mxu":
                 # banded MXU lane products on the (S+2r)-lane window
-                slab = scr_ref[r : r + BY, H : H + BZ, w0 : w0 + S + 2 * r]
+                slab = scr_ref[YOFF : YOFF + BY, H : H + BZ, w0 : w0 + S + 2 * r]
                 d12 = jax.lax.dot_general(
                     slab, kx12_ref[:], (((2,), (1,)), ((), ())),
                     preferred_element_type=dtype, precision=HIGHEST,
@@ -453,7 +588,7 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                 # as the band matrices)
                 d1p = d2p = None
                 for k in range(len(d1x)):
-                    sl = scr_ref[r : r + BY, H : H + BZ, w0 + k : w0 + k + S]
+                    sl = scr_ref[YOFF : YOFF + BY, H : H + BZ, w0 + k : w0 + k + S]
                     if d1x[k] != 0.0:
                         t = d1x[k] * sl
                         d1p = t if d1p is None else d1p + t
@@ -497,26 +632,220 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                 + c2_ref[:, :, C0x : C0x + S] * ps
             )
 
-        # ---- y-face slab application (whole-block adds) ----
-        yl0, yl1, _ = yspan[0]
-        yh0, yh1, _ = yspan[1]
+        if fold_y:
+            # ---- y faces, in-block (fold_y). Same algebra as
+            # make_corr3d_y, decomposed over the spanning blocks: each
+            # block recomputes up to r neighbour phi' rows locally from
+            # the widened (2r) p halo, so there is no cross-block data
+            # dependency. The (S, NZe, NX) phi/psi state lives in HBM
+            # (ANY space); its per-gz (S, BZ, NX) slab is staged through
+            # VMEM scratch by explicit blocking DMAs at the first/last
+            # spanning block of each gz row. phi reads come from the
+            # staged IN slab, phi'/psi' writes go to separate OUT slabs
+            # (psi has no cross-block reads but shares the out-DMA
+            # pattern), so a later block never sees an updated row.
+            for side, sides_refs in ((0, (phyl_ref, psyl_ref, phyl_o,
+                                          psyl_o, ayl_ref, byl_ref)),
+                                     (1, (phyh_ref, psyh_ref, phyh_o,
+                                          psyh_o, ayh_ref, byh_ref))):
+                phi_hbm, psi_hbm, phi_hbm_o, psi_hbm_o, ar, br = sides_refs
+                g0b, g1b, sites = yfold[side]
 
-        @pl.when(gy <= yl1)
-        def _():
-            out_ref[:] = out_ref[:] + uyl_ref[:]
+                for site in sites:
+                    g = site["g"]
+                    p0, c0 = site["p0"], site["c0"]
+                    oa, ob = site["oa"], site["ob"]
+                    ca, cb = site["ca"], site["cb"]
+                    ea, eb = site["ea"], site["eb"]
+                    na, nb = site["na"], site["nb"]
+                    b0 = g * BY
 
-        @pl.when((gy >= yh0) & (gy <= yh1))
-        def _():
-            out_ref[:] = out_ref[:] + uyh_ref[:]
+                    @pl.when(gy == g)
+                    def _(g=g, p0=p0, c0=c0, oa=oa, ob=ob, ca=ca, cb=cb,
+                          ea=ea, eb=eb, na=na, nb=nb, b0=b0, ar=ar, br=br,
+                          phi_hbm=phi_hbm, psi_hbm=psi_hbm,
+                          phi_hbm_o=phi_hbm_o, psi_hbm_o=psi_hbm_o,
+                          g0b=g0b, g1b=g1b):
+                        if g == g0b:
+                            cp = pltpu.make_async_copy(
+                                phi_hbm.at[:, pl.ds(gz * BZ, BZ), :],
+                                yphi_in_s, ysem.at[0])
+                            cq = pltpu.make_async_copy(
+                                psi_hbm.at[:, pl.ds(gz * BZ, BZ), :],
+                                ypsi_s, ysem.at[1])
+                            cp.start()
+                            cq.start()
+                            cp.wait()
+                            cq.wait()
+                        # phi' on rows [na, nb) (rel p0); p taps via the
+                        # widened scratch halo
+                        yb = (p0 + na) - b0 + YOFF  # scr row of phi row na
+                        nn = nb - na
+                        d1p = d2p = None
+                        for k in range(len(d1yf)):
+                            y0k = yb - r + k
+                            sl = scr_ref[y0k : y0k + nn, H : H + BZ,
+                                         PX : PX + NX]
+                            if d1yf[k] != 0.0:
+                                t = d1yf[k] * sl
+                                d1p = t if d1p is None else d1p + t
+                            if d2yf[k] != 0.0:
+                                t2 = d2yf[k] * sl
+                                d2p = t2 if d2p is None else d2p + t2
+                        a_sl = ar[na:nb]
+                        b_sl = br[na:nb]
+                        ph = b_sl * yphi_in_s[na:nb] + a_sl * d1p
+                        if ob > oa:
+                            yphi_out_s[oa:ob] = ph[oa - na : ob - na]
+                        # corr rows [ea, eb) via the zero-margined yscr:
+                        # phi row j sits at yscr row j + r - (c0 - p0),
+                        # so corr(m) = sum_k d1[k] * yscr[m + k]
+                        off = r - (c0 - p0)
+                        yscr_ref[:] = jnp.zeros((S + 3 * r, BZ, NX), dtype)
+                        yscr_ref[off + na : off + nb] = ph
+                        ne = eb - ea
+                        corr = None
+                        for k in range(len(d1yf)):
+                            if d1yf[k] == 0.0:
+                                continue
+                            t = d1yf[k] * yscr_ref[ea + k : ea + k + ne]
+                            corr = t if corr is None else corr + t
+                        if ob > oa:
+                            # psi' on own rows; corr at psi row j is
+                            # corr[(p0 - c0) + j - ea]
+                            va = (p0 - c0) + oa - ea
+                            v = (d2p[oa - na : ob - na]
+                                 + corr[va : va + (ob - oa)])
+                            ps = (b_sl[oa - na : ob - na]
+                                  * ypsi_s[oa:ob]
+                                  + a_sl[oa - na : ob - na] * v)
+                            ypsi_s[oa:ob] = ps
+                            j0 = (p0 + oa) - b0
+                            out_ref[j0 : j0 + (ob - oa)] = (
+                                out_ref[j0 : j0 + (ob - oa)]
+                                + c2_ref[j0 : j0 + (ob - oa)] * ps
+                            )
+                        if cb > ca:
+                            m0 = (c0 + ca) - b0
+                            out_ref[m0 : m0 + (cb - ca)] = (
+                                out_ref[m0 : m0 + (cb - ca)]
+                                + c2_ref[m0 : m0 + (cb - ca)]
+                                * corr[ca - ea : cb - ea]
+                            )
+                        if g == g1b:
+                            cp = pltpu.make_async_copy(
+                                yphi_out_s,
+                                phi_hbm_o.at[:, pl.ds(gz * BZ, BZ), :],
+                                ysem.at[0])
+                            cq = pltpu.make_async_copy(
+                                ypsi_s,
+                                psi_hbm_o.at[:, pl.ds(gz * BZ, BZ), :],
+                                ysem.at[1])
+                            cp.start()
+                            cq.start()
+                            cp.wait()
+                            cq.wait()
+        else:
+            # ---- y-face slab application (whole-block adds) ----
+            yl0, yl1, _ = yspan[0]
+            yh0, yh1, _ = yspan[1]
 
-        # ---- z-face slab application (static sub-ranges per site) ----
-        for s, uref in ((0, uzl_ref), (1, uzh_ref)):
-            for jb, blo, bhi, wlo, whi in zapply[s][2]:
+            @pl.when(gy <= yl1)
+            def _():
+                out_ref[:] = out_ref[:] + uyl_ref[:]
+
+            @pl.when((gy >= yh0) & (gy <= yh1))
+            def _():
+                out_ref[:] = out_ref[:] + uyh_ref[:]
+
+        if fold_z:
+            # ---- z faces, in-block (fold_z; same algebra as
+            # make_corr3d_z). The (NYe, S, NX) phi/psi state lives in HBM
+            # (ANY space); each face block stages its (BY, S, NX) slab
+            # through VMEM scratch with explicit blocking DMAs (no
+            # pipeline buffers — a 16-buffer sticky-map variant crashed
+            # the AOT compile helper). z faces have no cross-block phi
+            # reads, so the staging is in-place per slab. ----
+            for side, phir, psir, pho, pso, ar, br in (
+                (0, phzl_ref, pszl_ref, phzl_o, pszl_o, azl_ref, bzl_ref),
+                (1, phzh_ref, pszh_ref, phzh_o, pszh_o, azh_ref, bzh_ref),
+            ):
+                jb, base = zface[side]
+                C0 = 0 if side == 0 else W - S
+                E0 = 0 if side == 0 else r
+
                 @pl.when(gz == jb)
-                def _(uref=uref, blo=blo, bhi=bhi, wlo=wlo, whi=whi):
-                    out_ref[:, blo:bhi, :] = (
-                        out_ref[:, blo:bhi, :] + uref[:, wlo:whi, :]
+                def _(side=side, phir=phir, psir=psir, pho=pho, pso=pso,
+                      ar=ar, br=br, base=base, C0=C0, E0=E0):
+                    cp = pltpu.make_async_copy(
+                        phir.at[pl.ds(gy * BY, BY), :, :], zphi_s,
+                        zsem.at[0])
+                    cq = pltpu.make_async_copy(
+                        psir.at[pl.ds(gy * BY, BY), :, :], zpsi_s,
+                        zsem.at[1])
+                    cp.start()
+                    cq.start()
+                    cp.wait()
+                    cq.wait()
+                    a = ar[0]  # (S, 1): broadcasts over (BY, S, NX)
+                    b = br[0]
+                    d1p = d2p = None
+                    for k in range(len(d1zf)):
+                        z0 = H + base + C0 - r + k
+                        sl = scr_ref[YOFF : YOFF + BY, z0 : z0 + S, PX : PX + NX]
+                        if d1zf[k] != 0.0:
+                            t = d1zf[k] * sl
+                            d1p = t if d1p is None else d1p + t
+                        if d2zf[k] != 0.0:
+                            t2 = d2zf[k] * sl
+                            d2p = t2 if d2p is None else d2p + t2
+                    ph = b * zphi_s[:] + a * d1p
+                    zphi_s[:] = ph
+                    # corr[i] = sum_k d1[k] * ph_ext[E0+i+k-r-C0] over a
+                    # zero-margined z scratch (ph at rows [C0+r, C0+r+S))
+                    zscr_ref[:, 0 : C0 + r, :] = jnp.zeros(
+                        (BY, C0 + r, NX), dtype)
+                    zscr_ref[:, C0 + r : C0 + r + S, :] = ph
+                    zscr_ref[:, C0 + r + S :, :] = jnp.zeros(
+                        (BY, W + 2 * r - C0 - r - S, NX), dtype)
+                    corr = None
+                    for k in range(len(d1zf)):
+                        if d1zf[k] == 0.0:
+                            continue
+                        t = d1zf[k] * zscr_ref[:, E0 + k : E0 + k + S + r, :]
+                        corr = t if corr is None else corr + t
+                    v = d2p + corr[:, C0 - E0 : C0 - E0 + S, :]
+                    ps = b * zpsi_s[:] + a * v
+                    zpsi_s[:] = ps
+                    o0 = base + E0
+                    out_ref[:, o0 : o0 + S + r, :] = (
+                        out_ref[:, o0 : o0 + S + r, :]
+                        + c2_ref[:, o0 : o0 + S + r, :] * corr
                     )
+                    o1 = base + C0
+                    out_ref[:, o1 : o1 + S, :] = (
+                        out_ref[:, o1 : o1 + S, :]
+                        + c2_ref[:, o1 : o1 + S, :] * ps
+                    )
+                    co = pltpu.make_async_copy(
+                        zphi_s, pho.at[pl.ds(gy * BY, BY), :, :],
+                        zsem.at[0])
+                    cr = pltpu.make_async_copy(
+                        zpsi_s, pso.at[pl.ds(gy * BY, BY), :, :],
+                        zsem.at[1])
+                    co.start()
+                    cr.start()
+                    co.wait()
+                    cr.wait()
+        else:
+            # ---- z-face slab application (static sub-ranges per site) ----
+            for s, uref in ((0, uzl_ref), (1, uzh_ref)):
+                for jb, blo, bhi, wlo, whi in zapply[s][2]:
+                    @pl.when(gz == jb)
+                    def _(uref=uref, blo=blo, bhi=bhi, wlo=wlo, whi=whi):
+                        out_ref[:, blo:bhi, :] = (
+                            out_ref[:, blo:bhi, :] + uref[:, wlo:whi, :]
+                        )
 
         # ---- pressure-release surface pin (after every update) ----
         if grid.free_surface:
@@ -580,30 +909,71 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
 
         return bspec((BY, WZP, NX), idx, memory_space=pltpu.VMEM)
 
-    uzl_spec = _uz_spec(0)
-    uzh_spec = _uz_spec(1)
+    out_shape = [
+        jax.ShapeDtypeStruct((NYe, NZe, NX), dtype),
+        jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
+        jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
+        jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
+        jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
+    ]
+    in_specs = [blk, blk, ylo, yhi, zlo, zhi, blk,
+                blkS, blkS, blkS, blkS,
+                vspec, vspec, vspec, vspec,
+                vspec, vspec, vspec]
+    out_specs = [blk, blkS, blkS, blkS, blkS]
+    aliases = {0: 0, 7: 1, 8: 2, 9: 3, 10: 4}
+    scratch = [pltpu.VMEM((BY + 2 * YOFF, BZ + 2 * H, NX + 2 * PX), dtype)]
+    n_out = 5
+    if fold_y:
+        # (S, NZe, NX) state stays in HBM (ANY space); the kernel stages
+        # per-gz slabs via explicit DMAs
+        anyspec = bspec(memory_space=pl.ANY)
+        in_specs += [anyspec] * 4 + [vspec] * 4
+        iy = len(in_specs) - 8  # first y-state input index
+    else:
+        in_specs += [uyl, uyh]
+    if fold_z:
+        # (NYe, S, NX) state stays in HBM (ANY space); the kernel stages
+        # per-block (BY, S, NX) slabs via explicit DMAs
+        anyspec = bspec(memory_space=pl.ANY)
+        iz = len(in_specs)
+        in_specs += [anyspec] * 4 + [vspec] * 4
+        out_specs += [anyspec] * 4
+        out_shape += [jax.ShapeDtypeStruct((NYe, S, NX), dtype)] * 4
+        aliases.update({iz + k: n_out + k for k in range(4)})
+        n_out += 4
+        scratch += [
+            pltpu.VMEM((BY, W + 2 * r, NX), dtype),  # zscr (corr margin)
+            pltpu.VMEM((BY, S, NX), dtype),          # staged phi (in place)
+            pltpu.VMEM((BY, S, NX), dtype),          # staged psi (in place)
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        in_specs += [_uz_spec(0), _uz_spec(1)]
+    if fold_y:
+        anyspec = bspec(memory_space=pl.ANY)
+        out_specs += [anyspec] * 4
+        out_shape += [jax.ShapeDtypeStruct((S, NZe, NX), dtype)] * 4
+        aliases.update({iy + k: n_out + k for k in range(4)})
+        n_out += 4
+        scratch += [
+            pltpu.VMEM((S + 3 * r, BZ, NX), dtype),  # yscr (corr margin)
+            pltpu.VMEM((S, BZ, NX), dtype),          # staged phi in
+            pltpu.VMEM((S, BZ, NX), dtype),          # staged phi out
+            pltpu.VMEM((S, BZ, NX), dtype),          # staged psi (in place)
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    if x_face == "vpu":
+        scratch.append(pltpu.VMEM((BY, BZ, S + 3 * r), dtype))
 
     call = pl.pallas_call(
         kernel,
         grid=(nzb, nyb),
-        out_shape=(
-            jax.ShapeDtypeStruct((NYe, NZe, NX), dtype),
-            jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
-            jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
-            jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
-            jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
-        ),
-        in_specs=[blk, blk, ylo, yhi, zlo, zhi, blk,
-                  blkS, blkS, blkS, blkS,
-                  vspec, vspec, vspec, vspec,
-                  vspec, vspec, vspec,
-                  uyl, uyh, uzl_spec, uzh_spec],
-        out_specs=(blk, blkS, blkS, blkS, blkS),
-        scratch_shapes=[
-            pltpu.VMEM((BY + 2 * r, BZ + 2 * H, NX + 2 * PX), dtype)
-        ] + ([pltpu.VMEM((BY, BZ, S + 3 * r), dtype)]
-             if x_face == "vpu" else []),
-        input_output_aliases={0: 0, 7: 1, 8: 2, 9: 3, 10: 4},
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(
@@ -614,12 +984,15 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
     )
 
     def merged(p_prev, p, c2, phxl, psxl, phxh, psxh,
-               ax_lo, bx_lo, ax_hi, bx_hi, uyl_, uyh_, uzl_, uzh_):
+               ax_lo, bx_lo, ax_hi, bx_hi, ygroup, zgroup):
+        """ygroup / zgroup: (uyl, uyh) / (uzl, uzh) slab tuples, or the
+        (phi_lo, psi_lo, phi_hi, psi_hi, a_lo, b_lo, a_hi, b_hi) state
+        tuples when the corresponding fold flag is set."""
         return call(p_prev, p, p, p, p, p, c2,
                     phxl, psxl, phxh, psxh,
                     ax_lo, bx_lo, ax_hi, bx_hi,
                     kx12, kcx_lo, kcx_hi,
-                    uyl_, uyh_, uzl_, uzh_)
+                    *ygroup, *zgroup)
 
     return merged
 
@@ -629,7 +1002,9 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
                                 bz_y: int = 16, interpret: bool = False,
                                 dimension_semantics=None,
                                 vmem_limit_mb: int = 120,
-                                x_face: str | None = None):
+                                x_face: str | None = None,
+                                fold_z: bool | None = None,
+                                fold_y: bool | None = None):
     """Production fused 3D step v2 (see module docstring): 4 corr slab
     kernels + 1 merged kernel, no dynamic_update_slice.
 
@@ -652,14 +1027,24 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
 
     if x_face is None:
         x_face = _os.environ.get("TPUFWI_3D_XFACE", "mxu").lower()
+    if fold_z is None:
+        fold_z = (can_fold_z(grid, bz)
+                  and _os.environ.get("TPUFWI_3D_FOLDZ", "1") != "0")
+    if fold_y is None:
+        fold_y = (fold_z and can_fold_y(grid, by)
+                  and _os.environ.get("TPUFWI_3D_FOLDY", "1") != "0")
     merged = make_leapfrog3d_merged(
         grid, by=by, bz=bz, interpret=interpret,
         dimension_semantics=dimension_semantics,
-        vmem_limit_mb=vmem_limit_mb, x_face=x_face,
+        vmem_limit_mb=vmem_limit_mb, x_face=x_face, fold_z=fold_z,
+        fold_y=fold_y,
     )
-    corr_y = {s: make_corr3d_y(grid, s, bz_y, NZe, by, interpret)
-              for s in (0, 1)}
-    corr_z = {s: make_corr3d_z(grid, s, by, NYe, interpret) for s in (0, 1)}
+    corr_y = (None if fold_y else
+              {s: make_corr3d_y(grid, s, bz_y, NZe, by, interpret)
+               for s in (0, 1)})
+    corr_z = (None if fold_z else
+              {s: make_corr3d_z(grid, s, by, NYe, interpret)
+               for s in (0, 1)})
 
     profs = []
     for ax in range(3):
@@ -706,9 +1091,12 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
         p_prev, p, strips = state
         uy, uz = [], []
         new_y, new_z = [], []
-        for ax, (ulist, nlist, corr) in (
-            (0, (uy, new_y, corr_y)), (1, (uz, new_z, corr_z))
-        ):
+        axes = []
+        if not fold_y:
+            axes.append((0, (uy, new_y, corr_y)))
+        if not fold_z:
+            axes.append((1, (uz, new_z, corr_z)))
+        for ax, (ulist, nlist, corr) in axes:
             phi_lo, psi_lo, phi_hi, psi_hi = strips[ax]
             for side in (0, 1):
                 phi, psi = (phi_lo, psi_lo) if side == 0 else (phi_hi, psi_hi)
@@ -721,10 +1109,26 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
                 nlist += [phi2, psi2]
         phxl, psxl, phxh, psxh = strips[2]
         (ax_lo, bx_lo), (ax_hi, bx_hi) = profs[2]
-        p_next, phxl2, psxl2, phxh2, psxh2 = merged(
-            p_prev, p, c2dt2, phxl, psxl, phxh, psxh,
-            ax_lo, bx_lo, ax_hi, bx_hi, uy[0], uy[1], uz[0], uz[1],
-        )
+        if fold_y:
+            (ayl, byl), (ayh, byh) = profs[0]
+            ygroup = tuple(strips[0]) + (ayl, byl, ayh, byh)
+        else:
+            ygroup = (uy[0], uy[1])
+        if fold_z:
+            (azl, bzl), (azh, bzh) = profs[1]
+            zgroup = tuple(strips[1]) + (azl, bzl, azh, bzh)
+        else:
+            zgroup = (uz[0], uz[1])
+        res = merged(p_prev, p, c2dt2, phxl, psxl, phxh, psxh,
+                     ax_lo, bx_lo, ax_hi, bx_hi, ygroup, zgroup)
+        p_next, phxl2, psxl2, phxh2, psxh2 = res[:5]
+        k = 5
+        if fold_z:
+            new_z = list(res[k : k + 4])
+            k += 4
+        if fold_y:
+            new_y = list(res[k : k + 4])
+            k += 4
         new_strips = (
             (new_y[0], new_y[1], new_y[2], new_y[3]),
             (new_z[0], new_z[1], new_z[2], new_z[3]),
