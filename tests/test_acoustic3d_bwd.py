@@ -83,6 +83,46 @@ def test_fused3d_gradient_wavelet_cotangent():
     assert err < 1e-4, f"fused3d wavelet grad vs XLA engine: {err:.3e}"
 
 
+def test_fused3d_gradient_matches_xla_engine_fold_yz():
+    """Same gradient parity with the forward/reconstruction sweeps on
+    the fold_y+fold_z merged kernel (pml=12 so S=16 satisfies the
+    manual-DMA tile alignment and both can_fold_* hold)."""
+    from tpufwi.kernels.acoustic3d_fused2 import can_fold_y, can_fold_z
+
+    grid = Grid(shape=(24, 30, 40), h=(10.0, 10.0, 10.0), pml=12, order=8)
+    assert can_fold_z(grid, 32) and can_fold_y(grid, 16)
+    c_max, f0 = 3000.0, 10.0
+    dt = grid.cfl_dt(c_max, safety=0.6)
+    rng = np.random.default_rng(3)
+    NY, NZ, NX = grid.padded_shape
+    pad = grid.pad
+    vp = 2500.0 + 150 * rng.standard_normal(grid.shape).astype(np.float32)
+    vp_pad = np.pad(vp, pad, mode="edge")
+    c2 = jnp.asarray(((vp_pad * dt) ** 2).astype(np.float32))
+    w = ricker(f0, dt, 24)
+    src = jnp.array([[NY // 2, NZ // 2, NX // 2]])
+    rx = np.arange(pad + 6, NX - pad - 6, 3, dtype=np.int32)
+    rcv = jnp.asarray(
+        np.stack([np.full_like(rx, pad + 6), np.full_like(rx, NZ // 2), rx], 1)
+    )
+    sim_jnp = make_simulator(grid, dt, f0, c_max, use_custom_vjp=True)
+    sim_f = make_simulator3d_fused(grid, dt, f0, c_max, by=16, bz=32,
+                                   bz_y=16, interpret=True)
+    d_obs = sim_jnp(c2, w, src, rcv)
+    c2p = c2 * 1.03
+
+    def loss(sim):
+        return lambda c2_: l2_misfit(sim(c2_, w, src, rcv), d_obs)
+
+    J_ref, g_ref = jax.value_and_grad(loss(sim_jnp))(c2p)
+    J_got, g_got = jax.value_and_grad(loss(sim_f))(c2p)
+    assert np.allclose(float(J_ref), float(J_got), rtol=1e-5)
+    g_ref = np.asarray(g_ref)
+    g_got = np.asarray(g_got)
+    err = np.abs(g_got - g_ref).max() / (np.abs(g_ref).max() + 1e-30)
+    assert err < 1e-4, f"fused3d(fold_yz) gradient vs XLA engine: {err:.3e}"
+
+
 def _setup_fs(nt=48):
     """Free-surface variant: pressure-release plane at z = pad, receivers
     two rows below the surface (stresses the masked-cotangent injection)."""

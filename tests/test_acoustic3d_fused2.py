@@ -74,6 +74,20 @@ def test_fused2_vpu_x_face_matches_xla_strip_step():
     assert err < 1e-6, f"fused2(vpu x-face) vs XLA-strip 3D step: {err:.3e}"
 
 
+def test_fused2_fold_yz_matches_xla_strip_step():
+    """fold_y + fold_z: all six CPML faces computed inside the merged
+    kernel (manual-DMA staged face state, S=16 so the 8-tile DMA
+    alignment holds). can_fold_y/can_fold_z must both hold on this grid
+    so the auto default exercises the folded path."""
+    from tpufwi.kernels.acoustic3d_fused2 import can_fold_y, can_fold_z
+
+    grid = Grid(shape=(24, 30, 40), h=(10.0, 10.0, 10.0), pml=12, order=8)
+    assert can_fold_z(grid, 32) and can_fold_y(grid, 16)
+    pa, pb = _run_pair(grid, by=16, bz=32)
+    err = np.abs(pa - pb).max() / np.abs(pa).max()
+    assert err < 1e-6, f"fused2(fold_yz) vs XLA-strip 3D step: {err:.3e}"
+
+
 def test_fused2_matches_xla_strip_step_by24():
     """The by=24 throughput candidate (ROADMAP item 5: y-halo read tax
     1.0 -> 0.67 fields/cell): y faces not a multiple of the block, window

@@ -292,7 +292,8 @@ def can_fold_z(grid: Grid, bz: int) -> bool:
     H = 8
     base_hi = NZ - W - (nzb - 1) * bz
     return (
-        bz >= S + r
+        S % 8 == 0  # DMA slab second-minor dim must be 8-tile aligned
+        and bz >= S + r
         and S + 2 * r <= bz + H
         and 0 <= base_hi
         and base_hi + W <= bz
@@ -310,7 +311,7 @@ def can_fold_y(grid: Grid, by: int) -> bool:
     NY = grid.padded_shape[0]
     lo_last = (S + r - 1) // by
     hi_first = (NY - S - r) // by
-    return 2 * r <= 8 and lo_last < hi_first
+    return S % 8 == 0 and 2 * r <= 8 and lo_last < hi_first
 
 
 def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
@@ -385,6 +386,8 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
     d1x, d2x1 = _taps_axis(grid, 2)
     d1zf, d2zf = _taps_axis(grid, 1)  # z-face CPML taps (fold_z)
     d1yf, d2yf = _taps_axis(grid, 0)  # y-face CPML taps (fold_y)
+    NXP = -(-NX // 128) * 128  # face-state minor dim (manual DMA slices
+    # must be 128-tile aligned; the state arrays pad x with dead columns)
     PX = 128
     H = 8
     dtype = jnp.float32
@@ -677,6 +680,7 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                             cq.start()
                             cp.wait()
                             cq.wait()
+                            yphi_out_s[:] = jnp.zeros((S, BZ, NXP), dtype)
                         # phi' on rows [na, nb) (rel p0); p taps via the
                         # widened scratch halo
                         yb = (p0 + na) - b0 + YOFF  # scr row of phi row na
@@ -694,9 +698,11 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                                 d2p = t2 if d2p is None else d2p + t2
                         a_sl = ar[na:nb]
                         b_sl = br[na:nb]
-                        ph = b_sl * yphi_in_s[na:nb] + a_sl * d1p
+                        ph = (b_sl * yphi_in_s[na:nb, :, 0:NX]
+                              + a_sl * d1p)
                         if ob > oa:
-                            yphi_out_s[oa:ob] = ph[oa - na : ob - na]
+                            yphi_out_s[oa:ob, :, 0:NX] = (
+                                ph[oa - na : ob - na])
                         # corr rows [ea, eb) via the zero-margined yscr:
                         # phi row j sits at yscr row j + r - (c0 - p0),
                         # so corr(m) = sum_k d1[k] * yscr[m + k]
@@ -717,9 +723,9 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                             v = (d2p[oa - na : ob - na]
                                  + corr[va : va + (ob - oa)])
                             ps = (b_sl[oa - na : ob - na]
-                                  * ypsi_s[oa:ob]
+                                  * ypsi_s[oa:ob, :, 0:NX]
                                   + a_sl[oa - na : ob - na] * v)
-                            ypsi_s[oa:ob] = ps
+                            ypsi_s[oa:ob, :, 0:NX] = ps
                             j0 = (p0 + oa) - b0
                             out_ref[j0 : j0 + (ob - oa)] = (
                                 out_ref[j0 : j0 + (ob - oa)]
@@ -799,8 +805,8 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                         if d2zf[k] != 0.0:
                             t2 = d2zf[k] * sl
                             d2p = t2 if d2p is None else d2p + t2
-                    ph = b * zphi_s[:] + a * d1p
-                    zphi_s[:] = ph
+                    ph = b * zphi_s[:, :, 0:NX] + a * d1p
+                    zphi_s[:, :, 0:NX] = ph
                     # corr[i] = sum_k d1[k] * ph_ext[E0+i+k-r-C0] over a
                     # zero-margined z scratch (ph at rows [C0+r, C0+r+S))
                     zscr_ref[:, 0 : C0 + r, :] = jnp.zeros(
@@ -815,8 +821,8 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                         t = d1zf[k] * zscr_ref[:, E0 + k : E0 + k + S + r, :]
                         corr = t if corr is None else corr + t
                     v = d2p + corr[:, C0 - E0 : C0 - E0 + S, :]
-                    ps = b * zpsi_s[:] + a * v
-                    zpsi_s[:] = ps
+                    ps = b * zpsi_s[:, :, 0:NX] + a * v
+                    zpsi_s[:, :, 0:NX] = ps
                     o0 = base + E0
                     out_ref[:, o0 : o0 + S + r, :] = (
                         out_ref[:, o0 : o0 + S + r, :]
@@ -927,7 +933,7 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
     if fold_y:
         # (S, NZe, NX) state stays in HBM (ANY space); the kernel stages
         # per-gz slabs via explicit DMAs
-        anyspec = bspec(memory_space=pl.ANY)
+        anyspec = bspec(memory_space=pltpu.HBM)
         in_specs += [anyspec] * 4 + [vspec] * 4
         iy = len(in_specs) - 8  # first y-state input index
     else:
@@ -935,32 +941,32 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
     if fold_z:
         # (NYe, S, NX) state stays in HBM (ANY space); the kernel stages
         # per-block (BY, S, NX) slabs via explicit DMAs
-        anyspec = bspec(memory_space=pl.ANY)
+        anyspec = bspec(memory_space=pltpu.HBM)
         iz = len(in_specs)
         in_specs += [anyspec] * 4 + [vspec] * 4
         out_specs += [anyspec] * 4
-        out_shape += [jax.ShapeDtypeStruct((NYe, S, NX), dtype)] * 4
+        out_shape += [jax.ShapeDtypeStruct((NYe, S, NXP), dtype)] * 4
         aliases.update({iz + k: n_out + k for k in range(4)})
         n_out += 4
         scratch += [
             pltpu.VMEM((BY, W + 2 * r, NX), dtype),  # zscr (corr margin)
-            pltpu.VMEM((BY, S, NX), dtype),          # staged phi (in place)
-            pltpu.VMEM((BY, S, NX), dtype),          # staged psi (in place)
+            pltpu.VMEM((BY, S, NXP), dtype),         # staged phi (in place)
+            pltpu.VMEM((BY, S, NXP), dtype),         # staged psi (in place)
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         in_specs += [_uz_spec(0), _uz_spec(1)]
     if fold_y:
-        anyspec = bspec(memory_space=pl.ANY)
+        anyspec = bspec(memory_space=pltpu.HBM)
         out_specs += [anyspec] * 4
-        out_shape += [jax.ShapeDtypeStruct((S, NZe, NX), dtype)] * 4
+        out_shape += [jax.ShapeDtypeStruct((S, NZe, NXP), dtype)] * 4
         aliases.update({iy + k: n_out + k for k in range(4)})
         n_out += 4
         scratch += [
             pltpu.VMEM((S + 3 * r, BZ, NX), dtype),  # yscr (corr margin)
-            pltpu.VMEM((S, BZ, NX), dtype),          # staged phi in
-            pltpu.VMEM((S, BZ, NX), dtype),          # staged phi out
-            pltpu.VMEM((S, BZ, NX), dtype),          # staged psi (in place)
+            pltpu.VMEM((S, BZ, NXP), dtype),         # staged phi in
+            pltpu.VMEM((S, BZ, NXP), dtype),         # staged phi out
+            pltpu.VMEM((S, BZ, NXP), dtype),         # staged psi (in place)
             pltpu.SemaphoreType.DMA((2,)),
         ]
     if x_face == "vpu":
@@ -1066,11 +1072,14 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
               jnp.asarray(prof.b[n_pad - S:], dtype).reshape(shp))
         profs.append((lo, hi))
 
+    NXP = -(-NX // 128) * 128
+
     def _slab_shape(ax):
+        # folded axes carry 128-aligned dead x columns (manual-DMA tiling)
         if ax == 0:
-            return (S, NZe, NX)
+            return (S, NZe, NXP if fold_y else NX)
         if ax == 1:
-            return (NYe, S, NX)
+            return (NYe, S, NXP if fold_z else NX)
         return (NYe, NZe, S)
 
     def zero_state(dtype=jnp.float32):
