@@ -102,23 +102,23 @@ def run_merged_only(order, by, bz, tag="", x_face="mxu"):
             uyh = jnp.zeros(((h1 - h0 + 1) * by, NZe, NX), jnp.float32)
             uzl = jnp.zeros((NYe, z_window(grid, 0)[1], NX), jnp.float32)
             uzh = jnp.zeros((NYe, z_window(grid, 1)[1], NX), jnp.float32)
-            zS = jnp.zeros((NYe, NZe, S), jnp.float32)
+            zS = jnp.zeros((NYe, NZe, 4 * S), jnp.float32)
 
             def prog(nt):
                 @jax.jit
                 def f(c2_, uyl_, uyh_, uzl_, uzh_, zS_):
                     def body(carry, _):
-                        pp, p, phl, psl, phh, psh = carry
-                        pn, phl2, psl2, phh2, psh2 = merged(
-                            pp, p, c2_, phl, psl, phh, psh,
-                            axl, bxl, axh, bxh, uyl_, uyh_, uzl_, uzh_,
+                        pp, p, xst = carry
+                        pn, xst2 = merged(
+                            pp, p, c2_, xst,
+                            axl, bxl, axh, bxh, (uyl_, uyh_), (uzl_, uzh_),
                         )
-                        return (p, pn, phl2, psl2, phh2, psh2), None
+                        return (p, pn, xst2), None
 
                     z = jnp.zeros_like(c2_)
                     p0 = z.at[NY // 2, NZ // 2, NX // 2].set(1.0)
                     (_, p, *_), _ = lax.scan(
-                        body, (z, p0, zS_, zS_, zS_, zS_), None, length=nt
+                        body, (z, p0, zS_), None, length=nt
                     )
                     return jnp.sum(p * p)
 
@@ -363,6 +363,113 @@ def run_stream_bw():
             scratch_shapes=[
                 pltpu.VMEM((BY + 2 * r, BZ + 2 * H, NX + 256), dtype)],
             compiler_params=cp), fields
+
+    # block-shape sensitivity of the pure copy: (16,64) = 16 contiguous
+    # 217KB runs per block; (8,128) = 8x434KB; (4,256) = one contiguous
+    # 3.47MB run (z fully resident). If copy BW rises with contiguity,
+    # the 308 GB/s floor is DMA-descriptor-bound, not HBM-bound.
+    rng0 = np.random.default_rng(0)
+    x0 = jnp.asarray(rng0.standard_normal((NY, NZ, NX)).astype(np.float32))
+    for byv, bzv in ((8, 128), (4, 256)):
+        if NZ % bzv or NY % byv:
+            continue
+        blkv = bspec_local((byv, bzv, NX), lambda gz, gy: (gy, gz, 0),
+                           memory_space=pltpu.VMEM)
+        for attempt in range(3):
+            try:
+                callv = pl.pallas_call(
+                    k_copy1, grid=(NZ // bzv, NY // byv), in_specs=[blkv],
+                    out_specs=blkv,
+                    out_shape=jax.ShapeDtypeStruct((NY, NZ, NX), dtype),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=128 * 1024 * 1024))
+
+                def progv(nt, callv=callv):
+                    @jax.jit
+                    def f(x_):
+                        def body(v, _):
+                            return callv(v), None
+                        v, _ = lax.scan(body, x_, None, length=nt)
+                        return jnp.sum(v[0, 0])
+                    return f
+
+                per = slope(progv, x0)
+                gb = NY * NZ * NX * 4 * 2 / 1e9
+                print(f"stream copy1 ({byv},{bzv}): {per*1e3:8.2f} ms/step  "
+                      f"{gb/per:6.0f} GB/s effective", flush=True)
+                break
+            except Exception as e:  # noqa: BLE001
+                if "remote_compile: HTTP 500" in repr(e) and attempt < 2:
+                    continue
+                print(f"stream copy1 ({byv},{bzv}): FAILED {repr(e)[:160]}",
+                      flush=True)
+                break
+
+    # step5x: step5 plus 8 small (BY,BZ,S) input streams and 4 small
+    # output streams mimicking the merged kernel's x-state traffic.
+    # If ms/step jumps far beyond the added ~0.84 fields of traffic, the
+    # merged kernel's gap over step5s is PER-STREAM overhead, and packing
+    # the x-state into one array is the lever.
+    SS = 24
+
+    def k_step5x(pp_ref, p_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref, c2_ref,
+                 *rest):
+        s1, s2, s3, s4, s5, s6, s7, s8, o_ref, o1, o2, o3, o4 = rest
+        o_ref[:] = pp_ref[:] + p_ref[:] + c2_ref[:]
+        o_ref[0:H, :, :] = o_ref[0:H, :, :] + ylo_ref[:]
+        o_ref[BY - H : BY, :, :] = o_ref[BY - H : BY, :, :] + yhi_ref[:]
+        o_ref[:, 0:H, :] = o_ref[:, 0:H, :] + zlo_ref[:]
+        o_ref[:, BZ - H : BZ, :] = o_ref[:, BZ - H : BZ, :] + zhi_ref[:]
+        o1[:] = s1[:] + s5[:]
+        o2[:] = s2[:] + s6[:]
+        o3[:] = s3[:] + s7[:]
+        o4[:] = s4[:] + s8[:]
+
+    def make_step5x():
+        blkS = bspec_local((BY, BZ, SS), lambda gz, gy: (gy, gz, 0),
+                           memory_space=pltpu.VMEM)
+        specs = [blk, blk, ylo, yhi, zlo, zhi, blk] + [blkS] * 8
+        outs = (blk, blkS, blkS, blkS, blkS)
+        oshape = (jax.ShapeDtypeStruct((NY, NZ, NX), dtype),) + tuple(
+            jax.ShapeDtypeStruct((NY, NZ, SS), dtype) for _ in range(4))
+        return pl.pallas_call(
+            k_step5x, grid=(nzb, nyb), in_specs=specs, out_specs=outs,
+            out_shape=oshape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024))
+
+    for attempt in range(3):
+        try:
+            callx = make_step5x()
+            xs = jnp.asarray(np.random.default_rng(1).standard_normal(
+                (NY, NZ, SS)).astype(np.float32))
+
+            def progx(nt, callx=callx):
+                @jax.jit
+                def f(x_):
+                    def body(carry, _):
+                        pp, p = carry
+                        o, a1, a2, a3, a4 = callx(
+                            pp, p, p, p, p, p, p,
+                            xs, xs, xs, xs, xs, xs, xs, xs)
+                        return (p, o), None
+                    (pp, p), _ = lax.scan(
+                        body, (x_, x_ * 0.5), None, length=nt)
+                    return jnp.sum(p[0, 0])
+                return f
+
+            x1 = jnp.asarray(np.random.default_rng(0).standard_normal(
+                (NY, NZ, NX)).astype(np.float32))
+            per = slope(progx, x1)
+            gb = (NY * NZ * NX * 4 * 6.25 + NY * NZ * SS * 4 * 12) / 1e9
+            print(f"stream step5x: {per*1e3:8.2f} ms/step  "
+                  f"{gb/per:6.0f} GB/s effective (22 streams)", flush=True)
+            break
+        except Exception as e:  # noqa: BLE001
+            if "remote_compile: HTTP 500" in repr(e) and attempt < 2:
+                continue
+            print(f"stream step5x: FAILED {repr(e)[:160]}", flush=True)
+            break
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((NY, NZ, NX)).astype(np.float32))

@@ -26,10 +26,29 @@ removes the copies structurally:
      makes the y-slab sticky maps (and the z-slab `g0==jb` guards) fetch
      minimally.
 
-Step composition: 4 small slab kernels (y-lo/hi, z-lo/hi corr) + 1 merged
-leapfrog+x-face+apply kernel, vs v1's 7 kernels + 12 slices + 6 full-array
-dynamic_update_slices. Per-step HBM traffic ~6 fields (p_prev, p, c2
-reads + p_next write + halo/state/slab streams).
+Step composition v2: 4 small slab kernels (y-lo/hi, z-lo/hi corr) + 1
+merged leapfrog+x-face+apply kernel, vs v1's 7 kernels + 12 slices + 6
+full-array dynamic_update_slices.
+
+v3 (round-2 continuation, fold_y/fold_z): ALL SIX CPML faces move inside
+the merged kernel — ONE pallas_call per time step. Motivation (measured,
+runs/tpu_queue4): the in-block x-face algebra costs nothing (x_face
+mxu/vpu/off all 14.6-14.7 ms/step at Overthrust scale), while the four
+y/z corr-slab kernel launches + their XLA slab slices cost 4-6 ms/step —
+~10x their HBM traffic bound — i.e. pure per-call pipeline overhead. The
+y/z face phi/psi state stays in HBM (pltpu.HBM refs) and face blocks
+stage (S x BZ x NXP) / (BY x S x NXP) slabs through VMEM scratch with
+explicit blocking DMAs (manual-DMA slices need a 128-aligned minor dim
+and 8-aligned second-minor, hence the NXP padding and the S % 8 gates in
+can_fold_y/can_fold_z). The y faces span up to three y-blocks; each
+spanning block recomputes up to r neighbour phi' rows locally from a
+widened 2r scratch y-halo instead of depending on another block's
+output. Falls back to the v2 slab kernels per axis when the fold
+conditions fail (tiny grids). Hardware parity: fold vs slab bit-exact
+(2.8e-25, scripts/check_foldz_hw.py).
+
+Per-step HBM traffic (v3) ~6.4 fields: p_prev, p, c2 reads + p_next
+write + halo slabs + x-state streams + staged y/z face state.
 
 Semantics are pinned against make_acoustic3d_strip_step (the XLA strip
 path) in tests/test_acoustic3d_fused2.py. fp32.
@@ -471,10 +490,10 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
 
     def kernel(*refs):
         (pp_ref, p_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref, c2_ref,
-         phxl_ref, psxl_ref, phxh_ref, psxh_ref,
+         xst_ref,
          axl_ref, bxl_ref, axh_ref, bxh_ref,
-         kx12_ref, kcxl_ref, kcxh_ref) = refs[:18]
-        i = 18
+         kx12_ref, kcxl_ref, kcxh_ref) = refs[:15]
+        i = 15
         if fold_y:
             (phyl_ref, psyl_ref, phyh_ref, psyh_ref,
              ayl_ref, byl_ref, ayh_ref, byh_ref) = refs[i : i + 8]
@@ -489,8 +508,8 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
         else:
             uzl_ref, uzh_ref = refs[i : i + 2]
             i += 2
-        out_ref, phxl_o, psxl_o, phxh_o, psxh_o = refs[i : i + 5]
-        i += 5
+        out_ref, xst_o = refs[i : i + 2]
+        i += 2
         if fold_z:
             phzl_o, pszl_o, phzh_o, pszh_o = refs[i : i + 4]
             i += 4
@@ -562,16 +581,17 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                                     x0 : x0 + NX]
         out_ref[:] = 2.0 * p_ref[:] - pp_ref[:] + c2_ref[:] * lap
 
-        # ---- x faces, in-block ----
-        for side, phir, psir, pho, pso, ar, br, kcr in (
-            (0, phxl_ref, psxl_ref, phxl_o, psxl_o, axl_ref, bxl_ref,
-             kcxl_ref),
-            (1, phxh_ref, psxh_ref, phxh_o, psxh_o, axh_ref, bxh_ref,
-             kcxh_ref),
+        # ---- x faces, in-block (phi/psi lo/hi PACKED into one
+        # (BY, BZ, 4S) stream: lanes [0:S)=phi_lo, [S:2S)=psi_lo,
+        # [2S:3S)=phi_hi, [3S:4S)=psi_hi — measured ~0.23 us per stream
+        # per block of pure pipeline overhead, so 2 streams beat 8) ----
+        for side, ar, br, kcr in (
+            (0, axl_ref, bxl_ref, kcxl_ref),
+            (1, axh_ref, bxh_ref, kcxh_ref),
         ):
+            xo = side * 2 * S
             if x_face == "off":
-                pho[:] = phir[:]
-                pso[:] = psir[:]
+                xst_o[:, :, xo : xo + 2 * S] = xst_ref[:, :, xo : xo + 2 * S]
                 continue
             C0x = 0 if side == 0 else NX - S
             E0x = 0 if side == 0 else NX - S - r
@@ -600,8 +620,8 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                         d2p = t2 if d2p is None else d2p + t2
             a = ar[0]  # (1, S)
             b = br[0]
-            ph = b * phir[:] + a * d1p
-            pho[:] = ph
+            ph = b * xst_ref[:, :, xo : xo + S] + a * d1p
+            xst_o[:, :, xo : xo + S] = ph
             if x_face == "mxu":
                 corr = jax.lax.dot_general(
                     ph, kcr[:], (((2,), (0,)), ((), ())),
@@ -624,8 +644,8 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                     t = d1x[k] * xs[:, :, k : k + S + r]
                     corr = t if corr is None else corr + t
             v = d2p + corr[..., C0x - E0x : C0x - E0x + S]
-            ps = b * psir[:] + a * v
-            pso[:] = ps
+            ps = b * xst_ref[:, :, xo + S : xo + 2 * S] + a * v
+            xst_o[:, :, xo + S : xo + 2 * S] = ps
             out_ref[:, :, E0x : E0x + S + r] = (
                 out_ref[:, :, E0x : E0x + S + r]
                 + c2_ref[:, :, E0x : E0x + S + r] * corr
@@ -680,7 +700,6 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                             cq.start()
                             cp.wait()
                             cq.wait()
-                            yphi_out_s[:] = jnp.zeros((S, BZ, NXP), dtype)
                         # phi' on rows [na, nb) (rel p0); p taps via the
                         # widened scratch halo
                         yb = (p0 + na) - b0 + YOFF  # scr row of phi row na
@@ -707,7 +726,16 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                         # phi row j sits at yscr row j + r - (c0 - p0),
                         # so corr(m) = sum_k d1[k] * yscr[m + k]
                         off = r - (c0 - p0)
-                        yscr_ref[:] = jnp.zeros((S + 3 * r, BZ, NX), dtype)
+                        # corr reads yscr rows [ea, eb + 2r); zero only
+                        # the parts of that range not covered by ph
+                        z1a, z1b = ea, min(off + na, eb + 2 * r)
+                        z2a, z2b = max(off + nb, ea), eb + 2 * r
+                        if z1b > z1a:
+                            yscr_ref[z1a:z1b] = jnp.zeros(
+                                (z1b - z1a, BZ, NX), dtype)
+                        if z2b > z2a:
+                            yscr_ref[z2a:z2b] = jnp.zeros(
+                                (z2b - z2a, BZ, NX), dtype)
                         yscr_ref[off + na : off + nb] = ph
                         ne = eb - ea
                         corr = None
@@ -915,21 +943,20 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
 
         return bspec((BY, WZP, NX), idx, memory_space=pltpu.VMEM)
 
+    blk4S = bspec((BY, BZ, 4 * S), lambda gz, gy: (gy, gz, 0),
+                  memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct((NYe, NZe, NX), dtype),
-        jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
-        jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
-        jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
-        jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
+        jax.ShapeDtypeStruct((NYe, NZe, 4 * S), dtype),
     ]
     in_specs = [blk, blk, ylo, yhi, zlo, zhi, blk,
-                blkS, blkS, blkS, blkS,
+                blk4S,
                 vspec, vspec, vspec, vspec,
                 vspec, vspec, vspec]
-    out_specs = [blk, blkS, blkS, blkS, blkS]
-    aliases = {0: 0, 7: 1, 8: 2, 9: 3, 10: 4}
+    out_specs = [blk, blk4S]
+    aliases = {0: 0, 7: 1}
     scratch = [pltpu.VMEM((BY + 2 * YOFF, BZ + 2 * H, NX + 2 * PX), dtype)]
-    n_out = 5
+    n_out = 2
     if fold_y:
         # (S, NZe, NX) state stays in HBM (ANY space); the kernel stages
         # per-gz slabs via explicit DMAs
@@ -989,13 +1016,14 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
         interpret=interpret,
     )
 
-    def merged(p_prev, p, c2, phxl, psxl, phxh, psxh,
+    def merged(p_prev, p, c2, xst,
                ax_lo, bx_lo, ax_hi, bx_hi, ygroup, zgroup):
-        """ygroup / zgroup: (uyl, uyh) / (uzl, uzh) slab tuples, or the
-        (phi_lo, psi_lo, phi_hi, psi_hi, a_lo, b_lo, a_hi, b_hi) state
-        tuples when the corresponding fold flag is set."""
+        """xst: packed (NYe, NZe, 4S) x-face state. ygroup / zgroup:
+        (uyl, uyh) / (uzl, uzh) slab tuples, or the (phi_lo, psi_lo,
+        phi_hi, psi_hi, a_lo, b_lo, a_hi, b_hi) state tuples when the
+        corresponding fold flag is set."""
         return call(p_prev, p, p, p, p, p, c2,
-                    phxl, psxl, phxh, psxh,
+                    xst,
                     ax_lo, bx_lo, ax_hi, bx_hi,
                     kx12, kcx_lo, kcx_hi,
                     *ygroup, *zgroup)
@@ -1080,12 +1108,13 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
             return (S, NZe, NXP if fold_y else NX)
         if ax == 1:
             return (NYe, S, NXP if fold_z else NX)
-        return (NYe, NZe, S)
+        return (NYe, NZe, 4 * S)  # packed x-face state (one stream)
 
     def zero_state(dtype=jnp.float32):
         z = jnp.zeros((NYe, NZe, NX), dtype)
         strips = tuple(
-            tuple(jnp.zeros(_slab_shape(ax), dtype) for _ in range(4))
+            tuple(jnp.zeros(_slab_shape(ax), dtype)
+                  for _ in range(1 if ax == 2 else 4))
             for ax in range(3)
         )
         return (z, z, strips)
@@ -1116,7 +1145,7 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
                 )
                 ulist.append(upd)
                 nlist += [phi2, psi2]
-        phxl, psxl, phxh, psxh = strips[2]
+        (xst,) = strips[2]
         (ax_lo, bx_lo), (ax_hi, bx_hi) = profs[2]
         if fold_y:
             (ayl, byl), (ayh, byh) = profs[0]
@@ -1128,10 +1157,10 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
             zgroup = tuple(strips[1]) + (azl, bzl, azh, bzh)
         else:
             zgroup = (uz[0], uz[1])
-        res = merged(p_prev, p, c2dt2, phxl, psxl, phxh, psxh,
+        res = merged(p_prev, p, c2dt2, xst,
                      ax_lo, bx_lo, ax_hi, bx_hi, ygroup, zgroup)
-        p_next, phxl2, psxl2, phxh2, psxh2 = res[:5]
-        k = 5
+        p_next, xst2 = res[:2]
+        k = 2
         if fold_z:
             new_z = list(res[k : k + 4])
             k += 4
@@ -1141,7 +1170,7 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
         new_strips = (
             (new_y[0], new_y[1], new_y[2], new_y[3]),
             (new_z[0], new_z[1], new_z[2], new_z[3]),
-            (phxl2, psxl2, phxh2, psxh2),
+            (xst2,),
         )
         return (p, p_next, new_strips)
 
