@@ -519,8 +519,8 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
         scr_ref = refs[i]
         i += 1
         if fold_z:
-            zscr_ref, zphi_s, zpsi_s, zsem = refs[i : i + 4]
-            i += 4
+            zscr_ref, zphi_s, zpsi_s, zsem_in, zsem_out = refs[i : i + 5]
+            i += 5
         if fold_y:
             (yscr_ref, yphi_in_s, yphi_out_s, ypsi_s, ysem) = refs[i : i + 5]
             i += 5
@@ -795,11 +795,13 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
         if fold_z:
             # ---- z faces, in-block (fold_z; same algebra as
             # make_corr3d_z). The (NYe, S, NX) phi/psi state lives in HBM
-            # (ANY space); each face block stages its (BY, S, NX) slab
-            # through VMEM scratch with explicit blocking DMAs (no
-            # pipeline buffers — a 16-buffer sticky-map variant crashed
-            # the AOT compile helper). z faces have no cross-block phi
-            # reads, so the staging is in-place per slab. ----
+            # (pltpu.HBM refs); each face block stages its (BY, S, NXP)
+            # slab through DOUBLE-BUFFERED VMEM scratch: the slab for
+            # gy+1 is prefetched during gy's compute and the out-DMA is
+            # waited one invocation later (blocking DMAs measured
+            # cost-neutral vs the slab kernels — the stalls ate the
+            # launch savings). z faces have no cross-block phi reads, so
+            # the staging is in-place per slab. ----
             for side, phir, psir, pho, pso, ar, br in (
                 (0, phzl_ref, pszl_ref, phzl_o, pszl_o, azl_ref, bzl_ref),
                 (1, phzh_ref, pszh_ref, phzh_o, pszh_o, azh_ref, bzh_ref),
@@ -811,14 +813,43 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                 @pl.when(gz == jb)
                 def _(side=side, phir=phir, psir=psir, pho=pho, pso=pso,
                       ar=ar, br=br, base=base, C0=C0, E0=E0):
-                    cp = pltpu.make_async_copy(
-                        phir.at[pl.ds(gy * BY, BY), :, :], zphi_s,
-                        zsem.at[0])
-                    cq = pltpu.make_async_copy(
-                        psir.at[pl.ds(gy * BY, BY), :, :], zpsi_s,
-                        zsem.at[1])
-                    cp.start()
-                    cq.start()
+                    bi = gy % 2
+
+                    def in_dma(g, buf):
+                        return (
+                            pltpu.make_async_copy(
+                                phir.at[pl.ds(g * BY, BY), :, :],
+                                zphi_s.at[buf], zsem_in.at[0, buf]),
+                            pltpu.make_async_copy(
+                                psir.at[pl.ds(g * BY, BY), :, :],
+                                zpsi_s.at[buf], zsem_in.at[1, buf]),
+                        )
+
+                    @pl.when(gy == 0)
+                    def _():
+                        c0_, c1_ = in_dma(gy, bi)
+                        c0_.start()
+                        c1_.start()
+
+                    @pl.when(gy < nyb - 1)
+                    def _():
+                        # buf (gy+1)%2 was last used by gy-1: its out-DMA
+                        # must land before the prefetch overwrites it
+                        @pl.when(gy > 0)
+                        def _():
+                            pltpu.make_async_copy(
+                                zphi_s.at[1 - bi],
+                                pho.at[pl.ds((gy - 1) * BY, BY), :, :],
+                                zsem_out.at[0, 1 - bi]).wait()
+                            pltpu.make_async_copy(
+                                zpsi_s.at[1 - bi],
+                                pso.at[pl.ds((gy - 1) * BY, BY), :, :],
+                                zsem_out.at[1, 1 - bi]).wait()
+                        c0_, c1_ = in_dma(gy + 1, 1 - bi)
+                        c0_.start()
+                        c1_.start()
+
+                    cp, cq = in_dma(gy, bi)
                     cp.wait()
                     cq.wait()
                     a = ar[0]  # (S, 1): broadcasts over (BY, S, NX)
@@ -826,15 +857,16 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                     d1p = d2p = None
                     for k in range(len(d1zf)):
                         z0 = H + base + C0 - r + k
-                        sl = scr_ref[YOFF : YOFF + BY, z0 : z0 + S, PX : PX + NX]
+                        sl = scr_ref[YOFF : YOFF + BY, z0 : z0 + S,
+                                     PX : PX + NX]
                         if d1zf[k] != 0.0:
                             t = d1zf[k] * sl
                             d1p = t if d1p is None else d1p + t
                         if d2zf[k] != 0.0:
                             t2 = d2zf[k] * sl
                             d2p = t2 if d2p is None else d2p + t2
-                    ph = b * zphi_s[:, :, 0:NX] + a * d1p
-                    zphi_s[:, :, 0:NX] = ph
+                    ph = b * zphi_s[bi, :, :, 0:NX] + a * d1p
+                    zphi_s[bi, :, :, 0:NX] = ph
                     # corr[i] = sum_k d1[k] * ph_ext[E0+i+k-r-C0] over a
                     # zero-margined z scratch (ph at rows [C0+r, C0+r+S))
                     zscr_ref[:, 0 : C0 + r, :] = jnp.zeros(
@@ -849,8 +881,8 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                         t = d1zf[k] * zscr_ref[:, E0 + k : E0 + k + S + r, :]
                         corr = t if corr is None else corr + t
                     v = d2p + corr[:, C0 - E0 : C0 - E0 + S, :]
-                    ps = b * zpsi_s[:, :, 0:NX] + a * v
-                    zpsi_s[:, :, 0:NX] = ps
+                    ps = b * zpsi_s[bi, :, :, 0:NX] + a * v
+                    zpsi_s[bi, :, :, 0:NX] = ps
                     o0 = base + E0
                     out_ref[:, o0 : o0 + S + r, :] = (
                         out_ref[:, o0 : o0 + S + r, :]
@@ -862,15 +894,37 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                         + c2_ref[:, o1 : o1 + S, :] * ps
                     )
                     co = pltpu.make_async_copy(
-                        zphi_s, pho.at[pl.ds(gy * BY, BY), :, :],
-                        zsem.at[0])
+                        zphi_s.at[bi], pho.at[pl.ds(gy * BY, BY), :, :],
+                        zsem_out.at[0, bi])
                     cr = pltpu.make_async_copy(
-                        zpsi_s, pso.at[pl.ds(gy * BY, BY), :, :],
-                        zsem.at[1])
+                        zpsi_s.at[bi], pso.at[pl.ds(gy * BY, BY), :, :],
+                        zsem_out.at[1, bi])
                     co.start()
                     cr.start()
-                    co.wait()
-                    cr.wait()
+
+                    @pl.when(gy == nyb - 1)
+                    def _():
+                        # drain: own out + the gy-1 out still in flight
+                        co2, cr2 = (
+                            pltpu.make_async_copy(
+                                zphi_s.at[bi],
+                                pho.at[pl.ds(gy * BY, BY), :, :],
+                                zsem_out.at[0, bi]),
+                            pltpu.make_async_copy(
+                                zpsi_s.at[bi],
+                                pso.at[pl.ds(gy * BY, BY), :, :],
+                                zsem_out.at[1, bi]),
+                        )
+                        co2.wait()
+                        cr2.wait()
+                        pltpu.make_async_copy(
+                            zphi_s.at[1 - bi],
+                            pho.at[pl.ds((gy - 1) * BY, BY), :, :],
+                            zsem_out.at[0, 1 - bi]).wait()
+                        pltpu.make_async_copy(
+                            zpsi_s.at[1 - bi],
+                            pso.at[pl.ds((gy - 1) * BY, BY), :, :],
+                            zsem_out.at[1, 1 - bi]).wait()
         else:
             # ---- z-face slab application (static sub-ranges per site) ----
             for s, uref in ((0, uzl_ref), (1, uzh_ref)):
@@ -977,9 +1031,10 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
         n_out += 4
         scratch += [
             pltpu.VMEM((BY, W + 2 * r, NX), dtype),  # zscr (corr margin)
-            pltpu.VMEM((BY, S, NXP), dtype),         # staged phi (in place)
-            pltpu.VMEM((BY, S, NXP), dtype),         # staged psi (in place)
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, BY, S, NXP), dtype),      # staged phi (2 bufs)
+            pltpu.VMEM((2, BY, S, NXP), dtype),      # staged psi (2 bufs)
+            pltpu.SemaphoreType.DMA((2, 2)),         # in sems
+            pltpu.SemaphoreType.DMA((2, 2)),         # out sems
         ]
     else:
         in_specs += [_uz_spec(0), _uz_spec(1)]
@@ -1062,11 +1117,25 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
     if x_face is None:
         x_face = _os.environ.get("TPUFWI_3D_XFACE", "mxu").lower()
     if fold_z is None:
+        # fold_z auto-defaults on only in interpret mode: on hardware the
+        # same-session A/B at Overthrust scale measured the in-kernel z
+        # faces cost-neutral at best (slab kernels 19.44 ms/step vs
+        # folded 19.94 async / 20.68 blocking — the eliminated launches
+        # return as in-kernel face compute + DMA on half the blocks).
+        # Opt in with TPUFWI_3D_FOLDZ=1; hardware parity is bit-exact
+        # either way (scripts/check_foldz_hw.py).
+        fz_env = _os.environ.get("TPUFWI_3D_FOLDZ", "")
         fold_z = (can_fold_z(grid, bz)
-                  and _os.environ.get("TPUFWI_3D_FOLDZ", "1") != "0")
+                  and (fz_env == "1" or (interpret and fz_env != "0")))
     if fold_y is None:
+        # fold_y auto-defaults on only in interpret mode: the compiled
+        # fold_y kernel deterministically crashes the relay's AOT
+        # compile helper at Overthrust scale (small production grids
+        # compile and are bit-exact — scripts/check_foldz_hw.py); opt in
+        # on hardware with TPUFWI_3D_FOLDY=1.
+        fy_env = _os.environ.get("TPUFWI_3D_FOLDY", "")
         fold_y = (fold_z and can_fold_y(grid, by)
-                  and _os.environ.get("TPUFWI_3D_FOLDY", "1") != "0")
+                  and (fy_env == "1" or (interpret and fy_env != "0")))
     merged = make_leapfrog3d_merged(
         grid, by=by, bz=bz, interpret=interpret,
         dimension_semantics=dimension_semantics,
