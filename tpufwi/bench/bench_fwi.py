@@ -10,7 +10,7 @@ import numpy as np
 
 
 def bench_fwd_adjoint(
-    nz=351, nx=1701, h=10.0, order=8, pml=12, impl="pallas_scanres",
+    nz=351, nx=1701, h=10.0, order=8, pml=12, impl="auto",
     nt_marmousi=5000, nt_lo=256, nt_hi=1280, reps=5,
 ):
     """Time value_and_grad of a single-shot L2 misfit via the nt-slope;
@@ -40,6 +40,9 @@ def bench_fwd_adjoint(
     rcv = np.stack([np.full_like(rx, 3), rx], 1)
     geom = Geometry.from_physical(grid, np.array([[3, nx // 2]]), rcv)
     prop = AcousticPropagator(grid, dt, f0, c_max, impl=impl)
+    # the official number is the DEFAULT path: impl='auto' must resolve to
+    # the whole-scan engine for this surface survey (VERDICT r2 item 6)
+    resolved = prop.fix_impl_for(geom)
 
     times = {}
     for nt in (nt_lo, nt_hi):
@@ -69,7 +72,7 @@ def bench_fwd_adjoint(
     per_step = (times[nt_hi] - times[nt_lo]) / (nt_hi - nt_lo)
     seconds_per_shot = per_step * nt_marmousi
     return {
-        "impl": prop.impl,
+        "impl": resolved,
         "us_per_step_fwd_adjoint": per_step * 1e6,
         "seconds_per_shot_nt5000": seconds_per_shot,
         "shots_per_sec_per_chip": 1.0 / seconds_per_shot,

@@ -10,6 +10,8 @@ shard_map-composable functions of the traced inputs (vp, wavelet, geometry).
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,8 +47,17 @@ class AcousticPropagator:
         """impl: 'pallas' (fused single-step TPU kernels),
         'pallas_scanres' (whole-scan-resident kernels — fastest; requires
         all receivers of a shot within a 16-row slab, e.g. surface
-        acquisition), 'jnp' (XLA twin — CPU, fp64, 3D), or 'auto'
-        (pallas when 2D+fp32 on a TPU backend).
+        acquisition), 'jnp' (XLA twin — CPU, fp64, 3D), or 'auto'.
+
+        'auto' resolves to 'jnp' off-TPU (or for fp64/3D); on a TPU
+        backend with a 2D fp32 grid the choice between the whole-scan-
+        resident engine (the benched fastest path) and the single-step
+        engine is geometry-dependent (the scanres receiver-slab
+        contract), so it is deferred: each __call__ with a CONCRETE
+        geometry picks scanres when every shot's receivers fit one
+        8-aligned 16-row slab, else falls back to 'pallas' with a logged
+        reason. FwiProblem resolves it once up front against the survey
+        (fix_impl_for), so the driver path gets the benched engine too.
 
         tape_dtype (jnp engine only, e.g. jnp.bfloat16): store the
         boundary-ring tape compressed — halves tape memory at a measured
@@ -59,34 +70,102 @@ class AcousticPropagator:
         self.dtype = dtype
         if impl == "auto":
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
-            impl = (
-                "pallas"
-                if (grid.ndim == 2 and dtype == jnp.float32 and on_tpu)
-                else "jnp"
-            )
+            if not (grid.ndim == 2 and dtype == jnp.float32 and on_tpu):
+                impl = "jnp"
         self.impl = impl
-        if impl == "pallas":
-            from ..adjoint_pallas import make_simulator_pallas
-
-            if dtype != jnp.float32:
-                raise ValueError("pallas path is fp32 only")
-            self._simulate = make_simulator_pallas(grid, dt, f0, c_max)
-        elif impl == "pallas_scanres":
-            from ..adjoint_pallas_scanres import make_simulator_pallas_scanres
-
-            if dtype != jnp.float32:
-                raise ValueError("pallas path is fp32 only")
-            self._simulate = make_simulator_pallas_scanres(grid, dt, f0, c_max)
-        else:
-            self._simulate = make_simulator(grid, dt, f0, c_max, dtype,
-                                            tape_dtype=tape_dtype)
+        self._sims: dict = {}
+        self._tape_dtype = tape_dtype
         if tape_dtype is not None and impl != "jnp":
             raise ValueError("tape_dtype is a jnp-engine option")
+        if impl != "auto":
+            self._sim(impl)  # build eagerly: surface config errors here
         profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
         self._a = tuple(jnp.asarray(p[0], dtype) for p in profs)
         self._b = tuple(jnp.asarray(p[1], dtype) for p in profs)
         self._step = make_acoustic_step(grid)
         self.rings = RingSpec.build(grid)
+
+    # -- engine selection ----------------------------------------------------
+
+    def _sim(self, impl: str):
+        """Build (once) and return the simulate() of one engine.
+
+        Deferred 'auto' resolution means this can run INSIDE a jit
+        trace; the engines' constant arrays (CPML strip profiles, FD
+        band matrices) must not become tracers captured in the cached
+        closure (a leaked-tracer error on the next jit), so the
+        construction is forced to compile-time eval."""
+        if impl not in self._sims:
+            with jax.ensure_compile_time_eval():
+                self._build_sim(impl)
+        return self._sims[impl]
+
+    def _build_sim(self, impl: str):
+        if impl == "pallas":
+            from ..adjoint_pallas import make_simulator_pallas
+
+            if self.dtype != jnp.float32:
+                raise ValueError("pallas path is fp32 only")
+            self._sims[impl] = make_simulator_pallas(
+                self.grid, self.dt, self.f0, self.c_max
+            )
+        elif impl == "pallas_scanres":
+            from ..adjoint_pallas_scanres import (
+                make_simulator_pallas_scanres,
+            )
+
+            if self.dtype != jnp.float32:
+                raise ValueError("pallas path is fp32 only")
+            self._sims[impl] = make_simulator_pallas_scanres(
+                self.grid, self.dt, self.f0, self.c_max
+            )
+        else:
+            self._sims[impl] = make_simulator(
+                self.grid, self.dt, self.f0, self.c_max, self.dtype,
+                tape_dtype=self._tape_dtype,
+            )
+
+    def resolve_impl(self, geom: Geometry | None = None,
+                     rcv_rows: int = 16) -> str:
+        """The engine a call with ``geom`` will use. For impl='auto' on
+        the TPU/2D/fp32 tier this is the scanres slab check: every shot's
+        receiver rows must fit within ``rcv_rows`` of their 8-aligned slab
+        start. Traced geometry (inside jit/vmap with geometry arguments)
+        cannot be checked and falls back to the single-step engine."""
+        if self.impl != "auto":
+            return self.impl
+        reason = None
+        if geom is None:
+            reason = "no geometry to check the scanres receiver slab against"
+        else:
+            try:
+                rz = np.asarray(geom.rcv_idx[..., 0]).reshape(
+                    -1, geom.rcv_idx.shape[-2]
+                )
+                spread = int((rz.max(1) - (rz.min(1) // 8) * 8 + 1).max())
+                if spread > rcv_rows:
+                    reason = (
+                        f"receiver rows span {spread} > {rcv_rows} from the "
+                        "8-aligned slab start (scanres contract)"
+                    )
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                reason = "geometry is traced (jit/vmap argument)"
+        if reason is None:
+            return "pallas_scanres"
+        logging.getLogger(__name__).info(
+            "impl='auto': falling back to the single-step pallas engine: %s",
+            reason,
+        )
+        return "pallas"
+
+    def fix_impl_for(self, geom: Geometry) -> str:
+        """Resolve impl='auto' ONCE against a concrete (possibly stacked)
+        survey geometry and pin it — used by FwiProblem so the jitted
+        objectives (whose geometry arguments are traced) still get the
+        whole-scan engine when the survey satisfies its contract."""
+        self.impl = self.resolve_impl(geom)
+        return self.impl
 
     # -- model prep ---------------------------------------------------------
 
@@ -101,7 +180,8 @@ class AcousticPropagator:
     def __call__(self, vp: jax.Array, geom: Geometry, wavelet: jax.Array) -> jax.Array:
         """Seismogram (nt, nrec); differentiable in vp and wavelet via the
         boundary-saving custom VJP (tpufwi/adjoint.py)."""
-        return self._simulate(
+        simulate = self._sim(self.resolve_impl(geom))
+        return simulate(
             self.c2dt2(vp), wavelet.astype(self.dtype), geom.src_idx, geom.rcv_idx
         )
 

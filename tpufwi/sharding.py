@@ -75,6 +75,7 @@ def shot_parallel_loss(
     single_shot_loss: Callable,
     mesh: Mesh,
     axis="shot",
+    shot_loop: str = "map",
 ) -> Callable:
     """Lift loss(model, shot_geom, shot_data, *extra) -> scalar to a
     shot-sharded total loss over stacked shots.
@@ -90,10 +91,31 @@ def shot_parallel_loss(
     ``axis`` may be a tuple of mesh axis names (see shard_shots): the
     multi-slice layout ``axis=("slice", "shot")`` psums over both — XLA
     reduces intra-slice partials over ICI before crossing DCN once.
+
+    ``shot_loop``: "map" (default) runs the local shot chunk through
+    ``lax.map`` — one wavefield in memory at a time. "unroll" runs a
+    Python loop over the (static) local chunk instead: same gradient
+    accumulation, but no while-loop wrapping — the form required by the
+    whole-scan-resident pallas engine, whose streamed outputs do not
+    tolerate lax.map while-body fusion (kernels/
+    acoustic2d_pallas_scanres.py "Composition contract").
     """
 
     def total(model, geoms, data, *extra):
         def per_device(model_l, geoms_l, data_l, *extra_l):
+            if shot_loop == "unroll":
+                n = jax.tree.leaves(data_l)[0].shape[0]
+                loss_l = sum(
+                    single_shot_loss(
+                        model_l,
+                        jax.tree.map(lambda x: x[i], geoms_l),
+                        jax.tree.map(lambda x: x[i], data_l),
+                        *extra_l,
+                    )
+                    for i in range(n)
+                )
+                return jax.lax.psum(loss_l, axis)
+
             def one(args):
                 g, d = args
                 return single_shot_loss(model_l, g, d, *extra_l)
