@@ -74,3 +74,166 @@ def test_gspmd_forward_and_gradient_match_unsharded():
     g_sh = np.asarray(jax.jit(jax.grad(loss(sim_sh)))(c2_sh * 1.01))
     err = np.abs(g_sh - g_ref).max() / np.abs(g_ref).max()
     assert err < 1e-10, f"gspmd sharded vs unsharded gradient: {err:.3e}"
+
+
+# ---------------------------------------------------------------------------
+# Fused engine x domain sharding (round-3: VERDICT r2 item 2)
+# ---------------------------------------------------------------------------
+
+
+def _setup_fused():
+    """Geometry chosen to exercise the sharded fused engine hard: padded
+    NY=64 over 4 y-devices (L=16, two pure-interior slabs), sources on
+    two different slabs, receivers strung across ALL slabs in y."""
+    grid = Grid(shape=(44, 20, 44), h=(12.0, 12.0, 12.0), pml=8, order=4)
+    c_max, f0 = 2500.0, 9.0
+    dt = grid.cfl_dt(c_max, safety=0.6)
+    nt = 30
+    rng = np.random.default_rng(5)
+    NY, NZ, NX = grid.padded_shape
+    pad = grid.pad
+    vp = 2100.0 + 140 * rng.standard_normal(grid.shape).astype(np.float32)
+    vp_pad = np.pad(vp, pad, mode="edge")
+    c2 = jnp.asarray(((vp_pad * dt) ** 2).astype(np.float32))
+    from tpufwi.wavelets import ricker
+
+    w = ricker(f0, dt, nt).astype(jnp.float32)
+    ry = np.arange(pad + 2, NY - pad - 2, 3, dtype=np.int32)
+    rcv = np.stack(
+        [ry, np.full_like(ry, pad + 3), np.full_like(ry, NX // 2)], 1
+    )
+    srcs = np.array(
+        [[[NY // 4, pad + 2, NX // 3]], [[(3 * NY) // 4, pad + 2,
+                                          (2 * NX) // 3]]]
+    )
+    src_idx = jnp.asarray(srcs, jnp.int32)  # (2, 1, 3)
+    rcv_idx = jnp.asarray(np.stack([rcv, rcv]), jnp.int32)  # (2, nrec, 3)
+    return grid, dt, f0, c_max, c2, w, src_idx, rcv_idx
+
+
+def test_fused_sharded_forward_and_gradient_match_unsharded():
+    """The fused v2 kernels inside shard_map over a (shot=2, y=4) mesh:
+    forward seismograms and the boundary-saving gradient both match the
+    single-device fused engine (interpret mode, 8 virtual CPU devices).
+    SURVEY.md:164 'halo-aware so blocks compose with domain sharding'."""
+    from jax.sharding import Mesh
+    from tpufwi.adjoint3d_pallas import make_simulator3d_fused
+    from tpufwi.adjoint3d_pallas_sharded import (
+        make_simulator3d_fused_sharded,
+    )
+    from tpufwi.misfit import l2_misfit as _l2
+
+    grid, dt, f0, c_max, c2, w, src_idx, rcv_idx = _setup_fused()
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("shot", "y"))
+
+    sim_ref = make_simulator3d_fused(
+        grid, dt, f0, c_max, by=8, bz=8, bz_y=8, interpret=True
+    )
+    sim_sh = make_simulator3d_fused_sharded(
+        grid, dt, f0, c_max, mesh, by=8, bz=8, bz_y=8, interpret=True
+    )
+
+    # forward parity, both shots
+    s_ref = np.stack([
+        np.asarray(sim_ref(c2, w, src_idx[i], rcv_idx[i]))
+        for i in range(2)
+    ])
+    s_sh = np.asarray(jax.jit(sim_sh)(c2, w, src_idx, rcv_idx))
+    err = np.abs(s_sh - s_ref).max() / (np.abs(s_ref).max() + 1e-30)
+    assert err < 1e-5, f"fused sharded vs unsharded forward: {err:.3e}"
+
+    # gradient parity through an L2 misfit over both shots
+    d_obs = jnp.asarray(s_ref)
+
+    def loss_ref(c2_):
+        return sum(
+            _l2(sim_ref(c2_, w, src_idx[i], rcv_idx[i]), d_obs[i])
+            for i in range(2)
+        )
+
+    def loss_sh(c2_):
+        return _l2(sim_sh(c2_, w, src_idx, rcv_idx), d_obs)
+
+    c2p = c2 * 1.02
+    J_ref, g_ref = jax.value_and_grad(loss_ref)(c2p)
+    J_sh, g_sh = jax.jit(jax.value_and_grad(loss_sh))(c2p)
+    assert np.allclose(float(J_ref), float(J_sh), rtol=1e-5)
+    g_ref, g_sh = np.asarray(g_ref), np.asarray(g_sh)
+    err = np.abs(g_sh - g_ref).max() / (np.abs(g_ref).max() + 1e-30)
+    # Tolerance note: the sharded reconstruction imposes each slab's
+    # LOCAL ring rows with saved forward values; on interior slabs those
+    # rows would otherwise be reverse-recomputed, and fp32 forward vs
+    # reverse values differ at roundoff (the imposed values are the
+    # TRUER ones). Measured: 5e-4 max-norm here, while both engines sit
+    # 1.2e-2 from the XLA-engine gradient on this deliberately hard fp32
+    # setup — the sharding changes numerics 25x less than the engine
+    # family does. py=1 (layout-identical) is BITWISE exact (test below).
+    assert err < 2e-3, f"fused sharded vs unsharded gradient: {err:.3e}"
+
+
+def test_fused_sharded_py1_bitwise_identical():
+    """With one y device the local layout equals the global one — the
+    sharded engine must reproduce the unsharded gradient BITWISE (proves
+    the halo/profile/tape plumbing adds no numerical path of its own)."""
+    from jax.sharding import Mesh
+    from tpufwi.adjoint3d_pallas import make_simulator3d_fused
+    from tpufwi.adjoint3d_pallas_sharded import (
+        make_simulator3d_fused_sharded,
+    )
+    from tpufwi.misfit import l2_misfit as _l2
+
+    grid, dt, f0, c_max, c2, w, src_idx, rcv_idx = _setup_fused()
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2, 1), ("shot", "y"))
+    sim_ref = make_simulator3d_fused(
+        grid, dt, f0, c_max, by=8, bz=8, bz_y=8, interpret=True
+    )
+    sim_sh = make_simulator3d_fused_sharded(
+        grid, dt, f0, c_max, mesh, by=8, bz=8, bz_y=8, interpret=True
+    )
+    d_obs = jnp.stack([
+        sim_ref(c2, w, src_idx[i], rcv_idx[i]) for i in range(2)
+    ])
+    c2p = c2 * 1.02
+    g_ref = np.asarray(jax.grad(lambda c2_: sum(
+        _l2(sim_ref(c2_, w, src_idx[i], rcv_idx[i]), d_obs[i])
+        for i in range(2)
+    ))(c2p))
+    g_sh = np.asarray(jax.jit(jax.grad(
+        lambda c2_: _l2(sim_sh(c2_, w, src_idx, rcv_idx), d_obs)
+    ))(c2p))
+    assert np.array_equal(g_sh, g_ref), "py=1 sharded != unsharded bitwise"
+
+
+def test_fused_sharded_wavelet_cotangent_matches():
+    from jax.sharding import Mesh
+    from tpufwi.adjoint3d_pallas import make_simulator3d_fused
+    from tpufwi.adjoint3d_pallas_sharded import (
+        make_simulator3d_fused_sharded,
+    )
+    from tpufwi.misfit import l2_misfit as _l2
+
+    grid, dt, f0, c_max, c2, w, src_idx, rcv_idx = _setup_fused()
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("shot", "y"))
+    sim_ref = make_simulator3d_fused(
+        grid, dt, f0, c_max, by=8, bz=8, bz_y=8, interpret=True
+    )
+    sim_sh = make_simulator3d_fused_sharded(
+        grid, dt, f0, c_max, mesh, by=8, bz=8, bz_y=8, interpret=True
+    )
+    d_obs = jnp.stack([
+        sim_ref(c2, w, src_idx[i], rcv_idx[i]) for i in range(2)
+    ])
+    c2p = c2 * 1.02
+
+    def loss_ref(w_):
+        return sum(
+            _l2(sim_ref(c2p, w_, src_idx[i], rcv_idx[i]), d_obs[i])
+            for i in range(2)
+        )
+
+    g_ref = np.asarray(jax.grad(loss_ref)(w))
+    g_sh = np.asarray(jax.jit(jax.grad(
+        lambda w_: _l2(sim_sh(c2p, w_, src_idx, rcv_idx), d_obs)
+    ))(w))
+    err = np.abs(g_sh - g_ref).max() / (np.abs(g_ref).max() + 1e-30)
+    assert err < 1e-4, f"sharded wavelet cotangent: {err:.3e}"

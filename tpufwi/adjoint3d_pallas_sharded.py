@@ -1,0 +1,410 @@
+"""Fused 3D simulator, shot- AND domain-sharded (spec C5, BASELINE.json:11;
+SURVEY.md:164 "halo-aware so blocks compose with domain sharding", §3.5).
+
+Round-2 verdict item 2: the fast 3D engine (adjoint3d_pallas) was single-
+device; the multi-chip 3D path ran only on the jnp/GSPMD engine. This
+module puts the SAME fused v2 kernels inside `jax.shard_map` over a
+("shot", "y") mesh:
+
+  - The domain is decomposed along y — the merged kernel's untiled
+    leading axis (x is the 128-lane minor dim that every block spans by
+    design; z is blocked and shardable later by the same recipe).
+    Device row k owns the y-slab [k*L, (k+1)*L) of the padded grid.
+  - Per time step, each device ppermute-exchanges its radius-r edge rows
+    of the wavefield (forward and reconstruction) or of u = c2*lam (the
+    transposed stencil is itself a stencil over u), and the kernels run
+    with ``y_halo=True``: the halo slabs replace the zero extension at
+    the slab's interior cuts, while real global edges keep zeros
+    (ppermute fills uncovered destinations with zeros — exactly the
+    unsharded kernel's edge semantics).
+  - The y-face CPML kernels run on EVERY device (SPMD-uniform program)
+    with per-device (a, b) profile data: real values on the edge
+    devices, zeros elsewhere — every term of the corr/tcorr algebra is
+    proportional to a or b, so interior devices compute exact structural
+    no-ops. The z/x faces span all slabs and use the global profiles.
+  - The boundary-ring tape, final snapshots, and imaging accumulator are
+    sharded with the domain (each device tapes only its slab), so tape
+    HBM scales 1/py — the full-scale-3D memory binder
+    (docs/ROADMAP.md known constraints).
+
+Per-step collectives: two ppermutes of (r, NZe, NX) slabs over "y" (ICI
+neighbors on a real mesh). Per-shot: one psum of the (nt, nrec)
+seismogram; the wavelet cotangent and gradient psum once at the end.
+
+Exactness: per-block kernel computations are IDENTICAL to the unsharded
+engine given identical inputs, and the halo exchange feeds each block
+exactly the rows the unsharded kernel reads — parity is fp-exact up to
+collective reduction order (tests/test_sharding3d.py fused cases).
+
+Constraints (checked): padded NY % py == 0; L = NY // py divisible by
+``by``; the y CPML face (pml + 3*radius rows) contained in one slab;
+nshot % mesh.shape[shot_axis] == 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .cpml import CpmlProfile
+from .grid import Grid
+from .kernels.acoustic3d_pallas import crop_yz, extend_yz, z_extended
+from .kernels.acoustic3d_fused2 import make_acoustic3d_fused_step2
+from .kernels.acoustic3d_bwd_pallas import (
+    extract_tape3d,
+    make_recon3d_kernel,
+    make_tcorr3d_y,
+    make_tcorr3d_z,
+    make_transpose3d_kernel,
+)
+from .propagators.boundary import RingSpec
+
+H = 8  # kernel halo-slab row count (8-sublane aligned; radius rows used)
+
+
+def _int_cotangent(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def make_simulator3d_fused_sharded(
+    grid: Grid,
+    dt: float,
+    f0: float,
+    c_max: float,
+    mesh: Mesh,
+    shot_axis: str = "shot",
+    y_axis: str = "y",
+    by: int = 8,
+    bz: int = 64,
+    bz_y: int = 16,
+    interpret: bool = False,
+):
+    """simulate(c2dt2, wavelet, src_idx, rcv_idx) -> seis (nshot, nt, nrec)
+    with the boundary-saving custom VJP, shot+domain sharded over ``mesh``.
+
+    c2dt2: (c*dt)^2 on the PADDED grid, fp32 (replicated in; its cotangent
+    comes back y-sharded). wavelet: (nt,), shared across shots. src_idx /
+    rcv_idx: (nshot, nsrc|nrec, 3) padded-grid indices. Seismogram rows of
+    receivers are exact for every receiver (each device gathers the rows
+    it owns; psum over "y" assembles the trace).
+    """
+    if grid.ndim != 3:
+        raise ValueError("needs a 3D grid")
+    py = mesh.shape[y_axis]
+    r = grid.radius
+    S = grid.pml + r
+    W = S + 2 * r
+    NY, NZ, NX = grid.padded_shape
+    pad = grid.pad
+    dtype = jnp.float32
+    if NY % py != 0:
+        raise ValueError(f"padded NY={NY} not divisible by mesh y={py}")
+    L = NY // py
+    if L % by != 0:
+        raise ValueError(f"slab height {L} not divisible by by={by}")
+    if W > L:
+        raise ValueError(
+            f"y CPML face ({W} rows) does not fit one slab of {L} rows; "
+            "use fewer y devices or a thinner pml"
+        )
+    # Local grid view: same pml/order/h, y extent = one slab. Every piece
+    # of kernel geometry then lands at the correct LOCAL position:
+    # device 0's y-lo face is global rows [0, W) = local [0, W); device
+    # py-1's y-hi face is global [NY-W, NY) = local [L-W, L); the local
+    # ring windows are global-correct on the edge devices and impose
+    # saved TRUE interior values on the others (harmless by definition).
+    lgrid = dataclasses.replace(
+        grid, shape=(L - 2 * pad, grid.shape[1], grid.shape[2])
+    )
+    assert lgrid.padded_shape == (L, NZ, NX)
+    NZe = z_extended(lgrid, bz)
+    rings = RingSpec.build(grid)  # GLOBAL gradient mask
+
+    # ---- profile data ----
+    def _prof(ax):
+        prof = CpmlProfile.build(
+            n=grid.shape[ax], pml=grid.pml, radius=grid.radius,
+            h=grid.h[ax], dt=dt, c_max=c_max, f0=f0,
+            free_lo=(grid.free_surface and ax == 1),
+        )
+        n_pad = grid.padded_shape[ax]
+        shp = [(S, 1, 1), (1, S, 1), (1, 1, S)][ax]
+        lo = (jnp.asarray(prof.a[:S], dtype).reshape(shp),
+              jnp.asarray(prof.b[:S], dtype).reshape(shp))
+        hi = (jnp.asarray(prof.a[n_pad - S:], dtype).reshape(shp),
+              jnp.asarray(prof.b[n_pad - S:], dtype).reshape(shp))
+        return lo, hi
+
+    ylo_ab, yhi_ab = _prof(0)
+    (azl, bzl), (azh, bzh) = _prof(1)
+    (axl, bxl), (axh, bxh) = _prof(2)
+
+    # ---- local kernels (host-side factories, built once) ----
+    _zp = (jnp.zeros((S, 1, 1), dtype), jnp.zeros((S, 1, 1), dtype))
+    step2, zero_state = make_acoustic3d_fused_step2(
+        lgrid, dt, f0, c_max, by=by, bz=bz, bz_y=bz_y,
+        interpret=interpret, y_halo=True, y_profiles=(_zp, _zp),
+    )
+    recon = make_recon3d_kernel(lgrid, by=by, bz=bz, interpret=interpret,
+                                y_halo=True)
+    transp = make_transpose3d_kernel(lgrid, by=by, bz=bz,
+                                     interpret=interpret, y_halo=True)
+    tcy = {s: make_tcorr3d_y(lgrid, s, bz_y, NZe, by, interpret)
+           for s in (0, 1)}
+    tcz = {s: make_tcorr3d_z(lgrid, s, by, L, interpret) for s in (0, 1)}
+
+    perm_dn = [(k, k + 1) for k in range(py - 1)]
+    perm_up = [(k + 1, k) for k in range(py - 1)]
+
+    def _halos(f):
+        """(hylo, hyhi): (H, NZe, NX) neighbor-edge slabs of local f."""
+        bot = lax.slice_in_dim(f, L - r, L, axis=0)
+        top = lax.slice_in_dim(f, 0, r, axis=0)
+        hlo = lax.ppermute(bot, y_axis, perm_dn)
+        hhi = lax.ppermute(top, y_axis, perm_up)
+        zp = jnp.zeros((H - r,) + f.shape[1:], f.dtype)
+        return (jnp.concatenate([zp, hlo], 0),
+                jnp.concatenate([hhi, zp], 0))
+
+    def _yprofs():
+        """Per-device y-face (a, b): real on the edge devices, zeros
+        inside (exact structural no-op of the face kernels)."""
+        iy = lax.axis_index(y_axis)
+        s_lo = (iy == 0).astype(dtype)
+        s_hi = (iy == py - 1).astype(dtype)
+        return ((ylo_ab[0] * s_lo, ylo_ab[1] * s_lo),
+                (yhi_ab[0] * s_hi, yhi_ab[1] * s_hi))
+
+    def _local_coords(idx):
+        """Global padded (n, 3) indices -> local coords + ownership."""
+        iy = lax.axis_index(y_axis)
+        yl = idx[..., 0].astype(jnp.int32) - iy * jnp.int32(L)
+        own = ((yl >= 0) & (yl < L)).astype(dtype)
+        yl = jnp.clip(yl, 0, L - 1)
+        return (yl, idx[..., 1].astype(jnp.int32),
+                idx[..., 2].astype(jnp.int32)), own
+
+    def _fs_mask(idx):
+        if not grid.free_surface:
+            return 1.0
+        return (idx[..., 1] != grid.pad).astype(dtype)
+
+    # ------------- per-device, per-shot forward -------------
+
+    def _fwd_one(c2e, wavelet, src_idx, rcv_idx, with_tape):
+        yprofs = _yprofs()
+        src, s_own = _local_coords(src_idx)
+        rcv, r_own = _local_coords(rcv_idx)
+        smask = _fs_mask(src_idx) * s_own
+
+        def body(s, w_t):
+            halos = _halos(s[1])
+            s = step2(s, c2e, halos=halos, y_profiles_override=yprofs)
+            p_prev, p_next, strips = s
+            p_next = p_next.at[src].add(smask * c2e[src] * w_t,
+                                        mode="drop")
+            rec = p_next[rcv] * r_own
+            ys = ((rec, extract_tape3d(lgrid, p_next)) if with_tape
+                  else rec)
+            return (p_prev, p_next, strips), ys
+
+        final, ys = lax.scan(body, zero_state(), wavelet)
+        return final, ys
+
+    # ------------- per-device, per-shot backward -------------
+
+    def _bwd_one(c2e, wavelet, src_idx, rcv_idx, tape, p_pen, p_last,
+                 seis_bar):
+        yprofs = _yprofs()
+        (ayl, byl), (ayh, byh) = yprofs
+        src, s_own = _local_coords(src_idx)
+        rcv, r_own = _local_coords(rcv_idx)
+        smask = _fs_mask(src_idx) * s_own
+        rmask = _fs_mask(rcv_idx) * r_own
+
+        # tape_t = rings(p_{t+1}); reverse at t needs rings(p_{t-1}) =
+        # tape_{t-2} (zeros for t < 2)
+        def shift2(T):
+            z = jnp.zeros((2,) + T.shape[1:], T.dtype)
+            return jnp.concatenate([z, T[:-2]], axis=0)
+
+        tape_tm1 = jax.tree.map(shift2, tape)
+
+        zf = jnp.zeros((L, NZe, NX), dtype)
+        zS_y = jnp.zeros((S, NZe, NX), dtype)
+        zS_z = jnp.zeros((L, S, NX), dtype)
+        zS_x = jnp.zeros((L, NZe, S), dtype)
+        offs = {0: (0, L - W), 1: (0, NZ - W)}
+
+        def _slice(f, ax, side):
+            return lax.slice_in_dim(f, offs[ax][side],
+                                    offs[ax][side] + W, axis=ax)
+
+        def bwd_body(carry, xs):
+            (p_t, p_tp1, lam, lam_prev, gacc,
+             dy, dz, dx, wsrc_acc) = carry
+            ring_tm1, w_t, ybar_t = xs
+            lam = lam.at[rcv].add(rmask * ybar_t, mode="drop")
+            lam_at_src = smask * lam[src]
+            w_inc = jnp.sum(c2e[src] * lam_at_src)
+            wsrc_acc = wsrc_acc + w_t * lam_at_src
+            # recon + imaging, with halos of p_t
+            p_tm1, gacc = recon(p_tp1, p_t, c2e, lam, gacc, ring_tm1,
+                                halos=_halos(p_t))
+            p_tm1 = p_tm1.at[src].add(smask * c2e[src] * w_t,
+                                      mode="drop")
+            # transposed step on u = c2 * lam, with halos of u
+            u = c2e * lam
+            upds_y, upds_z = [], []
+            dy2, dz2 = [], []
+            prof_y = {0: (ayl, byl), 1: (ayh, byh)}
+            prof_z = {0: (azl, bzl), 1: (azh, bzh)}
+            for ax, tc, duals, ulist, nlist, prof in (
+                (0, tcy, dy, upds_y, dy2, prof_y),
+                (1, tcz, dz, upds_z, dz2, prof_z),
+            ):
+                for side in (0, 1):
+                    pb, psd = duals[2 * side], duals[2 * side + 1]
+                    a, b = prof[side]
+                    upd, pb2, ps2 = tc[side](
+                        _slice(u, ax, side), pb, psd, a, b
+                    )
+                    ulist.append(upd)
+                    nlist += [pb2, ps2]
+            pbxl, psxl, pbxh, psxh = dx
+            lam_next, pbxl2, psxl2, pbxh2, psxh2 = transp(
+                lam_prev, lam, u, pbxl, psxl, pbxh, psxh,
+                axl, bxl, axh, bxh,
+                upds_y[0], upds_y[1], upds_z[0], upds_z[1],
+                halos=_halos(u),
+            )
+            new_carry = (
+                p_tm1, p_t, lam_next, lam, gacc,
+                tuple(dy2), tuple(dz2),
+                (pbxl2, psxl2, pbxh2, psxh2), wsrc_acc,
+            )
+            return new_carry, w_inc
+
+        carry0 = (
+            p_pen, p_last, zf, zf, zf,
+            (zS_y, zS_y, zS_y, zS_y), (zS_z, zS_z, zS_z, zS_z),
+            (zS_x, zS_x, zS_x, zS_x),
+            jnp.zeros(src_idx.shape[:-1], dtype),
+        )
+        xs = (tape_tm1, wavelet, seis_bar)
+        carry_f, wbar = lax.scan(bwd_body, carry0, xs, reverse=True)
+        gacc, wsrc_acc = carry_f[4], carry_f[8]
+        c2bar_e = gacc.at[src].add(wsrc_acc * s_own, mode="drop")
+        return c2bar_e, wbar
+
+    # ------------- shard_map wrappers -------------
+
+    spec_c2 = P(y_axis, None, None)
+    spec_shot = P(shot_axis, None, None)
+    spec_seis = P(shot_axis, None, None)
+
+    def _fwd_dev(c2_l, wavelet, si_l, ri_l, with_tape):
+        c2e = extend_yz(c2_l, lgrid, by=by, bz=bz)
+        n = si_l.shape[0]
+        outs = []
+        for i in range(n):  # local shot loop (static)
+            final, ys = _fwd_one(c2e, wavelet, si_l[i], ri_l[i],
+                                 with_tape)
+            if with_tape:
+                rec, tape = ys
+            else:
+                rec, tape = ys, None
+            rec = lax.psum(rec, y_axis)  # assemble full traces
+            outs.append((rec, tape, final[0], final[1]))
+        seis = jnp.stack([o[0] for o in outs])
+        if not with_tape:
+            return seis
+        tape = jax.tree.map(lambda *x: jnp.stack(x),
+                            *[o[1] for o in outs])
+        p_pen = jnp.stack([o[2] for o in outs])
+        p_last = jnp.stack([o[3] for o in outs])
+        return seis, tape, p_pen, p_last
+
+    def _bwd_dev(c2_l, wavelet, si_l, ri_l, tape, p_pen, p_last,
+                 seis_bar):
+        c2e = extend_yz(c2_l, lgrid, by=by, bz=bz)
+        n = si_l.shape[0]
+        gacc = None
+        wbar = None
+        for i in range(n):
+            t_i = jax.tree.map(lambda x: x[i], tape)
+            g_i, w_i = _bwd_one(c2e, wavelet, si_l[i], ri_l[i], t_i,
+                                p_pen[i], p_last[i], seis_bar[i])
+            gacc = g_i if gacc is None else gacc + g_i
+            wbar = w_i if wbar is None else wbar + w_i
+        gbar = crop_yz(lax.psum(gacc, shot_axis), lgrid)
+        wbar = lax.psum(wbar, (shot_axis, y_axis))
+        return gbar, wbar
+
+    # tape slab out-specs: slab k of each device concatenates along its
+    # own slab axis — y slabs along their window axis (1 after nt),
+    # z/x slabs along the local-y axis
+    n_tape = 6
+
+    def _tape_specs():
+        # tape pytree: tuple of 6 arrays, each (nshot_l, nt, ...) local.
+        # y-lo/y-hi slabs: axis 2 is the y window -> concat over y there.
+        # z/x slabs: axis 2 is local y -> concat over y there too.
+        return tuple(P(shot_axis, None, y_axis, None, None)
+                     for _ in range(n_tape))
+
+    fwd_plain = jax.shard_map(
+        lambda c2, w, si, ri: _fwd_dev(c2, w, si, ri, False),
+        mesh=mesh,
+        in_specs=(spec_c2, P(), spec_shot, spec_shot),
+        out_specs=spec_seis,
+        check_vma=False,
+    )
+    fwd_tape = jax.shard_map(
+        lambda c2, w, si, ri: _fwd_dev(c2, w, si, ri, True),
+        mesh=mesh,
+        in_specs=(spec_c2, P(), spec_shot, spec_shot),
+        out_specs=(spec_seis, _tape_specs(),
+                   P(shot_axis, y_axis, None, None),
+                   P(shot_axis, y_axis, None, None)),
+        check_vma=False,
+    )
+    bwd_sharded = jax.shard_map(
+        _bwd_dev,
+        mesh=mesh,
+        in_specs=(spec_c2, P(), spec_shot, spec_shot, _tape_specs(),
+                  P(shot_axis, y_axis, None, None),
+                  P(shot_axis, y_axis, None, None), spec_seis),
+        out_specs=(spec_c2, P()),
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def simulate(c2dt2, wavelet, src_idx, rcv_idx):
+        return fwd_plain(c2dt2, wavelet, src_idx, rcv_idx)
+
+    def simulate_fwd(c2dt2, wavelet, src_idx, rcv_idx):
+        seis, tape, p_pen, p_last = fwd_tape(
+            c2dt2, wavelet, src_idx, rcv_idx
+        )
+        return seis, (c2dt2, wavelet, src_idx, rcv_idx, tape, p_pen,
+                      p_last)
+
+    def simulate_bwd(res, seis_bar):
+        c2dt2, wavelet, src_idx, rcv_idx, tape, p_pen, p_last = res
+        gbar, wbar = bwd_sharded(
+            c2dt2, wavelet, src_idx, rcv_idx, tape, p_pen, p_last,
+            seis_bar.astype(dtype),
+        )
+        gbar = rings.mask_valid(gbar)
+        nt = wavelet.shape[0]
+        return (gbar, wbar[:nt], _int_cotangent(src_idx),
+                _int_cotangent(rcv_idx))
+
+    simulate.defvjp(simulate_fwd, simulate_bwd)
+    return simulate

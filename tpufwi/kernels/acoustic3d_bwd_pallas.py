@@ -91,16 +91,21 @@ def extract_tape3d(grid: Grid, p):
 
 
 def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
-                        interpret: bool = False):
+                        interpret: bool = False, y_halo: bool = False):
     """R kernel: blocked reverse leapfrog + ring imposition + imaging.
 
     call(p_tp1, p_t, c2, lam, gacc, ry_lo, ry_hi, rz_lo, rz_hi,
-         rx_lo, rx_hi) -> (p_tm1, gacc')
+         rx_lo, rx_hi[, hylo, hyhi]) -> (p_tm1, gacc')
     [p_tp1 aliased to p_tm1; gacc aliased in place]
 
     The caller adds the source term (c2[src]*w_t scatter) and consumes
     lam from the SAME reverse step (imaging pairs lam_t with lap(p_t),
     exactly as the 2D reverse kernel does).
+
+    ``y_halo``: domain-sharded composition (adjoint3d_pallas_sharded) —
+    the slab's y edges are interior cuts; (H, NZe, NX) halo slabs of p_t
+    (exchanged by the caller) replace the zero extension at gy==0 /
+    gy==nyb-1 (rows [H-r, H) of hylo, [0, r) of hyhi).
     """
     NYe = y_extended(grid, by)
     NZe = z_extended(grid, bz)
@@ -136,10 +141,15 @@ def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
     (ozl, wzl), (ozh, wzh) = wins[1]
     (oxl, _), (oxh, _) = wins[2]
 
-    def kernel2(p_tp1_ref, p_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref,
-                c2_ref, lam_ref, gacc_ref,
-                ryl_ref, ryh_ref, rzl_ref, rzh_ref, rxl_ref, rxh_ref,
-                out_ref, gacc_o, scr_ref):
+    def kernel2(*refs):
+        (p_tp1_ref, p_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref,
+         c2_ref, lam_ref, gacc_ref,
+         ryl_ref, ryh_ref, rzl_ref, rzh_ref, rxl_ref, rxh_ref) = refs[:15]
+        i = 15
+        if y_halo:
+            hylo_ref, hyhi_ref = refs[i : i + 2]
+            i += 2
+        out_ref, gacc_o, scr_ref = refs[i : i + 3]
         gz = pl.program_id(0)
         gy = pl.program_id(1)
         zcol = jnp.zeros((BY + 2 * r, BZ + 2 * H, r), dtype)
@@ -160,6 +170,17 @@ def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
             scr_ref[r + BY : 2 * r + BY, H : H + BZ, PX : PX + NX] = (
                 yhi_ref[0:r]
             )
+
+        if y_halo:
+            @pl.when(gy == 0)
+            def _():
+                scr_ref[0:r, H : H + BZ, PX : PX + NX] = hylo_ref[H - r : H]
+
+            @pl.when(gy == nyb - 1)
+            def _():
+                scr_ref[r + BY : 2 * r + BY, H : H + BZ, PX : PX + NX] = (
+                    hyhi_ref[0:r]
+                )
 
         zz = jnp.zeros((BY, H, NX), dtype)
         scr_ref[r : r + BY, 0:H, PX : PX + NX] = zz
@@ -248,6 +269,13 @@ def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
     rx = bspec((BY, BZ, r), lambda gz, gy: (gy, gz, 0),
                       memory_space=pltpu.VMEM)
 
+    in_specs = [blk, blk, ylo, yhi, zlo, zhi, blk, blk, blk,
+                ry, ryh_s, rz, rzh_s, rx, rx]
+    if y_halo:
+        hspec = bspec((H, BZ, NX), lambda gz, gy: (0, gz, 0),
+                      memory_space=pltpu.VMEM)
+        in_specs += [hspec, hspec]
+
     call = pl.pallas_call(
         kernel2,
         grid=(nzb, nyb),
@@ -255,8 +283,7 @@ def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
             jax.ShapeDtypeStruct((NYe, NZe, NX), dtype),
             jax.ShapeDtypeStruct((NYe, NZe, NX), dtype),
         ),
-        in_specs=[blk, blk, ylo, yhi, zlo, zhi, blk, blk, blk,
-                  ry, ryh_s, rz, rzh_s, rx, rx],
+        in_specs=in_specs,
         out_specs=(blk, blk),
         scratch_shapes=[
             pltpu.VMEM((BY + 2 * r, BZ + 2 * H, NX + 2 * PX), dtype)
@@ -268,10 +295,10 @@ def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
         interpret=interpret,
     )
 
-    def recon(p_tp1, p_t, c2, lam, gacc, tape_slabs):
+    def recon(p_tp1, p_t, c2, lam, gacc, tape_slabs, halos=()):
         ryl, ryh, rzl, rzh, rxl, rxh = tape_slabs
         return call(p_tp1, p_t, p_t, p_t, p_t, p_t, c2, lam, gacc,
-                    ryl, ryh, rzl, rzh, rxl, rxh)
+                    ryl, ryh, rzl, rzh, rxl, rxh, *halos)
 
     return recon
 
@@ -476,14 +503,19 @@ def make_tcorr3d_z(grid: Grid, side: int, by: int, NYe: int,
 
 
 def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
-                            interpret: bool = False):
+                            interpret: bool = False, y_halo: bool = False):
     """T kernel: lam' = 2 lam - lam_prev + lap(u) + transposed x-face
     in-block + y/z upd slab application (sticky maps, as forward v2).
 
     call(lam_prev, lam, u, pbx_lo, psx_lo, pbx_hi, psx_hi,
-         ax_lo, bx_lo, ax_hi, bx_hi, uyl, uyh, uzl, uzh)
+         ax_lo, bx_lo, ax_hi, bx_hi, uyl, uyh, uzl, uzh[, hylo, hyhi])
       -> (lam_next, pbx_lo', psx_lo', pbx_hi', psx_hi')
     [lam_prev aliased to lam_next; x dual states aliased]
+
+    ``y_halo``: sharded composition — the (H, NZe, NX) halo slabs carry
+    the neighbor devices' edge rows of U (= c2*lam; the transposed
+    stencil is itself a stencil over u, so exchanging u's halos makes
+    the local transpose equal the global one on owned rows).
     """
     from .acoustic3d_fused2 import z_window
 
@@ -541,12 +573,17 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
             sites.append((jb, lo - jb * BZ, hi - jb * BZ, lo - o, hi - o))
         zapply[s] = (o, WZP, sites)
 
-    def kernel(lp_ref, lam_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref, u_ref,
-               pbxl_ref, psxl_ref, pbxh_ref, psxh_ref,
-               axl_ref, bxl_ref, axh_ref, bxh_ref,
-               k1x_ref, kexl_ref, kexh_ref, kyxl_ref, kyxh_ref,
-               uyl_ref, uyh_ref, uzl_ref, uzh_ref,
-               out_ref, pbxl_o, psxl_o, pbxh_o, psxh_o, scr_ref):
+    def kernel(*refs):
+        (lp_ref, lam_ref, ylo_ref, yhi_ref, zlo_ref, zhi_ref, u_ref,
+         pbxl_ref, psxl_ref, pbxh_ref, psxh_ref,
+         axl_ref, bxl_ref, axh_ref, bxh_ref,
+         k1x_ref, kexl_ref, kexh_ref, kyxl_ref, kyxh_ref,
+         uyl_ref, uyh_ref, uzl_ref, uzh_ref) = refs[:24]
+        i = 24
+        if y_halo:
+            hylo_ref, hyhi_ref = refs[i : i + 2]
+            i += 2
+        out_ref, pbxl_o, psxl_o, pbxh_o, psxh_o, scr_ref = refs[i : i + 6]
         gz = pl.program_id(0)
         gy = pl.program_id(1)
         # scratch holds u (for lap and the x-face algebra)
@@ -568,6 +605,17 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
             scr_ref[r + BY : 2 * r + BY, H : H + BZ, PX : PX + NX] = (
                 yhi_ref[0:r]
             )
+
+        if y_halo:
+            @pl.when(gy == 0)
+            def _():
+                scr_ref[0:r, H : H + BZ, PX : PX + NX] = hylo_ref[H - r : H]
+
+            @pl.when(gy == nyb - 1)
+            def _():
+                scr_ref[r + BY : 2 * r + BY, H : H + BZ, PX : PX + NX] = (
+                    hyhi_ref[0:r]
+                )
 
         zz = jnp.zeros((BY, H, NX), dtype)
         scr_ref[r : r + BY, 0:H, PX : PX + NX] = zz
@@ -721,6 +769,16 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
 
         return bspec((BY, WZP, NX), idx, memory_space=pltpu.VMEM)
 
+    in_specs = [blk, blk, ylo, yhi, zlo, zhi, blk,
+                blkS, blkS, blkS, blkS,
+                vspec, vspec, vspec, vspec,
+                vspec, vspec, vspec, vspec, vspec,
+                uyl, uyh, _uz_spec(0), _uz_spec(1)]
+    if y_halo:
+        hspec = bspec((H, BZ, NX), lambda gz, gy: (0, gz, 0),
+                      memory_space=pltpu.VMEM)
+        in_specs += [hspec, hspec]
+
     call = pl.pallas_call(
         kernel,
         grid=(nzb, nyb),
@@ -731,11 +789,7 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
             jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
             jax.ShapeDtypeStruct((NYe, NZe, S), dtype),
         ),
-        in_specs=[blk, blk, ylo, yhi, zlo, zhi, blk,
-                  blkS, blkS, blkS, blkS,
-                  vspec, vspec, vspec, vspec,
-                  vspec, vspec, vspec, vspec, vspec,
-                  uyl, uyh, _uz_spec(0), _uz_spec(1)],
+        in_specs=in_specs,
         out_specs=(blk, blkS, blkS, blkS, blkS),
         scratch_shapes=[
             pltpu.VMEM((BY + 2 * r, BZ + 2 * H, NX + 2 * PX), dtype)
@@ -748,11 +802,12 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
     )
 
     def transpose(lam_prev, lam, u, pbxl, psxl, pbxh, psxh,
-                  ax_lo, bx_lo, ax_hi, bx_hi, uyl_, uyh_, uzl_, uzh_):
+                  ax_lo, bx_lo, ax_hi, bx_hi, uyl_, uyh_, uzl_, uzh_,
+                  halos=()):
         return call(lam_prev, lam, u, u, u, u, u,
                     pbxl, psxl, pbxh, psxh,
                     ax_lo, bx_lo, ax_hi, bx_hi,
                     k1x, kex_lo, kex_hi, kyx_lo, kyx_hi,
-                    uyl_, uyh_, uzl_, uzh_)
+                    uyl_, uyh_, uzl_, uzh_, *halos)
 
     return transpose

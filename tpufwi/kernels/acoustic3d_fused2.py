@@ -339,7 +339,8 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                            vmem_limit_mb: int = 120,
                            x_face: str = "mxu",
                            fold_z: bool = False,
-                           fold_y: bool = False):
+                           fold_y: bool = False,
+                           y_halo: bool = False):
     """Merged kernel: blocked leapfrog + in-block x-face CPML + whole-block
     application of the y/z face update slabs.
 
@@ -485,6 +486,10 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
 
     if x_face not in ("mxu", "vpu", "off"):
         raise ValueError(f"unknown x_face mode {x_face!r}")
+    if y_halo and (fold_y or fold_z):
+        # the sharded composition (adjoint3d_pallas_sharded) targets the
+        # production v2 slab-kernel configuration only
+        raise ValueError("y_halo mode requires fold_y=fold_z=False")
 
     YOFF = 2 * r if fold_y else r  # scratch y-halo width
 
@@ -507,6 +512,9 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
             i += 8
         else:
             uzl_ref, uzh_ref = refs[i : i + 2]
+            i += 2
+        if y_halo:
+            hylo_ref, hyhi_ref = refs[i : i + 2]
             i += 2
         out_ref, xst_o = refs[i : i + 2]
         i += 2
@@ -545,6 +553,24 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
             scr_ref[YOFF + BY : 2 * YOFF + BY, H : H + BZ, PX : PX + NX] = (
                 yhi_ref[0:YOFF]
             )
+
+        if y_halo:
+            # domain-sharded composition: the slab edges are INTERIOR cuts
+            # whose neighbor rows live on other devices — the caller halo-
+            # exchanges them (ppermute) and passes (H, NZe, NX) slabs;
+            # global edges still get zeros (the caller's ppermute fills
+            # uncovered destinations with zeros, matching the unsharded
+            # kernel's zero extension).
+            @pl.when(gy == 0)
+            def _():
+                scr_ref[0:YOFF, H : H + BZ, PX : PX + NX] = (
+                    hylo_ref[H - YOFF : H]
+                )
+
+            @pl.when(gy == nyb - 1)
+            def _():
+                scr_ref[YOFF + BY : 2 * YOFF + BY, H : H + BZ,
+                        PX : PX + NX] = hyhi_ref[0:YOFF]
 
         zz = jnp.zeros((BY, H, NX), dtype)
         scr_ref[YOFF : YOFF + BY, 0:H, PX : PX + NX] = zz
@@ -1038,6 +1064,10 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
         ]
     else:
         in_specs += [_uz_spec(0), _uz_spec(1)]
+    if y_halo:
+        hspec = bspec((H, BZ, NX), lambda gz, gy: (0, gz, 0),
+                      memory_space=pltpu.VMEM)
+        in_specs += [hspec, hspec]
     if fold_y:
         anyspec = bspec(memory_space=pltpu.HBM)
         out_specs += [anyspec] * 4
@@ -1072,16 +1102,18 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
     )
 
     def merged(p_prev, p, c2, xst,
-               ax_lo, bx_lo, ax_hi, bx_hi, ygroup, zgroup):
+               ax_lo, bx_lo, ax_hi, bx_hi, ygroup, zgroup, halos=()):
         """xst: packed (NYe, NZe, 4S) x-face state. ygroup / zgroup:
         (uyl, uyh) / (uzl, uzh) slab tuples, or the (phi_lo, psi_lo,
         phi_hi, psi_hi, a_lo, b_lo, a_hi, b_hi) state tuples when the
-        corresponding fold flag is set."""
+        corresponding fold flag is set. ``halos``: with y_halo=True,
+        (hylo, hyhi) (H, NZe, NX) slabs — rows [H-r, H) of hylo / [0, r)
+        of hyhi hold the neighbor devices' edge rows of p."""
         return call(p_prev, p, p, p, p, p, c2,
                     xst,
                     ax_lo, bx_lo, ax_hi, bx_hi,
                     kx12, kcx_lo, kcx_hi,
-                    *ygroup, *zgroup)
+                    *ygroup, *zgroup, *halos)
 
     return merged
 
@@ -1093,7 +1125,9 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
                                 vmem_limit_mb: int = 120,
                                 x_face: str | None = None,
                                 fold_z: bool | None = None,
-                                fold_y: bool | None = None):
+                                fold_y: bool | None = None,
+                                y_halo: bool = False,
+                                y_profiles=None):
     """Production fused 3D step v2 (see module docstring): 4 corr slab
     kernels + 1 merged kernel, no dynamic_update_slice.
 
@@ -1101,6 +1135,13 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
     with the SAME state pytree structure as make_acoustic3d_strip_step /
     make_acoustic3d_fused_step (strip-resident phi/psi per axis/side), so
     propagators and tests can swap implementations freely.
+
+    Domain-sharded composition (adjoint3d_pallas_sharded): ``y_halo=True``
+    makes the step signature ``step(state, c2dt2, halos)`` with halos the
+    ppermute-exchanged (H, NZe, NX) neighbor-edge slabs of p, and
+    ``y_profiles=((a_lo, b_lo), (a_hi, b_hi))`` overrides the y-face CPML
+    profiles with per-device data (zeros on interior devices null the face
+    kernels exactly — every term in corr/upd is proportional to a or b).
     """
     from jax import lax as jlax
 
@@ -1136,11 +1177,13 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
         fy_env = _os.environ.get("TPUFWI_3D_FOLDY", "")
         fold_y = (fold_z and can_fold_y(grid, by)
                   and (fy_env == "1" or (interpret and fy_env != "0")))
+    if y_halo and (fold_y or fold_z):
+        raise ValueError("y_halo mode requires fold_y=fold_z=False")
     merged = make_leapfrog3d_merged(
         grid, by=by, bz=bz, interpret=interpret,
         dimension_semantics=dimension_semantics,
         vmem_limit_mb=vmem_limit_mb, x_face=x_face, fold_z=fold_z,
-        fold_y=fold_y,
+        fold_y=fold_y, y_halo=y_halo,
     )
     corr_y = (None if fold_y else
               {s: make_corr3d_y(grid, s, bz_y, NZe, by, interpret)
@@ -1168,6 +1211,8 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
         hi = (jnp.asarray(prof.a[n_pad - S:], dtype).reshape(shp),
               jnp.asarray(prof.b[n_pad - S:], dtype).reshape(shp))
         profs.append((lo, hi))
+    if y_profiles is not None:
+        profs[0] = y_profiles
 
     NXP = -(-NX // 128) * 128
 
@@ -1194,8 +1239,13 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
         return jlax.slice_in_dim(f, offs[ax][side], offs[ax][side] + W,
                                  axis=ax)
 
-    def step(state, c2dt2):
+    def step(state, c2dt2, halos=(), y_profiles_override=None):
         p_prev, p, strips = state
+        profs_eff = list(profs)
+        if y_profiles_override is not None:
+            # per-device (traced) y-face profiles — the domain-sharded
+            # composition selects real/zero profiles by device index
+            profs_eff[0] = y_profiles_override
         uy, uz = [], []
         new_y, new_z = [], []
         axes = []
@@ -1207,7 +1257,7 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
             phi_lo, psi_lo, phi_hi, psi_hi = strips[ax]
             for side in (0, 1):
                 phi, psi = (phi_lo, psi_lo) if side == 0 else (phi_hi, psi_hi)
-                a, b = profs[ax][side]
+                a, b = profs_eff[ax][side]
                 upd, phi2, psi2 = corr[side](
                     _slice(p, ax, side), phi, psi, a, b,
                     _slice(c2dt2, ax, side),
@@ -1215,19 +1265,20 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
                 ulist.append(upd)
                 nlist += [phi2, psi2]
         (xst,) = strips[2]
-        (ax_lo, bx_lo), (ax_hi, bx_hi) = profs[2]
+        (ax_lo, bx_lo), (ax_hi, bx_hi) = profs_eff[2]
         if fold_y:
-            (ayl, byl), (ayh, byh) = profs[0]
+            (ayl, byl), (ayh, byh) = profs_eff[0]
             ygroup = tuple(strips[0]) + (ayl, byl, ayh, byh)
         else:
             ygroup = (uy[0], uy[1])
         if fold_z:
-            (azl, bzl), (azh, bzh) = profs[1]
+            (azl, bzl), (azh, bzh) = profs_eff[1]
             zgroup = tuple(strips[1]) + (azl, bzl, azh, bzh)
         else:
             zgroup = (uz[0], uz[1])
         res = merged(p_prev, p, c2dt2, xst,
-                     ax_lo, bx_lo, ax_hi, bx_hi, ygroup, zgroup)
+                     ax_lo, bx_lo, ax_hi, bx_hi, ygroup, zgroup,
+                     halos=halos)
         p_next, xst2 = res[:2]
         k = 2
         if fold_z:
