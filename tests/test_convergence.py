@@ -2,6 +2,7 @@
 the analytic 2D Green's function must shrink at ~the spatial FD order
 (time step held fixed and small so the O(dt^2) floor stays below)."""
 
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -9,6 +10,9 @@ import pytest
 from tpufwi import AcousticPropagator, Geometry, Grid
 from tpufwi.wavelets import ricker_np
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def _analytic(r, c, h, w, dt, nt):
     t_obs = (np.arange(nt) + 1) * dt

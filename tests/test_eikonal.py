@@ -1,12 +1,17 @@
 """Eikonal solver + first-arrival traveltime tomography (eikonal.py):
 analytic fields, AD gradients, picker, and the tomography driver."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tpufwi.eikonal import eikonal, first_breaks, traveltime_tomography
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def test_homogeneous_2d_and_3d():
     """t = r/c in constant media (first-order Godunov + analytic source

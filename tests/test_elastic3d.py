@@ -3,6 +3,7 @@ oracle parity, P/S arrival kinematics, and AD gradients through the
 checkpointed scan. Tiny grids — the 27-field state is the
 correctness/differentiability tier (docstring)."""
 
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,9 @@ from tpufwi.kernels.oracle_numpy import oracle_elastic_3d
 from tpufwi.propagators.elastic3d import Elastic3dPropagator, elastic_cfl_dt
 from tpufwi.wavelets import ricker_np
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def _setup(ny=18, nz=20, nx=22, pml=6, order=4, nt=70, f0=14.0):
     rng = np.random.default_rng(0)

@@ -1,6 +1,8 @@
 """Multiparameter elastic FWI smoke (C4): Vp+Vs inversion reduces the
 misfit on a tiny crosswell-style problem."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +13,9 @@ from tpufwi.invert import ElasticFwiProblem, invert_elastic
 from tpufwi.propagators.elastic2d import ElasticPropagator, elastic_cfl_dt
 from tpufwi.wavelets import ricker_np
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def test_elastic_inversion_reduces_misfit():
     from scipy.ndimage import gaussian_filter

@@ -2,6 +2,7 @@
 exact cross-talk cancellation in expectation, and an encoded inversion
 that actually reduces the TRUE multi-shot misfit."""
 
+
 import itertools
 
 import jax
@@ -19,6 +20,9 @@ from tpufwi.encoding import (
     merge_sources,
 )
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def _setup(nz=44, nx=56, n_shots=4, nt=260, f0=12.0):
     grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=10, order=4)

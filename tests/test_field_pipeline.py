@@ -9,6 +9,7 @@ operators, and inverted with a source-estimating stage. Each stage of
 the chain is asserted separately so a failure localizes.
 """
 
+
 import os
 
 import numpy as np
@@ -22,6 +23,9 @@ from tpufwi.invert import FwiProblem
 from tpufwi.segy import read_segy, write_segy
 from tpufwi.window import combine, offset_mute, shot_offsets, time_window
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 @pytest.fixture(scope="module")
 def field_setup():

@@ -1,6 +1,8 @@
 """C5 end-to-end: tiny 3D acoustic FWI (shot batch + domain-shardable
 simulator) reduces misfit and recovers a velocity anomaly's sign."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +13,9 @@ from tpufwi.misfit import l2_misfit
 from tpufwi.optimize import minimize
 from tpufwi.wavelets import ricker_np
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def test_fwi3d_reduces_misfit():
     grid = Grid(shape=(20, 16, 24), h=(20.0, 20.0, 20.0), pml=5, order=4)

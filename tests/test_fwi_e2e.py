@@ -1,12 +1,17 @@
 """End-to-end multiscale FWI regression on a tiny synthetic model
 (SURVEY.md §4.8): model error must decrease substantially in CI minutes."""
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
 from tpufwi.config import FwiConfig, StageCfg, PropCfg, AcqCfg, PrecondCfg, OptCfg
 from tpufwi.invert import build_synthetic_problem, invert
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def _tiny_true_model(nz=50, nx=80):
     from scipy.ndimage import gaussian_filter

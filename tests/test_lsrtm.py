@@ -2,6 +2,8 @@
 test (forward-mode Born vs the boundary-saving transpose), Born linearity
 sanity, and CGLS convergence on a point scatterer."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +14,9 @@ from tpufwi.invert import FwiProblem
 from tpufwi.lsrtm import born_operators, gauss_newton, lsrtm
 from tpufwi.wavelets import ricker
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def _problem(vp_true, grid, f0=12.0, n_shots=3):
     dt = grid.cfl_dt(float(vp_true.max()) * 1.1, safety=0.7)

@@ -4,6 +4,8 @@ result is a measurably better fine-grid starting model. The coarse stage
 costs ~1/8 of the fine per iteration in 2D (4x fewer cells, ~2x larger
 CFL dt), which is the point of the workflow at production scale."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +15,9 @@ from tpufwi.grid import Grid
 from tpufwi.invert import build_synthetic_problem, invert
 from tpufwi.models import coarse_grid, resample
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def test_resample_adjointness_and_shapes():
     """resample is linear + differentiable; down/up round trip preserves

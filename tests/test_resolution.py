@@ -1,6 +1,8 @@
 """Resolution analysis (resolution.py): PSF via the Born pair, exact
 Hessian-diagonal points, and the Hutchinson probe estimator."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +17,9 @@ from tpufwi.resolution import (
     psf,
 )
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def _problem():
     nz, nx, f0, nt = 40, 60, 12.0, 240

@@ -1,12 +1,17 @@
 """fp32 long-run robustness (SURVEY.md §7 hard parts): thousands of steps
 at production dtype must stay bounded and track the fp64 solution."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from tpufwi import AcousticPropagator, Geometry, Grid
 from tpufwi.wavelets import ricker_np
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def test_fp32_drift_over_3000_steps():
     grid = Grid(shape=(60, 80), h=(10.0, 10.0), pml=12, order=8)

@@ -3,6 +3,8 @@ effective-data algebra is exact, and on a synthetic depletion patch the
 double-difference monitor inversion localizes the 4D change better than
 the parallel (independent) monitor inversion from the same baseline."""
 
+import pytest
+
 import dataclasses
 
 import jax.numpy as jnp
@@ -14,6 +16,9 @@ from tpufwi.invert import build_synthetic_problem, invert
 
 PATCH = (slice(24, 31), slice(42, 58))
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def _models(nz=50, nx=80):
     from scipy.ndimage import gaussian_filter

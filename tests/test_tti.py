@@ -3,6 +3,8 @@
 derivative), tilted-axis kinematics, AD gradients, and the
 (vp, eps, delta | fixed theta) FWI driver plumbing."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +13,9 @@ from tpufwi import Geometry, Grid
 from tpufwi.adjoint import make_simulator_tti, make_simulator_vti
 from tpufwi.wavelets import ricker_np
 
+
+
+pytestmark = pytest.mark.slow  # demo-grade: excluded from the core lane
 
 def _pad(a, grid):
     return jnp.pad(jnp.asarray(a, jnp.float64), grid.pad, mode="edge")
