@@ -26,16 +26,24 @@ def speed_of_light_cu_per_s(hbm_bw: float = HBM_BW_V5E) -> float:
     return hbm_bw / BYTES_PER_CELL
 
 
-def _slope_seconds(make_run, nt_lo=250, nt_hi=1250, reps=3):
-    """Seconds per step via the nt-slope of scalar-output jitted programs."""
+def _slope_seconds(make_run, nt_lo=250, nt_hi=1250, reps=5):
+    """Seconds per step via the nt-slope of scalar-output jitted programs.
+
+    Min over reps per nt point, not mean (same estimator as
+    bench_fwi.bench_fwd_adjoint since late round 2): every relay noise
+    source (RTT jitter, queueing) is additive latency, so the minimum is
+    the least-biased estimate of true execution time; the per-call
+    constant cancels in the slope."""
     times = {}
     for nt in (nt_lo, nt_hi):
         run, args_list = make_run(nt, reps + 1)
         float(run(*args_list[0]))  # compile + warm
-        t0 = time.perf_counter()
+        samples = []
         for a in args_list[1:]:
+            t0 = time.perf_counter()
             float(run(*a))
-        times[nt] = (time.perf_counter() - t0) / reps
+            samples.append(time.perf_counter() - t0)
+        times[nt] = min(samples)
     return (times[nt_hi] - times[nt_lo]) / (nt_hi - nt_lo), times
 
 

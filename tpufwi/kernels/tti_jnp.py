@@ -39,10 +39,10 @@ Unlike VTI (where p only needs horizontal memory and q only vertical),
 the rotation couples every axis to both fields: state carries per-field
 per-axis (phi, psi) plus one mixed-memory array per field.
 
-Gradients (vp, eps, delta, theta) run through plain AD over the
-checkpointed scan (adjoint.make_simulator_tti) — exact and
-engine-agnostic; the two-field interior is reversible, so the VTI-style
-boundary-saving VJP is the promotion path if TTI becomes hot.
+Gradients (vp, eps, delta, theta) default to the VTI-style boundary-
+saving custom VJP (make_tti_recon below inverts the coupled time-
+symmetric interior step; landed in commit 56fcfc2) with remat AD kept
+as the ground-truth fallback (adjoint.make_simulator_tti).
 """
 
 from __future__ import annotations
