@@ -37,7 +37,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--engine", choices=["fused", "xla"], default="fused")
+    ap.add_argument(
+        "--engine", choices=["fused", "fused_sharded", "xla"],
+        default="fused",
+        help="fused_sharded runs the shot+domain-shardable engine "
+        "(adjoint3d_pallas_sharded) on a (shot=1, y=N) device mesh — "
+        "the multi-chip C5 path; N = all visible devices",
+    )
     ap.add_argument("--iters", type=int, default=8, help="iterations per band")
     ap.add_argument("--bands", type=float, nargs="+", default=[3.0, 4.5, 6.0])
     ap.add_argument("--run-dir", default="runs/overthrust_demo_ms")
@@ -113,6 +119,34 @@ def main():
         from tpufwi.adjoint3d_pallas import make_simulator3d_fused
 
         sim = make_simulator3d_fused(grid, dt, f0, c_max, by=16, bz=64)
+    elif args.engine == "fused_sharded":
+        from jax.sharding import Mesh
+
+        from tpufwi.adjoint3d_pallas_sharded import (
+            make_simulator3d_fused_sharded,
+        )
+
+        ndev = len(jax.devices())
+        NYp_ = grid.padded_shape[0]
+        py, by_sel = 1, 8
+        for cand in range(ndev, 0, -1):
+            if NYp_ % cand != 0:
+                continue
+            L_ = NYp_ // cand
+            bys = [b for b in (16, 8) if L_ % b == 0]
+            if bys:
+                py, by_sel = cand, bys[0]
+                break
+        mesh = Mesh(np.array(jax.devices()[:py]).reshape(1, py),
+                    ("shot", "y"))
+        print(f"fused_sharded: y domain over {py} device(s), by={by_sel}",
+              flush=True)
+        sim_sh = make_simulator3d_fused_sharded(
+            grid, dt, f0, c_max, mesh, by=by_sel, bz=64,
+        )
+        # per-shot wrapper (shots loop from the host, as the other
+        # engines; the mesh's shot axis stays 1)
+        sim = lambda c2, w_, si, ri: sim_sh(c2, w_, si[None], ri[None])[0]
     else:
         sim = make_simulator(grid, dt, f0, c_max, dtype=jnp.float32)
     pad = grid.pad

@@ -54,8 +54,17 @@ def make_simulator3d_fused(
     bz: int = 64,
     bz_y: int = 16,
     interpret: bool = False,
+    tape_dtype=None,
 ):
-    """Build the fused-3D simulate() with boundary-saving custom VJP."""
+    """Build the fused-3D simulate() with boundary-saving custom VJP.
+
+    ``tape_dtype`` (e.g. jnp.bfloat16) stores the per-step ring-slab
+    tape compressed — halves tape HBM, which is the memory binder at
+    full Overthrust scale (the 143M-extended-cell gradient fits one
+    v5e chip only with the bf16 tape — scripts/bench_3d_fullscale.py).
+    Reconstruction then re-imposes rings at ~bf16 eps; the measured
+    gradient error this induces is at the 1e-3 level (same mechanism as
+    the 2D option, tests/test_adjoint.py::test_bf16_tape_gradient)."""
     if grid.ndim != 3:
         raise ValueError("make_simulator3d_fused needs a 3D grid")
     r = grid.radius
@@ -112,19 +121,62 @@ def make_simulator3d_fused(
             return 1.0
         return (idx[..., 1] != grid.pad).astype(dtype)
 
+    # Tape layout (round 3, sized by the full-scale OOM dump in
+    # runs/tpu_queue5/fullscale3d.log):
+    #  - the x-face slabs are stored transposed, (r, NYe, NZe): stacked
+    #    over nt with minor dim r=4 they tile as T(8,128) with a 32x
+    #    lane-padding expansion (250 MB of slabs became 7.8 GB of HBM);
+    #    NZe-minor tiles cleanly.
+    #  - the forward emits the tape ALREADY time-shifted (row t holds
+    #    rings(p_{t-1}), realized with a 2-deep delay line in the scan
+    #    carry) — the reverse previously rebuilt that shift with a
+    #    concat, i.e. a full second copy of the tape in HBM.
+    def _pack_tape(tape_t):
+        *yz, rxl, rxh = tape_t
+        out = (*yz, jnp.moveaxis(rxl, -1, 0), jnp.moveaxis(rxh, -1, 0))
+        if tape_dtype is not None:
+            out = jax.tree.map(lambda x: x.astype(tape_dtype), out)
+        return out
+
+    def _unpack_tape(tape_t):
+        if tape_dtype is not None:
+            tape_t = jax.tree.map(lambda x: x.astype(dtype), tape_t)
+        *yz, rxl, rxh = tape_t
+        return (*yz, jnp.moveaxis(rxl, 0, -1), jnp.moveaxis(rxh, 0, -1))
+
     def _fwd_scan(c2e, wavelet, src_idx, rcv_idx, with_tape):
         src = _coords(src_idx)
         rcv = _coords(rcv_idx)
         smask = _fs_mask(src_idx)
 
-        def body(s, w_t):
+        def body(carry, w_t):
+            if with_tape:
+                s, d0, d1 = carry
+            else:
+                s = carry
             s = step2(s, c2e)
             p_prev, p_next, strips = s
             p_next = p_next.at[src].add(smask * c2e[src] * w_t, mode="drop")
             rec = p_next[rcv]
-            ys = (rec, extract_tape3d(grid, p_next)) if with_tape else rec
-            return (p_prev, p_next, strips), ys
+            s = (p_prev, p_next, strips)
+            if with_tape:
+                tp = _pack_tape(extract_tape3d(grid, p_next))
+                # emit rings(p_{t-1}) = the slabs extracted two steps ago
+                return (s, d1, tp), (rec, d0)
+            return s, rec
 
+        if with_tape:
+            zt = jax.eval_shape(
+                lambda p: _pack_tape(extract_tape3d(grid, p)),
+                jax.ShapeDtypeStruct(zero_state()[1].shape, dtype),
+            )
+            zero_tape = jax.tree.map(
+                lambda a: jnp.zeros(a.shape, a.dtype), zt
+            )
+            (final, _, _), ys = lax.scan(
+                body, (zero_state(), zero_tape, zero_tape), wavelet
+            )
+            return final, ys
         final, ys = lax.scan(body, zero_state(), wavelet)
         return final, ys
 
@@ -152,13 +204,7 @@ def make_simulator3d_fused(
         smask = _fs_mask(src_idx)
         rmask = _fs_mask(rcv_idx)
 
-        # tape_t = rings(p_{t+1}); reverse at t needs rings(p_{t-1}) =
-        # tape_{t-2} (zeros for t < 2)
-        def shift2(T):
-            z = jnp.zeros((2,) + T.shape[1:], T.dtype)
-            return jnp.concatenate([z, T[:-2]], axis=0)
-
-        tape_tm1 = jax.tree.map(shift2, tape)
+        # tape row t already holds rings(p_{t-1}) (forward delay line)
 
         zf = jnp.zeros((NYe, NZe, NX), dtype)
         zS_y = jnp.zeros((S, NZe, NX), dtype)
@@ -169,6 +215,7 @@ def make_simulator3d_fused(
             (p_t, p_tp1, lam, lam_prev, gacc,
              dy, dz, dx, wsrc_acc) = carry
             ring_tm1, w_t, ybar_t = xs
+            ring_tm1 = _unpack_tape(ring_tm1)
             # cotangent injection (this step's lam becomes lam_t); the
             # free-surface mask keeps lam == M lam (see T-kernel comment)
             lam = lam.at[rcv].add(rmask * ybar_t, mode="drop")
@@ -215,7 +262,7 @@ def make_simulator3d_fused(
             (zS_x, zS_x, zS_x, zS_x),
             jnp.zeros(src_idx.shape[:-1], dtype),
         )
-        xs = (tape_tm1, wavelet, seis_bar)
+        xs = (tape, wavelet, seis_bar)
         carry_f, wbar = lax.scan(bwd_body, carry0, xs, reverse=True)
         gacc = carry_f[4]
         wsrc_acc = carry_f[8]

@@ -83,6 +83,7 @@ def make_simulator3d_fused_sharded(
     bz: int = 64,
     bz_y: int = 16,
     interpret: bool = False,
+    tape_dtype=None,
 ):
     """simulate(c2dt2, wavelet, src_idx, rcv_idx) -> seis (nshot, nt, nrec)
     with the boundary-saving custom VJP, shot+domain sharded over ``mesh``.
@@ -196,23 +197,59 @@ def make_simulator3d_fused_sharded(
 
     # ------------- per-device, per-shot forward -------------
 
+    # tape layout: same two round-3 measures as adjoint3d_pallas — the
+    # x-face slabs transposed to (r, L, NZe) (minor-dim r tiles with a
+    # 32x lane-padding expansion when stacked over nt), and the tape
+    # emitted ALREADY time-shifted via a 2-deep delay line (the reverse's
+    # concat-shift kept a full second copy of the tape in HBM).
+    def _pack_tape(tape_t):
+        *yz, rxl, rxh = tape_t
+        out = (*yz, jnp.moveaxis(rxl, -1, 0), jnp.moveaxis(rxh, -1, 0))
+        if tape_dtype is not None:
+            out = jax.tree.map(lambda x: x.astype(tape_dtype), out)
+        return out
+
+    def _unpack_tape(tape_t):
+        if tape_dtype is not None:
+            tape_t = jax.tree.map(lambda x: x.astype(dtype), tape_t)
+        *yz, rxl, rxh = tape_t
+        return (*yz, jnp.moveaxis(rxl, 0, -1), jnp.moveaxis(rxh, 0, -1))
+
     def _fwd_one(c2e, wavelet, src_idx, rcv_idx, with_tape):
         yprofs = _yprofs()
         src, s_own = _local_coords(src_idx)
         rcv, r_own = _local_coords(rcv_idx)
         smask = _fs_mask(src_idx) * s_own
 
-        def body(s, w_t):
+        def body(carry, w_t):
+            if with_tape:
+                s, d0, d1 = carry
+            else:
+                s = carry
             halos = _halos(s[1])
             s = step2(s, c2e, halos=halos, y_profiles_override=yprofs)
             p_prev, p_next, strips = s
             p_next = p_next.at[src].add(smask * c2e[src] * w_t,
                                         mode="drop")
             rec = p_next[rcv] * r_own
-            ys = ((rec, extract_tape3d(lgrid, p_next)) if with_tape
-                  else rec)
-            return (p_prev, p_next, strips), ys
+            s = (p_prev, p_next, strips)
+            if with_tape:
+                tp = _pack_tape(extract_tape3d(lgrid, p_next))
+                return (s, d1, tp), (rec, d0)
+            return s, rec
 
+        if with_tape:
+            zt = jax.eval_shape(
+                lambda p: _pack_tape(extract_tape3d(lgrid, p)),
+                jax.ShapeDtypeStruct((L, NZe, NX), dtype),
+            )
+            zero_tape = jax.tree.map(
+                lambda a: jnp.zeros(a.shape, a.dtype), zt
+            )
+            (final, _, _), ys = lax.scan(
+                body, (zero_state(), zero_tape, zero_tape), wavelet
+            )
+            return final, ys
         final, ys = lax.scan(body, zero_state(), wavelet)
         return final, ys
 
@@ -227,14 +264,7 @@ def make_simulator3d_fused_sharded(
         smask = _fs_mask(src_idx) * s_own
         rmask = _fs_mask(rcv_idx) * r_own
 
-        # tape_t = rings(p_{t+1}); reverse at t needs rings(p_{t-1}) =
-        # tape_{t-2} (zeros for t < 2)
-        def shift2(T):
-            z = jnp.zeros((2,) + T.shape[1:], T.dtype)
-            return jnp.concatenate([z, T[:-2]], axis=0)
-
-        tape_tm1 = jax.tree.map(shift2, tape)
-
+        # tape row t already holds rings(p_{t-1}) (forward delay line)
         zf = jnp.zeros((L, NZe, NX), dtype)
         zS_y = jnp.zeros((S, NZe, NX), dtype)
         zS_z = jnp.zeros((L, S, NX), dtype)
@@ -249,6 +279,7 @@ def make_simulator3d_fused_sharded(
             (p_t, p_tp1, lam, lam_prev, gacc,
              dy, dz, dx, wsrc_acc) = carry
             ring_tm1, w_t, ybar_t = xs
+            ring_tm1 = _unpack_tape(ring_tm1)
             lam = lam.at[rcv].add(rmask * ybar_t, mode="drop")
             lam_at_src = smask * lam[src]
             w_inc = jnp.sum(c2e[src] * lam_at_src)
@@ -296,7 +327,7 @@ def make_simulator3d_fused_sharded(
             (zS_x, zS_x, zS_x, zS_x),
             jnp.zeros(src_idx.shape[:-1], dtype),
         )
-        xs = (tape_tm1, wavelet, seis_bar)
+        xs = (tape, wavelet, seis_bar)
         carry_f, wbar = lax.scan(bwd_body, carry0, xs, reverse=True)
         gacc, wsrc_acc = carry_f[4], carry_f[8]
         c2bar_e = gacc.at[src].add(wsrc_acc * s_own, mode="drop")
@@ -347,16 +378,13 @@ def make_simulator3d_fused_sharded(
         return gbar, wbar
 
     # tape slab out-specs: slab k of each device concatenates along its
-    # own slab axis — y slabs along their window axis (1 after nt),
-    # z/x slabs along the local-y axis
-    n_tape = 6
-
+    # own slab axis — y slabs along their window axis, z slabs along
+    # local y (both axis 2 after the shot/nt leading dims), x slabs
+    # (stored transposed (r, L, NZe)) along local y at axis 3
     def _tape_specs():
-        # tape pytree: tuple of 6 arrays, each (nshot_l, nt, ...) local.
-        # y-lo/y-hi slabs: axis 2 is the y window -> concat over y there.
-        # z/x slabs: axis 2 is local y -> concat over y there too.
-        return tuple(P(shot_axis, None, y_axis, None, None)
-                     for _ in range(n_tape))
+        yz = P(shot_axis, None, y_axis, None, None)
+        x = P(shot_axis, None, None, y_axis, None)
+        return (yz, yz, yz, yz, x, x)
 
     fwd_plain = jax.shard_map(
         lambda c2, w, si, ri: _fwd_dev(c2, w, si, ri, False),

@@ -85,7 +85,20 @@ def _run_pairs(pair):
     else:
         jax.lax.fori_loop(0, CH // 2, pair, 0)
 
-HIGHEST = jax.lax.Precision.HIGHEST
+# MXU precision for the banded strip products and gathers. HIGHEST (the
+# 6-pass fp32 emulation) is the correctness default — the MXU f32 default
+# path rounds through bf16 (~2e-3 relative), unacceptable for physics
+# values. TPUFWI_SCANRES_MXU_PRECISION=high selects the 3-pass emulation:
+# scripts/exp_2d_scanres.py measures its speed and gradient-accuracy
+# trade on hardware before any default change.
+_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+HIGHEST = _PREC[
+    _os.environ.get("TPUFWI_SCANRES_MXU_PRECISION", "highest").lower()
+]
 
 
 def _banded_kz(d1, d2, S, r, dtype):
