@@ -79,21 +79,34 @@ class RingSpec:
         return RingSpec(slices=tuple(slabs), valid=valid,
                         tape_dtype=tape_dtype)
 
+    # Slabs are stored with their width-r axis MOVED TO THE FRONT so the
+    # minor (lane/sublane) dims are always large grid extents. In natural
+    # orientation the axis-d slab keeps the size-r extent at position d;
+    # stacked over nt by lax.scan, XLA tiles it T(8,128) with the tiny r
+    # in the lane dim — measured 32-64x HBM padding expansion at scale
+    # (runs/tpu_queue5/{fullscale3d,elastic3d_bench}.log). Slab i covers
+    # axis i // 2 (low face for even i, high for odd).
+
     def extract(self, p: jax.Array) -> Tuple[jax.Array, ...]:
-        if self.tape_dtype is not None:
-            return tuple(p[s].astype(self.tape_dtype) for s in self.slices)
-        return tuple(p[s] for s in self.slices)
+        out = []
+        for i, s in enumerate(self.slices):
+            slab = jnp.moveaxis(p[s], i // 2, 0)
+            if self.tape_dtype is not None:
+                slab = slab.astype(self.tape_dtype)
+            out.append(slab)
+        return tuple(out)
 
     def impose(self, p: jax.Array, rings: Tuple[jax.Array, ...]) -> jax.Array:
-        for s, r in zip(self.slices, rings):
-            p = p.at[s].set(r.astype(p.dtype))
+        for i, (s, r) in enumerate(zip(self.slices, rings)):
+            p = p.at[s].set(jnp.moveaxis(r, 0, i // 2).astype(p.dtype))
         return p
 
     def zeros_like_rings(self, shape, dtype) -> Tuple[jax.Array, ...]:
         out = []
-        for s in self.slices:
-            dims = tuple(sl.stop - sl.start for sl in s)
-            out.append(jnp.zeros(dims, dtype))
+        for i, s in enumerate(self.slices):
+            dims = [sl.stop - sl.start for sl in s]
+            dims.insert(0, dims.pop(i // 2))
+            out.append(jnp.zeros(tuple(dims), dtype))
         return tuple(out)
 
     def mask_valid(self, g: jax.Array) -> jax.Array:
