@@ -40,12 +40,27 @@ def test_auto_is_jnp_on_cpu():
     assert prop.impl == "jnp"
 
 
-def test_auto_defers_on_tpu_and_picks_scanres(monkeypatch):
+def test_auto_defers_on_tpu_and_picks_whole_scan(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     grid, prop = _prop()
     assert prop.impl == "auto"  # deferred: geometry-dependent
     geom = _surface_geom(grid)
+    # without a wavelet length the snapshot tape cannot be sized ->
+    # the rings whole-scan engine
     assert prop.resolve_impl(geom) == "pallas_scanres"
+    # with one, and the tape within budget, the snapshot engine
+    assert prop.resolve_impl(geom, nt=500) == "pallas_scansnap"
+
+
+def test_auto_snapshot_tape_budget(monkeypatch):
+    """The snapshot engine is skipped when its bf16 lap tape would not
+    fit the HBM budget (nt * NZ * NX * 2 bytes), not silently OOM."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    grid, prop = _prop()
+    geom = _surface_geom(grid)
+    NZ, NX = grid.padded_shape
+    nt_over = prop.SNAP_TAPE_BUDGET_BYTES // (NZ * NX * 2) + 1
+    assert prop.resolve_impl(geom, nt=int(nt_over)) == "pallas_scanres"
 
 
 def test_auto_falls_back_on_wide_receiver_spread(monkeypatch):
@@ -100,7 +115,7 @@ def test_fwi_problem_pins_scanres_and_python_loop(monkeypatch):
         dt=prop.dt,
     )
     problem._build()  # does not execute — only resolves and traces lazily
-    assert prop.impl == "pallas_scanres"
+    assert prop.impl == "pallas_scansnap"  # nt=32 tape is tiny
     assert problem.shot_loop == "python"
 
 

@@ -139,6 +139,60 @@ def test_scanres_rcv_window_poisons_traced_violation():
     assert bool(jnp.isnan(seis).any())
 
 
+# bf16 lap-tape rounding bound for the snapshot engine (the nt-sum
+# averages the per-row 2^-8 rounding; measured ~2e-4 on these setups)
+SNAP_GTOL = 5e-3
+
+
+@pytest.mark.parametrize("nt", [135, 128])
+def test_scansnap_matches_jnp(nt):
+    """Snapshot engine (bf16 lap tape, no reverse reconstruction):
+    forward identical to scanres, gradient == jnp up to tape rounding,
+    wavelet gradient (tape-independent) at full fp32 parity."""
+    grid, dt, f0, c_max, c2, w, geom = _setup(nt=nt)
+    sim_j = make_simulator(grid, dt, f0, c_max, dtype=jnp.float32)
+    sim_n = make_simulator_pallas_scanres(
+        grid, dt, f0, c_max, rcv_rows=16, interpret=INTERPRET,
+        tape_mode="snap",
+    )
+    d_obs = sim_j(c2, w, geom.src_idx, geom.rcv_idx)
+    s_n = sim_n(c2, w, geom.src_idx, geom.rcv_idx)
+    np.testing.assert_allclose(
+        np.asarray(s_n), np.asarray(d_obs),
+        atol=1e-5 * float(jnp.abs(d_obs).max()),
+    )
+    J_j, (g_j, gw_j) = jax.value_and_grad(
+        _loss(sim_j, geom, d_obs), argnums=(0, 1)
+    )(c2 * 1.01, w)
+    J_n, (g_n, gw_n) = jax.value_and_grad(
+        _loss(sim_n, geom, d_obs), argnums=(0, 1)
+    )(c2 * 1.01, w)
+    assert abs(float(J_j) - float(J_n)) / float(J_j) < GTOL
+    g_j = np.asarray(RingSpec.build(grid).mask_valid(g_j))
+    err = np.abs(np.asarray(g_n) - g_j).max() / np.abs(g_j).max()
+    assert err < SNAP_GTOL, f"nt={nt} snap gradient max rel err {err:.3e}"
+    werr = np.abs(np.asarray(gw_n) - np.asarray(gw_j)).max() / np.abs(gw_j).max()
+    assert werr < GTOL, f"nt={nt} snap wavelet-grad max rel err {werr:.3e}"
+
+
+def test_scansnap_free_surface_and_multisource():
+    grid, dt, f0, c_max, c2, w, geom = _setup(
+        nt=96, nsrc=3, free_surface=True
+    )
+    sim_j = make_simulator(grid, dt, f0, c_max, dtype=jnp.float32)
+    sim_n = make_simulator_pallas_scanres(
+        grid, dt, f0, c_max, rcv_rows=16, interpret=INTERPRET,
+        tape_mode="snap",
+    )
+    d_obs = sim_j(c2, w, geom.src_idx, geom.rcv_idx)
+    J_j, g_j = jax.value_and_grad(_loss(sim_j, geom, d_obs))(c2 * 1.01, w)
+    J_n, g_n = jax.value_and_grad(_loss(sim_n, geom, d_obs))(c2 * 1.01, w)
+    assert abs(float(J_j) - float(J_n)) / float(J_j) < GTOL
+    g_j = np.asarray(RingSpec.build(grid).mask_valid(g_j))
+    err = np.abs(np.asarray(g_n) - g_j).max() / np.abs(g_j).max()
+    assert err < SNAP_GTOL, f"snap fs gradient max rel err {err:.3e}"
+
+
 @pytest.mark.skipif(
     not INTERPRET,
     reason="compiled scanres does not batch its scalar-prefetch inputs "

@@ -7,6 +7,18 @@ state never leaves VMEM, per-step HBM traffic is the boundary-ring tape
 only, and the forward kernel emits the tape already time-shifted for the
 reverse recursion. Receiver-row-window contract identical to the K-step
 engine. fp32, 2D.
+
+Two tape modes:
+
+- ``tape_mode="rings"`` (default): O(nt * perimeter * radius) boundary
+  tape; the reverse pass re-runs the forward recursion backwards to
+  reconstruct the source wavefield (3 propagation sweeps total).
+- ``tape_mode="snap"``: the forward streams its interior leapfrog
+  laplacian out as bf16 every sub-step (nt * NZ * NX * 2 bytes of HBM —
+  6.6 GB at the official bench config) and the reverse needs NO
+  reconstruction: 2 propagation sweeps total. Gradient identity holds up
+  to the bf16 tape rounding (measured at the 1e-4..1e-3 level;
+  tests/test_scanres.py pins it against the rings gradient).
 """
 
 from __future__ import annotations
@@ -21,6 +33,7 @@ from .kernels.acoustic2d_pallas_scanres import (
     CH,
     make_scanres_forward,
     make_scanres_reverse,
+    make_scanres_reverse_snap,
 )
 from .propagators.boundary import RingSpec
 
@@ -32,10 +45,15 @@ def _int_cotangent(x):
 def make_simulator_pallas_scanres(
     grid: Grid, dt: float, f0: float, c_max: float,
     rcv_rows: int = 16, interpret: bool = False,
+    tape_mode: str = "rings",
 ):
     """simulate(c2dt2, wavelet, src_idx, rcv_idx) -> seis with the
     whole-scan custom VJP. Drop-in for make_simulator_pallas (fp32, 2D);
-    indices are grid-padded. Kernels are cached per (nt, nsrc, nrec)."""
+    indices are grid-padded. Kernels are cached per (nt, nsrc, nrec).
+    ``tape_mode``: see module docstring."""
+    if tape_mode not in ("rings", "snap"):
+        raise ValueError(f"unknown tape_mode {tape_mode!r}")
+    snap = tape_mode == "snap"
     profiles = strip_profiles(grid, dt, c_max, f0)
     rings = RingSpec.build(grid)
     NZ, NX = grid.padded_shape
@@ -48,14 +66,16 @@ def make_simulator_pallas_scanres(
         if key not in _fwd_cache:
             _fwd_cache[key] = make_scanres_forward(
                 grid, nt=ntp, nsrc=nsrc, nrec=nrec, rcv_rows=RH,
-                with_tape=with_tape, interpret=interpret,
+                with_tape=with_tape and not snap,
+                snap_tape=with_tape and snap, interpret=interpret,
             )
         return _fwd_cache[key]
 
     def _rev_for(ntp, nsrc, nrec):
         key = (ntp, nsrc, nrec)
         if key not in _rev_cache:
-            _rev_cache[key] = make_scanres_reverse(
+            mk = make_scanres_reverse_snap if snap else make_scanres_reverse
+            _rev_cache[key] = mk(
                 grid, nt=ntp, nsrc=nsrc, nrec=nrec, rcv_rows=RH,
                 interpret=interpret,
             )
@@ -122,10 +142,24 @@ def make_simulator_pallas_scanres(
         seis, tape, ppen, plast, _, _, _ = _run_fwd(
             c2dt2, wavelet, src_idx, rcv_idx, True
         )
+        if snap:  # full-field lap tape: no rings / final fields needed
+            return seis, (c2dt2, wavelet, src_idx, rcv_idx, tape[0])
         return seis, (c2dt2, wavelet, src_idx, rcv_idx, tape, ppen, plast)
 
+    def _finish_bwd(gbar, lam_src3, c2src, w_pad, src_idx, nt, nsrc):
+        lam_src = lam_src3.reshape(-1, nsrc)
+        wbar = (lam_src * c2src[None, :]).sum(-1)[:nt]
+        gsrc = (lam_src * w_pad[:, None]).sum(0)
+        srcp = (src_idx[..., 0], src_idx[..., 1])
+        gbar = gbar.at[srcp].add(gsrc, mode="drop")
+        gbar = rings.mask_valid(gbar)
+        return gbar, wbar
+
     def simulate_bwd(res, seis_bar):
-        c2dt2, wavelet, src_idx, rcv_idx, tape, ppen, plast = res
+        if snap:
+            c2dt2, wavelet, src_idx, rcv_idx, snap_tape = res
+        else:
+            c2dt2, wavelet, src_idx, rcv_idx, tape, ppen, plast = res
         nt = wavelet.shape[0]
         ntp = -(-nt // CH) * CH
         w_pad = jnp.pad(wavelet, (0, ntp - nt))
@@ -136,16 +170,19 @@ def make_simulator_pallas_scanres(
         az, bz, ax, bx = profiles
         nC = ntp // CH
         ybar3 = jnp.pad(seis_bar, ((0, ntp - nt), (0, 0))).reshape(nC, CH, nrec)
-        gbar, lam_src3 = rev(
-            c2dt2, az, bz, ax, bx, w_pad, c2src, sz, sx,
-            rxr, rzr, r0, ybar3, *tape, ppen, plast,
+        if snap:
+            gbar, lam_src3 = rev(
+                c2dt2, az, bz, ax, bx, sz, sx, rxr, rzr, r0, ybar3,
+                snap_tape,
+            )
+        else:
+            gbar, lam_src3 = rev(
+                c2dt2, az, bz, ax, bx, w_pad, c2src, sz, sx,
+                rxr, rzr, r0, ybar3, *tape, ppen, plast,
+            )
+        gbar, wbar = _finish_bwd(
+            gbar, lam_src3, c2src, w_pad, src_idx, nt, nsrc
         )
-        lam_src = lam_src3.reshape(ntp, nsrc)
-        wbar = (lam_src * c2src[None, :]).sum(-1)[:nt]
-        gsrc = (lam_src * w_pad[:, None]).sum(0)
-        srcp = (src_idx[..., 0], src_idx[..., 1])
-        gbar = gbar.at[srcp].add(gsrc, mode="drop")
-        gbar = rings.mask_valid(gbar)
         return gbar, wbar, _int_cotangent(src_idx), _int_cotangent(rcv_idx)
 
     simulate.defvjp(simulate_fwd, simulate_bwd)

@@ -147,12 +147,23 @@ def _taps(grid):
 
 def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
                          rcv_rows: int, with_tape: bool = False,
+                         snap_tape: bool = False,
                          interpret: bool = False):
     """Build the whole-scan forward.
 
     fwd(c2_ext, profiles(4), w (nt,), c2src (nsrc,), sz, sx (nsrc,),
         rxr (1,nrec), rzr (1,nrec), r0 (1,))
-      -> (seis3 (nC,CH,nrec), [tape_tm1 rings x4 (nt,h,w)], p_penult, p_last)
+      -> (seis3 (nC,CH,nrec), [tape_tm1 rings x4 (nt,h,w)],
+          [lap snapshots (nt,NZ,NX) bf16], p_penult, p_last)
+
+    ``snap_tape`` additionally streams out the interior leapfrog
+    laplacian of every sub-step as bf16 — the full-field tape of the
+    snapshot gradient engine (make_scanres_reverse_snap), which replaces
+    the reverse-pass reconstruction entirely: the imaging condition is
+    gacc += lam_t * lap(P_{t-1}) and lap(P_{t-1}) is exactly the ``lap``
+    this kernel already computes at sub-step t, so the forward pays only
+    a bf16 cast + an out-stream (~1.4 MB/step at Marmousi scale, well
+    under the measured ~460 GB/s effective HBM bandwidth).
 
     nt must be a multiple of CH (caller zero-pads the wavelet). rzr is the
     receiver row relative to the slab start r0 (grid-padded minus r0).
@@ -202,8 +213,11 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
         refs = refs[12:]
         seis_ref = refs[0]
         ring_o = refs[1 : 1 + NRING]
-        ppen_ref, plast_ref = refs[1 + NRING], refs[2 + NRING]
-        scr = refs[3 + NRING :]
+        off = 1 + NRING
+        snap_ref = refs[off] if snap_tape else None
+        off += 1 if snap_tape else 0
+        ppen_ref, plast_ref = refs[off], refs[off + 1]
+        scr = refs[off + 2 :]
         pa, pb = scr[0], scr[1]
         phiz, psiz, phix, psix = scr[2:6]
         zc_ref, xc_ref = scr[6], scr[7]  # both sides stacked: (2*S3,NX)/(NZ,2*S3)
@@ -253,6 +267,8 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
             lap = _shift_sum_rows(cur_ref, d2z, r, 0, NZ, NX) + _shift_sum_cols(
                 cur_ref, d2x, r, 0, NX, NZ
             )
+            if snap_tape:  # row t = lap(P_{t-1}): what the reverse images
+                snap_ref[pl.ds(jl, 1)] = lap.astype(jnp.bfloat16)[None]
             interior = (
                 2.0 * cur_ref[PZ : PZ + NZ, PX : PX + NX]
                 - prev_ref[PZ : PZ + NZ, PX : PX + NX]
@@ -392,6 +408,11 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
             bspec((CH,) + dims, lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((nt,) + dims, dtype))
+    if snap_tape:
+        out_specs.append(
+            bspec((CH, NZ, NX), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((nt, NZ, NX), jnp.bfloat16))
     for _ in range(2):  # p_penult, p_last
         out_specs.append(
             bspec((EZ, EX), lambda c: (0, 0), memory_space=pltpu.VMEM)
@@ -791,6 +812,308 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
         pltpu.VMEM((NZ, nsrc), dtype),  # szT
         pltpu.VMEM((NX, nsrc), dtype),  # sxT
         pltpu.VMEM((CH, nsrc), dtype),  # lsacc (lam-at-src accumulator)
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nC,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def make_scanres_reverse_snap(grid: Grid, nt: int, nsrc: int, nrec: int,
+                              rcv_rows: int, interpret: bool = False):
+    """Whole-scan reverse on the LAP-SNAPSHOT tape: NO reconstruction.
+
+    rev(c2 (NZ,NX), profiles(4), sz, sx (nsrc,), rxr (1,nrec),
+        rzr (1,nrec), r0 (1,), ybar3 (nC,CH,nrec), snap (nt,NZ,NX) bf16)
+      -> (gbar (NZ,NX), lam_src3 (nC,CH,nsrc))
+
+    The rings reverse spends roughly a third of its sub-step cost
+    re-running the forward recursion backwards (a second 17-tap lap +
+    leapfrog fma + ring imposition) just to recover lap(P_{t-1}) for the
+    imaging condition. Here the forward already streamed that laplacian
+    out as bf16 (make_scanres_forward(snap_tape=True)); each reverse
+    sub-step reads one row back, so the body is exactly one adjoint
+    propagation: cotangent injection, imaging gacc += lam * lap_row, and
+    the exact transposed CPML step. Gradient identity holds up to the
+    bf16 tape rounding (per-row relative ~2^-8; the nt-sum averages it
+    down — measured level recorded in tests/test_scanres.py).
+
+    Tape HBM is nt * NZ * NX * 2 bytes (6.6 GB at the official bench
+    config) — the engine trades the rings engine's ~68 KB/step tape for
+    ~1.4 MB/step of streaming at the measured ~460 GB/s effective
+    bandwidth to delete a full propagation sweep of VPU compute.
+    """
+    if nt % CH != 0:
+        raise ValueError(f"nt must be a multiple of {CH}")
+    if CH % 2 != 0:
+        raise ValueError("CH must be even (q ping-pong across chunks)")
+    NZ, NX = grid.padded_shape
+    EZ, EX = ext_shape(grid)
+    r = grid.radius
+    S = strip_depth(grid)
+    SE = S + r
+    S3 = S + 3 * r
+    RH = rcv_rows
+    d1z, d2z, d1x, d2x = _taps(grid)
+    fs = grid.pad if grid.free_surface else None
+    nC = nt // CH
+    dtype = jnp.float32
+
+    def kernel(*refs):
+        (c2_ref, az_ref, bz_ref, ax_ref, bx_ref,
+         sz_ref, sx_ref, rxr_ref, rzr_ref, r0_ref,
+         yb_ref, snap_ref) = refs[:12]
+        gbar_ref, lam_src_ref = refs[12], refs[13]
+        scr = refs[14:]
+        u_ref = scr[0]
+        q0, q1, gacc_ref = scr[1], scr[2], scr[3]
+        pbz, psz, pbx, psx = scr[4:8]
+        zw_ref, zy_ref, xw_ref, xy_ref = scr[8:12]  # both sides stacked
+        ohzT_ref, ohx_ref = scr[12], scr[13]
+        (kz_ref, kwz_ref, kyz_ref, kx_ref, kwx_ref, kyx_ref) = scr[14:20]
+        szT_ref, sxT_ref = scr[20], scr[21]
+        lsacc_ref = scr[22]  # (CH, nsrc) lam-at-src accumulator
+
+        c = pl.program_id(0)
+        r0 = pl.multiple_of(r0_ref[0], 8)
+
+        @pl.when(c == 0)
+        def _init():
+            u_ref[:] = jnp.zeros((EZ, EX), dtype)
+            q0[:] = jnp.zeros((NZ, NX), dtype)
+            q1[:] = jnp.zeros((NZ, NX), dtype)
+            gacc_ref[:] = jnp.zeros((NZ, NX), dtype)
+            for sref in (pbz, psz, pbx, psx):
+                sref[:] = jnp.zeros_like(sref)
+            for zbuf in (zw_ref, zy_ref):
+                zbuf[:] = jnp.zeros((2 * S3, NX), dtype)
+            for xbuf in (xw_ref, xy_ref):
+                xbuf[:] = jnp.zeros((NZ, 2 * S3), dtype)
+            ohzT_ref[:] = (
+                jax.lax.broadcasted_iota(jnp.int32, (RH, nrec), 0)
+                == rzr_ref[:]
+            ).astype(dtype)
+            ohx_ref[:] = (
+                jax.lax.broadcasted_iota(jnp.int32, (nrec, NX), 1)
+                == jnp.reshape(rxr_ref[:], (nrec, 1))
+            ).astype(dtype)
+            kz_ref[:] = _banded_kz(d1z, d2z, S, r, dtype)
+            kcz2 = jnp.concatenate(
+                [_banded_kcz(d1z, SE, S3, dtype), _banded_kcz(d2z, SE, S3, dtype)], 0
+            )
+            kwz_ref[:] = _blockdiag2(kcz2, kcz2)
+            kcz1 = _banded_kcz(d1z, SE, S3, dtype)
+            kyz_ref[:] = _blockdiag2(kcz1, kcz1)
+            kx_ref[:] = _banded_kz(d1x, d2x, S, r, dtype)
+            kcx2 = jnp.concatenate(
+                [_banded_kcz(d1x, SE, S3, dtype), _banded_kcz(d2x, SE, S3, dtype)], 0
+            )
+            kwx_ref[:] = _blockdiag2(kcx2, kcx2)
+            kcx1 = _banded_kcz(d1x, SE, S3, dtype)
+            kyx_ref[:] = _blockdiag2(kcx1, kcx1)
+            zr = jax.lax.broadcasted_iota(jnp.int32, (NZ, nsrc), 0)
+            zc = jax.lax.broadcasted_iota(jnp.int32, (NZ, nsrc), 1)
+            xr = jax.lax.broadcasted_iota(jnp.int32, (NX, nsrc), 0)
+            xc = jax.lax.broadcasted_iota(jnp.int32, (NX, nsrc), 1)
+            szT = jnp.zeros((NZ, nsrc), dtype)
+            sxT = jnp.zeros((NX, nsrc), dtype)
+            for i in range(nsrc):
+                szT = szT + ((zr == sz_ref[i]) & (zc == i)).astype(dtype)
+                sxT = sxT + ((xr == sx_ref[i]) & (xc == i)).astype(dtype)
+            szT_ref[:] = szT
+            sxT_ref[:] = sxT
+
+        def substep(step_i, par):
+            j = CH - 1 - step_i  # traced in-chunk time index
+            qcur = q0 if par == 0 else q1
+            qoth = q1 if par == 0 else q0
+
+            # imaging laplacian: streamed back from the forward's tape
+            lapw = snap_ref[pl.ds(j, 1)][0].astype(dtype)
+
+            # ---- transposed step (identical to the rings reverse) ----
+            ohj = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1) == j
+            ).astype(dtype)
+            ybrow = jnp.dot(ohj, yb_ref[0], preferred_element_type=dtype,
+                            precision=HIGHEST)  # (1, nrec)
+            u_rec = ohzT_ref[:] * ybrow  # (RH, nrec)
+            inj = jnp.dot(u_rec, ohx_ref[:], preferred_element_type=dtype,
+                          precision=HIGHEST)  # (RH, NX)
+            qcur[pl.ds(r0, RH), :] = qcur[pl.ds(r0, RH), :] + inj
+            lam = qcur[:]
+            lam_prev = qoth[:]
+            if fs is not None:  # transpose of the pressure-release row pin
+                fsmask = (
+                    jax.lax.broadcasted_iota(jnp.int32, (NZ, 1), 0) != fs
+                ).astype(dtype)
+                lam = lam * fsmask
+                lam_prev = lam_prev * fsmask
+            col = jnp.dot(lam, sxT_ref[:], preferred_element_type=dtype,
+                          precision=HIGHEST)  # (NZ, nsrc)
+            row_s = jnp.sum(col * szT_ref[:], axis=0, keepdims=True)
+            jmask = (
+                jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0) == j
+            ).astype(dtype)
+            lsacc_ref[:] = lsacc_ref[:] + jmask * row_s
+            u_ref[PZ : PZ + NZ, PX : PX + NX] = c2_ref[:] * lam
+            gacc_ref[:] = gacc_ref[:] + lam * lapw
+            qoth[:] = (
+                2.0 * lam
+                - lam_prev
+                + _shift_sum_rows(u_ref, d2z, r, 0, NZ, NX)
+                + _shift_sum_cols(u_ref, d2x, r, 0, NX, NZ)
+            )
+
+            # z strips, both sides (same three-phase packed-MXU treatment
+            # as the rings reverse)
+            d1u_z = []
+            for s, R0 in ((0, 0), (1, NZ - S)):
+                a, b = az_ref[s], bz_ref[s]
+                off = (r if s == 0 else 2 * r) + s * S3
+                u_strip = u_ref[PZ + R0 : PZ + R0 + S, PX : PX + NX]
+                ps_tot = psz[s] + u_strip
+                psz[s] = b * ps_tot
+                zw_ref[off : off + S, :] = a * ps_tot
+                u_slab = u_ref[PZ + R0 - r : PZ + R0 - r + S + 2 * r,
+                               PX : PX + NX]
+                d1u_z.append(
+                    jnp.dot(kz_ref[0:S], u_slab,
+                            preferred_element_type=dtype, precision=HIGHEST)
+                )
+            dw_z = jnp.dot(kwz_ref[:], zw_ref[:],
+                           preferred_element_type=dtype, precision=HIGHEST)
+            d2w_z = []
+            for s in range(2):
+                a, b = az_ref[s], bz_ref[s]
+                off = (r if s == 0 else 2 * r) + s * S3
+                d1w = dw_z[2 * SE * s : 2 * SE * s + SE]
+                d2w_z.append(dw_z[2 * SE * s + SE : 2 * SE * (s + 1)])
+                strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
+                pb_tot = pbz[s] - d1u_z[s] - d1w[strip_in_ext]
+                pbz[s] = b * pb_tot
+                zy_ref[off : off + S, :] = a * pb_tot
+            dy_z = jnp.dot(kyz_ref[:], zy_ref[:],
+                           preferred_element_type=dtype, precision=HIGHEST)
+            for s in range(2):
+                ext = slice(0, SE) if s == 0 else slice(NZ - SE, NZ)
+                qoth[ext, :] = (
+                    qoth[ext, :] + d2w_z[s] - dy_z[s * SE : (s + 1) * SE]
+                )
+
+            d1u_x = []
+            for s, C0 in ((0, 0), (1, NX - S)):
+                a, b = ax_ref[s], bx_ref[s]
+                off = (r if s == 0 else 2 * r) + s * S3
+                u_strip = u_ref[PZ : PZ + NZ, PX + C0 : PX + C0 + S]
+                ps_tot = psx[s] + u_strip
+                psx[s] = b * ps_tot
+                xw_ref[:, off : off + S] = a * ps_tot
+                u_slab = u_ref[PZ : PZ + NZ,
+                               PX + C0 - r : PX + C0 - r + S + 2 * r]
+                d1u_x.append(
+                    jax.lax.dot_general(
+                        u_slab, kx_ref[0:S], (((1,), (1,)), ((), ())),
+                        preferred_element_type=dtype, precision=HIGHEST,
+                    )
+                )
+            dw_x = jax.lax.dot_general(
+                xw_ref[:], kwx_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=HIGHEST,
+            )
+            d2w_x = []
+            for s in range(2):
+                a, b = ax_ref[s], bx_ref[s]
+                off = (r if s == 0 else 2 * r) + s * S3
+                d1w = dw_x[:, 2 * SE * s : 2 * SE * s + SE]
+                d2w_x.append(dw_x[:, 2 * SE * s + SE : 2 * SE * (s + 1)])
+                strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
+                pb_tot = pbx[s] - d1u_x[s] - d1w[:, strip_in_ext]
+                pbx[s] = b * pb_tot
+                xy_ref[:, off : off + S] = a * pb_tot
+            dy_x = jax.lax.dot_general(
+                xy_ref[:], kyx_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=HIGHEST,
+            )
+            for s in range(2):
+                ext = slice(0, SE) if s == 0 else slice(NX - SE, NX)
+                qoth[:, ext] = (
+                    qoth[:, ext] + d2w_x[s] - dy_x[:, s * SE : (s + 1) * SE]
+                )
+
+        lsacc_ref[:] = jnp.zeros((CH, nsrc), dtype)
+
+        def pair(i, carry):
+            substep(2 * i, 0)
+            substep(2 * i + 1, 1)
+            return carry
+
+        _run_pairs(pair)
+        lam_src_ref[0] = lsacc_ref[:]
+
+        @pl.when(c == nC - 1)
+        def _final():
+            gbar_ref[:] = gacc_ref[:]
+
+    rev_idx3 = lambda c: (nC - 1 - c, 0, 0)  # noqa: E731
+    const2 = lambda c: (0, 0)  # noqa: E731
+    const3 = lambda c: (0, 0, 0)  # noqa: E731
+
+    in_specs = [
+        bspec((NZ, NX), const2, memory_space=pltpu.VMEM),  # c2
+        bspec((2, S, 1), const3, memory_space=pltpu.VMEM),
+        bspec((2, S, 1), const3, memory_space=pltpu.VMEM),
+        bspec((2, 1, S), const3, memory_space=pltpu.VMEM),
+        bspec((2, 1, S), const3, memory_space=pltpu.VMEM),
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # sz
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # sx
+        bspec((1, nrec), const2, memory_space=pltpu.VMEM),  # rxr
+        bspec((1, nrec), const2, memory_space=pltpu.VMEM),  # rzr
+        bspec((1,), lambda c: (0,), memory_space=pltpu.SMEM),  # r0
+        bspec((1, CH, nrec), rev_idx3, memory_space=pltpu.VMEM),  # ybar3
+        bspec((CH, NZ, NX), rev_idx3, memory_space=pltpu.VMEM),  # snap
+    ]
+    out_specs = (
+        bspec((NZ, NX), const2, memory_space=pltpu.VMEM),  # gbar
+        bspec((1, CH, nsrc), rev_idx3, memory_space=pltpu.VMEM),  # lam_src
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((NZ, NX), dtype),
+        jax.ShapeDtypeStruct((nC, CH, nsrc), dtype),
+    )
+    scratch = [
+        pltpu.VMEM((EZ, EX), dtype),  # u
+        pltpu.VMEM((NZ, NX), dtype),  # q0 (lam ping)
+        pltpu.VMEM((NZ, NX), dtype),  # q1 (lam pong)
+        pltpu.VMEM((NZ, NX), dtype),  # gacc
+        pltpu.VMEM((2, S, NX), dtype),  # pbz
+        pltpu.VMEM((2, S, NX), dtype),  # psz
+        pltpu.VMEM((2, NZ, S), dtype),  # pbx
+        pltpu.VMEM((2, NZ, S), dtype),  # psx
+        pltpu.VMEM((2 * S3, NX), dtype),  # zw (both sides stacked)
+        pltpu.VMEM((2 * S3, NX), dtype),  # zy
+        pltpu.VMEM((NZ, 2 * S3), dtype),  # xw
+        pltpu.VMEM((NZ, 2 * S3), dtype),  # xy
+        pltpu.VMEM((RH, nrec), dtype),  # ohzT
+        pltpu.VMEM((nrec, NX), dtype),  # ohx
+        pltpu.VMEM((2 * S, S + 2 * r), dtype),  # kz
+        pltpu.VMEM((4 * SE, 2 * S3), dtype),  # kwz
+        pltpu.VMEM((2 * SE, 2 * S3), dtype),  # kyz
+        pltpu.VMEM((2 * S, S + 2 * r), dtype),  # kx
+        pltpu.VMEM((4 * SE, 2 * S3), dtype),  # kwx
+        pltpu.VMEM((2 * SE, 2 * S3), dtype),  # kyx
+        pltpu.VMEM((NZ, nsrc), dtype),  # szT
+        pltpu.VMEM((NX, nsrc), dtype),  # sxT
+        pltpu.VMEM((CH, nsrc), dtype),  # lsacc
     ]
 
     return pl.pallas_call(

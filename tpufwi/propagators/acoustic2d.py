@@ -45,9 +45,14 @@ class AcousticPropagator:
         tape_dtype=None,
     ):
         """impl: 'pallas' (fused single-step TPU kernels),
-        'pallas_scanres' (whole-scan-resident kernels — fastest; requires
-        all receivers of a shot within a 16-row slab, e.g. surface
-        acquisition), 'jnp' (XLA twin — CPU, fp64, 3D), or 'auto'.
+        'pallas_scanres' (whole-scan-resident kernels — boundary-ring
+        tape; requires all receivers of a shot within a 16-row slab,
+        e.g. surface acquisition), 'pallas_scansnap' (whole-scan with a
+        bf16 full-field lap tape: the reverse pass skips reconstruction
+        — 2 propagation sweeps per gradient instead of 3 — at
+        nt*NZ*NX*2 bytes of tape HBM and a ~1e-4..1e-3 bf16-rounding
+        gradient error; same receiver-slab contract), 'jnp' (XLA twin —
+        CPU, fp64, 3D), or 'auto'.
 
         'auto' resolves to 'jnp' off-TPU (or for fp64/3D); on a TPU
         backend with a 2D fp32 grid the choice between the whole-scan-
@@ -109,7 +114,7 @@ class AcousticPropagator:
             self._sims[impl] = make_simulator_pallas(
                 self.grid, self.dt, self.f0, self.c_max
             )
-        elif impl == "pallas_scanres":
+        elif impl in ("pallas_scanres", "pallas_scansnap"):
             from ..adjoint_pallas_scanres import (
                 make_simulator_pallas_scanres,
             )
@@ -117,7 +122,8 @@ class AcousticPropagator:
             if self.dtype != jnp.float32:
                 raise ValueError("pallas path is fp32 only")
             self._sims[impl] = make_simulator_pallas_scanres(
-                self.grid, self.dt, self.f0, self.c_max
+                self.grid, self.dt, self.f0, self.c_max,
+                tape_mode="snap" if impl == "pallas_scansnap" else "rings",
             )
         else:
             self._sims[impl] = make_simulator(
@@ -125,13 +131,27 @@ class AcousticPropagator:
                 tape_dtype=self._tape_dtype,
             )
 
+    # Snapshot-engine eligibility bounds (measured, BASELINE.md round-3):
+    # the bf16 lap tape costs nt*NZ*NX*2 bytes of HBM per in-flight shot
+    # (6.6 GB at the official bench config fits the 15.75 GB v5e chip
+    # with room for data/model/workspace) and its double-buffered
+    # out-stream costs 2*CH*NZ*NX*2 bytes of VMEM (42 MB at bench scale
+    # against the kernel's 120 MB budget).
+    SNAP_TAPE_BUDGET_BYTES = 8 * 1024**3
+    SNAP_VMEM_BUDGET_BYTES = 60 * 1024**2
+
     def resolve_impl(self, geom: Geometry | None = None,
-                     rcv_rows: int = 16) -> str:
-        """The engine a call with ``geom`` will use. For impl='auto' on
-        the TPU/2D/fp32 tier this is the scanres slab check: every shot's
-        receiver rows must fit within ``rcv_rows`` of their 8-aligned slab
-        start. Traced geometry (inside jit/vmap with geometry arguments)
-        cannot be checked and falls back to the single-step engine."""
+                     rcv_rows: int = 16, nt: int | None = None) -> str:
+        """The engine a call with ``geom`` (and a length-``nt`` wavelet)
+        will use. For impl='auto' on the TPU/2D/fp32 tier this is the
+        whole-scan receiver-slab check (every shot's receiver rows within
+        ``rcv_rows`` of their 8-aligned slab start); when it holds, the
+        SNAPSHOT engine (2 propagation sweeps per gradient — the rings
+        engine is measured at its 3-sweep floor) is picked whenever its
+        bf16 lap tape fits the budgets above, the rings whole-scan engine
+        otherwise. Traced geometry (inside jit/vmap with geometry
+        arguments) cannot be checked and falls back to the single-step
+        engine."""
         if self.impl != "auto":
             return self.impl
         reason = None
@@ -151,20 +171,40 @@ class AcousticPropagator:
             except (jax.errors.TracerArrayConversionError,
                     jax.errors.ConcretizationTypeError):
                 reason = "geometry is traced (jit/vmap argument)"
-        if reason is None:
-            return "pallas_scanres"
-        logging.getLogger(__name__).info(
-            "impl='auto': falling back to the single-step pallas engine: %s",
-            reason,
-        )
-        return "pallas"
+        log = logging.getLogger(__name__)
+        if reason is not None:
+            log.info(
+                "impl='auto': falling back to the single-step pallas "
+                "engine: %s", reason,
+            )
+            return "pallas"
+        NZ, NX = self.grid.padded_shape
+        from ..kernels.acoustic2d_pallas_scanres import CH
 
-    def fix_impl_for(self, geom: Geometry) -> str:
+        if nt is None:
+            snap_reason = "wavelet length unknown (tape cannot be sized)"
+        elif nt * NZ * NX * 2 > self.SNAP_TAPE_BUDGET_BYTES:
+            snap_reason = (
+                f"bf16 lap tape {nt * NZ * NX * 2 / 2**30:.1f} GiB exceeds "
+                f"the {self.SNAP_TAPE_BUDGET_BYTES / 2**30:.0f} GiB budget"
+            )
+        elif 2 * CH * NZ * NX * 2 > self.SNAP_VMEM_BUDGET_BYTES:
+            snap_reason = "snapshot out-stream exceeds the VMEM budget"
+        else:
+            return "pallas_scansnap"
+        log.info(
+            "impl='auto': whole-scan rings engine (snapshot ineligible: "
+            "%s)", snap_reason,
+        )
+        return "pallas_scanres"
+
+    def fix_impl_for(self, geom: Geometry, nt: int | None = None) -> str:
         """Resolve impl='auto' ONCE against a concrete (possibly stacked)
-        survey geometry and pin it — used by FwiProblem so the jitted
-        objectives (whose geometry arguments are traced) still get the
-        whole-scan engine when the survey satisfies its contract."""
-        self.impl = self.resolve_impl(geom)
+        survey geometry and wavelet length, and pin it — used by
+        FwiProblem so the jitted objectives (whose geometry arguments are
+        traced) still get the whole-scan engine when the survey satisfies
+        its contract."""
+        self.impl = self.resolve_impl(geom, nt=nt)
         return self.impl
 
     # -- model prep ---------------------------------------------------------
@@ -180,7 +220,9 @@ class AcousticPropagator:
     def __call__(self, vp: jax.Array, geom: Geometry, wavelet: jax.Array) -> jax.Array:
         """Seismogram (nt, nrec); differentiable in vp and wavelet via the
         boundary-saving custom VJP (tpufwi/adjoint.py)."""
-        simulate = self._sim(self.resolve_impl(geom))
+        simulate = self._sim(
+            self.resolve_impl(geom, nt=int(wavelet.shape[0]))
+        )
         return simulate(
             self.c2dt2(vp), wavelet.astype(self.dtype), geom.src_idx, geom.rcv_idx
         )

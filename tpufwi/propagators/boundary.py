@@ -79,18 +79,22 @@ class RingSpec:
         return RingSpec(slices=tuple(slabs), valid=valid,
                         tape_dtype=tape_dtype)
 
-    # Slabs are stored with their width-r axis MOVED TO THE FRONT so the
-    # minor (lane/sublane) dims are always large grid extents. In natural
-    # orientation the axis-d slab keeps the size-r extent at position d;
-    # stacked over nt by lax.scan, XLA tiles it T(8,128) with the tiny r
-    # in the lane dim — measured 32-64x HBM padding expansion at scale
-    # (runs/tpu_queue5/{fullscale3d,elastic3d_bench}.log). Slab i covers
+    # Slabs are stored FLATTENED to 1D, so the stacked-over-nt tape is
+    # (nt, n_slab) with a single large minor dim. In any orientation
+    # that keeps the width-r extent as its own dim, XLA is free to tile
+    # that tiny dim as T(8,128) lanes — measured 32-64x HBM padding
+    # expansion at scale, on x/z slabs with natural minor r AND on y
+    # slabs (nt, r, ny, nx) whose size-r dim a remat copy chose as lanes
+    # (runs/tpu_queue5..6/{fullscale3d,elastic3d_*}.log). Slab i covers
     # axis i // 2 (low face for even i, high for odd).
+
+    def _slab_dims(self, i: int) -> Tuple[int, ...]:
+        return tuple(sl.stop - sl.start for sl in self.slices[i])
 
     def extract(self, p: jax.Array) -> Tuple[jax.Array, ...]:
         out = []
-        for i, s in enumerate(self.slices):
-            slab = jnp.moveaxis(p[s], i // 2, 0)
+        for s in self.slices:
+            slab = p[s].reshape(-1)
             if self.tape_dtype is not None:
                 slab = slab.astype(self.tape_dtype)
             out.append(slab)
@@ -98,15 +102,16 @@ class RingSpec:
 
     def impose(self, p: jax.Array, rings: Tuple[jax.Array, ...]) -> jax.Array:
         for i, (s, r) in enumerate(zip(self.slices, rings)):
-            p = p.at[s].set(jnp.moveaxis(r, 0, i // 2).astype(p.dtype))
+            p = p.at[s].set(r.reshape(self._slab_dims(i)).astype(p.dtype))
         return p
 
     def zeros_like_rings(self, shape, dtype) -> Tuple[jax.Array, ...]:
         out = []
-        for i, s in enumerate(self.slices):
-            dims = [sl.stop - sl.start for sl in s]
-            dims.insert(0, dims.pop(i // 2))
-            out.append(jnp.zeros(tuple(dims), dtype))
+        for i in range(len(self.slices)):
+            n = 1
+            for d in self._slab_dims(i):
+                n *= d
+            out.append(jnp.zeros((n,), dtype))
         return tuple(out)
 
     def mask_valid(self, g: jax.Array) -> jax.Array:
