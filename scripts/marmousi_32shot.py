@@ -29,12 +29,15 @@ from tpufwi.io import marmousi_like
 
 
 def main():
-    run_dir = "runs/marmousi_32shot"
+    # engine override via argv (round 3: the snapshot engine is the
+    # auto-default; pass pallas_scanres to reproduce the rings run)
+    engine = sys.argv[1] if len(sys.argv) > 1 else "pallas_scanres"
+    run_dir = sys.argv[2] if len(sys.argv) > 2 else "runs/marmousi_32shot"
     cfg = FwiConfig().with_overrides([
         "run_dir=" + run_dir,
         "model.nz=351", "model.nx=1701",
         "acq.n_shots=32",
-        "prop.impl=pallas_scanres",
+        "prop.impl=" + engine,
     ])
     vp_true, dx = marmousi_like(nz=cfg.model.nz, nx=cfg.model.nx, dx=cfg.model.dx)
     t0 = time.time()
@@ -71,7 +74,7 @@ def main():
         "grid": [cfg.model.nz, cfg.model.nx],
         "nt": int(problem.wavelet.shape[0]),
         "chip": "v5e-1",
-        "engine": "pallas_scanres",
+        "engine": engine,
     }
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f)

@@ -252,6 +252,64 @@ def test_scanres_shot_dp_shard_map_matches_sequential():
     assert rel < 1e-5, f"scanres shard_map vs sequential grad: {rel:.3e}"
 
 
+def test_scansnap_shot_dp_shard_map_matches_sequential():
+    """The snapshot engine (round-3 auto default on TPU) under shard_map
+    shot DP: same composition as the scanres test above, on the bf16
+    lap-tape engine — psum-of-gradients == sequential sum up to the tape
+    rounding."""
+    assert jax.device_count() == 8
+    from tpufwi.adjoint_pallas_scanres import make_simulator_pallas_scanres
+    from tpufwi import split_spread_survey as _survey
+
+    grid = Grid(shape=(40, 64), h=(12.0, 12.0), pml=8, order=4)
+    c_max, f0 = 2600.0, 13.0
+    dt = grid.cfl_dt(c_max, safety=0.7)
+    nt = 96
+    w = jnp.asarray(ricker_np(f0, dt, nt), jnp.float32)
+    rng = np.random.default_rng(3)
+    vp_true = jnp.asarray(
+        np.clip(2100 + 150 * rng.standard_normal(grid.shape), 1800, 2500),
+        jnp.float32,
+    )
+    vp0 = jnp.full(grid.shape, 2100.0, jnp.float32)
+    sim = make_simulator_pallas_scanres(
+        grid, dt, f0, c_max, interpret=True, tape_mode="snap"
+    )
+    pad = grid.pad
+
+    def c2of(v):
+        return (jnp.pad(v, [(pad, pad)] * 2, mode="edge") * dt) ** 2
+
+    n_shots = 8
+    geoms = _survey(grid, n_shots, src_z=4, rcv_z=3, rcv_dx=2)
+    d_obs = jnp.stack([
+        sim(c2of(vp_true), w,
+            jax.tree.map(lambda x: x[i], geoms).src_idx,
+            jax.tree.map(lambda x: x[i], geoms).rcv_idx)
+        for i in range(n_shots)
+    ])
+
+    def one_shot_loss(vp, geom, d):
+        return l2_misfit(sim(c2of(vp), w, geom.src_idx, geom.rcv_idx), d)
+
+    mesh = make_mesh({"shot": 8})
+    total = shot_parallel_loss(one_shot_loss, mesh, shot_loop="unroll")
+    geoms_s = shard_shots(geoms, mesh)
+    d_s = shard_shots(d_obs, mesh)
+    J_sh, g_sh = jax.jit(jax.value_and_grad(total))(vp0, geoms_s, d_s)
+
+    J_ref, g_ref = 0.0, jnp.zeros_like(vp0)
+    for i in range(n_shots):
+        geom_i = jax.tree.map(lambda x: x[i], geoms)
+        Ji, gi = jax.value_and_grad(one_shot_loss)(vp0, geom_i, d_obs[i])
+        J_ref += float(Ji)
+        g_ref = g_ref + gi
+
+    assert abs(float(J_sh) - J_ref) / J_ref < 1e-5
+    rel = float(jnp.abs(g_sh - g_ref).max()) / float(jnp.abs(g_ref).max())
+    assert rel < 1e-5, f"scansnap shard_map vs sequential grad: {rel:.3e}"
+
+
 def test_shot_loop_unroll_matches_map_in_problem():
     """FwiProblem.shot_loop='unroll' (the scanres-compatible shard_map
     form) computes the same sharded objective as the default lax.map."""
