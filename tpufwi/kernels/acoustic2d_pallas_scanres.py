@@ -83,7 +83,14 @@ def _run_pairs(pair):
         for i in range(CH // 2):
             pair(i, 0)
     else:
-        jax.lax.fori_loop(0, CH // 2, pair, 0)
+        # i32-pinned bounds/carry: python ints canonicalize to i64 under
+        # jax_enable_x64 (the test harness), and any i64-tainted value
+        # that later converts to f32 sends Mosaic's _convert_helper into
+        # infinite mutual recursion (RecursionError at lowering —
+        # runs/tpu_queue7/tpu_ci.log)
+        jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(CH // 2), pair, jnp.int32(0)
+        )
 
 # MXU precision for the banded strip products and gathers. HIGHEST (the
 # 6-pass fp32 emulation) is the correctness default — the MXU f32 default
@@ -143,6 +150,89 @@ def _taps(grid):
         tuple(float(c) / grid.h[1] for c in D1_COEFFS[grid.order]),
         tuple(float(c) / grid.h[1] ** 2 for c in D2_COEFFS[grid.order]),
     )
+
+
+def _transposed_strips(u_ref, qoth, az_ref, bz_ref, ax_ref, bx_ref,
+                       pbz, psz, pbx, psx, zw_ref, zy_ref, xw_ref, xy_ref,
+                       kz_ref, kwz_ref, kyz_ref, kx_ref, kwx_ref, kyx_ref,
+                       NZ, NX, S, SE, S3, r, dtype):
+    """Exact transposed CPML strip step, shared by the rings and snapshot
+    reverse kernels. z then x strips, both sides, three phases each: fill
+    the stacked w ring + per-side d1u dots; ONE packed d1w/d2w product;
+    fill the stacked y ring; ONE packed d1y product; RMW into qoth."""
+    d1u_z = []
+    for s, R0 in ((0, 0), (1, NZ - S)):
+        a, b = az_ref[s], bz_ref[s]
+        off = (r if s == 0 else 2 * r) + s * S3
+        u_strip = u_ref[PZ + R0 : PZ + R0 + S, PX : PX + NX]
+        ps_tot = psz[s] + u_strip
+        psz[s] = b * ps_tot
+        zw_ref[off : off + S, :] = a * ps_tot
+        u_slab = u_ref[PZ + R0 - r : PZ + R0 - r + S + 2 * r,
+                       PX : PX + NX]
+        d1u_z.append(
+            jnp.dot(kz_ref[0:S], u_slab,
+                    preferred_element_type=dtype, precision=HIGHEST)
+        )
+    dw_z = jnp.dot(kwz_ref[:], zw_ref[:],
+                   preferred_element_type=dtype, precision=HIGHEST)
+    d2w_z = []
+    for s in range(2):
+        a, b = az_ref[s], bz_ref[s]
+        off = (r if s == 0 else 2 * r) + s * S3
+        d1w = dw_z[2 * SE * s : 2 * SE * s + SE]
+        d2w_z.append(dw_z[2 * SE * s + SE : 2 * SE * (s + 1)])
+        strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
+        pb_tot = pbz[s] - d1u_z[s] - d1w[strip_in_ext]
+        pbz[s] = b * pb_tot
+        zy_ref[off : off + S, :] = a * pb_tot
+    dy_z = jnp.dot(kyz_ref[:], zy_ref[:],
+                   preferred_element_type=dtype, precision=HIGHEST)
+    for s in range(2):
+        ext = slice(0, SE) if s == 0 else slice(NZ - SE, NZ)
+        qoth[ext, :] = (
+            qoth[ext, :] + d2w_z[s] - dy_z[s * SE : (s + 1) * SE]
+        )
+
+    d1u_x = []
+    for s, C0 in ((0, 0), (1, NX - S)):
+        a, b = ax_ref[s], bx_ref[s]
+        off = (r if s == 0 else 2 * r) + s * S3
+        u_strip = u_ref[PZ : PZ + NZ, PX + C0 : PX + C0 + S]
+        ps_tot = psx[s] + u_strip
+        psx[s] = b * ps_tot
+        xw_ref[:, off : off + S] = a * ps_tot
+        u_slab = u_ref[PZ : PZ + NZ,
+                       PX + C0 - r : PX + C0 - r + S + 2 * r]
+        d1u_x.append(
+            jax.lax.dot_general(
+                u_slab, kx_ref[0:S], (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=HIGHEST,
+            )
+        )
+    dw_x = jax.lax.dot_general(
+        xw_ref[:], kwx_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=dtype, precision=HIGHEST,
+    )
+    d2w_x = []
+    for s in range(2):
+        a, b = ax_ref[s], bx_ref[s]
+        off = (r if s == 0 else 2 * r) + s * S3
+        d1w = dw_x[:, 2 * SE * s : 2 * SE * s + SE]
+        d2w_x.append(dw_x[:, 2 * SE * s + SE : 2 * SE * (s + 1)])
+        strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
+        pb_tot = pbx[s] - d1u_x[s] - d1w[:, strip_in_ext]
+        pbx[s] = b * pb_tot
+        xy_ref[:, off : off + S] = a * pb_tot
+    dy_x = jax.lax.dot_general(
+        xy_ref[:], kyx_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=dtype, precision=HIGHEST,
+    )
+    for s in range(2):
+        ext = slice(0, SE) if s == 0 else slice(NX - SE, NX)
+        qoth[:, ext] = (
+            qoth[:, ext] + d2w_x[s] - dy_x[:, s * SE : (s + 1) * SE]
+        )
 
 
 def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
@@ -280,7 +370,9 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
             x8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 1)
             for i in range(nsrc):
                 amp = c2src_ref[i] * w_ref[tb + jl]
-                sz8 = pl.multiple_of((sz_ref[i] // 8) * 8, 8)
+                sz8 = pl.multiple_of(
+                    (sz_ref[i] // jnp.int32(8)) * jnp.int32(8), 8
+                )  # i32-pinned: weak-int 8 goes i64 under x64
                 mask = (i8 == sz_ref[i] - sz8) & (x8 == sx_ref[i])
                 dst_ref[pl.ds(PZ + sz8, 8), PX : PX + NX] = (
                     dst_ref[pl.ds(PZ + sz8, 8), PX : PX + NX]
@@ -607,7 +699,9 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
             )
             for i in range(nsrc):
                 amp = c2src_ref[i] * w_ref[tb + j]
-                sz8 = pl.multiple_of((sz_ref[i] // 8) * 8, 8)
+                sz8 = pl.multiple_of(
+                    (sz_ref[i] // jnp.int32(8)) * jnp.int32(8), 8
+                )  # i32-pinned: weak-int 8 goes i64 under x64
                 mask = (i8 == sz_ref[i] - sz8) & (x8 == sx_ref[i])
                 dst[pl.ds(PZ + sz8, 8), PX : PX + NX] = (
                     dst[pl.ds(PZ + sz8, 8), PX : PX + NX]
@@ -662,82 +756,12 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
             if _debug_parts == "nostrips":
                 return
 
-            # z strips, both sides, three phases: fill the stacked w ring +
-            # per-side d1u dots; ONE packed d1w/d2w product; fill the
-            # stacked y ring; ONE packed d1y product; RMW into qoth.
-            d1u_z = []
-            for s, R0 in ((0, 0), (1, NZ - S)):
-                a, b = az_ref[s], bz_ref[s]
-                off = (r if s == 0 else 2 * r) + s * S3
-                u_strip = u_ref[PZ + R0 : PZ + R0 + S, PX : PX + NX]
-                ps_tot = psz[s] + u_strip
-                psz[s] = b * ps_tot
-                zw_ref[off : off + S, :] = a * ps_tot
-                u_slab = u_ref[PZ + R0 - r : PZ + R0 - r + S + 2 * r,
-                               PX : PX + NX]
-                d1u_z.append(
-                    jnp.dot(kz_ref[0:S], u_slab,
-                            preferred_element_type=dtype, precision=HIGHEST)
-                )
-            dw_z = jnp.dot(kwz_ref[:], zw_ref[:],
-                           preferred_element_type=dtype, precision=HIGHEST)
-            d2w_z = []
-            for s in range(2):
-                a, b = az_ref[s], bz_ref[s]
-                off = (r if s == 0 else 2 * r) + s * S3
-                d1w = dw_z[2 * SE * s : 2 * SE * s + SE]
-                d2w_z.append(dw_z[2 * SE * s + SE : 2 * SE * (s + 1)])
-                strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
-                pb_tot = pbz[s] - d1u_z[s] - d1w[strip_in_ext]
-                pbz[s] = b * pb_tot
-                zy_ref[off : off + S, :] = a * pb_tot
-            dy_z = jnp.dot(kyz_ref[:], zy_ref[:],
-                           preferred_element_type=dtype, precision=HIGHEST)
-            for s in range(2):
-                ext = slice(0, SE) if s == 0 else slice(NZ - SE, NZ)
-                qoth[ext, :] = (
-                    qoth[ext, :] + d2w_z[s] - dy_z[s * SE : (s + 1) * SE]
-                )
-
-            d1u_x = []
-            for s, C0 in ((0, 0), (1, NX - S)):
-                a, b = ax_ref[s], bx_ref[s]
-                off = (r if s == 0 else 2 * r) + s * S3
-                u_strip = u_ref[PZ : PZ + NZ, PX + C0 : PX + C0 + S]
-                ps_tot = psx[s] + u_strip
-                psx[s] = b * ps_tot
-                xw_ref[:, off : off + S] = a * ps_tot
-                u_slab = u_ref[PZ : PZ + NZ,
-                               PX + C0 - r : PX + C0 - r + S + 2 * r]
-                d1u_x.append(
-                    jax.lax.dot_general(
-                        u_slab, kx_ref[0:S], (((1,), (1,)), ((), ())),
-                        preferred_element_type=dtype, precision=HIGHEST,
-                    )
-                )
-            dw_x = jax.lax.dot_general(
-                xw_ref[:], kwx_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype, precision=HIGHEST,
+            _transposed_strips(
+                u_ref, qoth, az_ref, bz_ref, ax_ref, bx_ref,
+                pbz, psz, pbx, psx, zw_ref, zy_ref, xw_ref, xy_ref,
+                kz_ref, kwz_ref, kyz_ref, kx_ref, kwx_ref, kyx_ref,
+                NZ, NX, S, SE, S3, r, dtype,
             )
-            d2w_x = []
-            for s in range(2):
-                a, b = ax_ref[s], bx_ref[s]
-                off = (r if s == 0 else 2 * r) + s * S3
-                d1w = dw_x[:, 2 * SE * s : 2 * SE * s + SE]
-                d2w_x.append(dw_x[:, 2 * SE * s + SE : 2 * SE * (s + 1)])
-                strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
-                pb_tot = pbx[s] - d1u_x[s] - d1w[:, strip_in_ext]
-                pbx[s] = b * pb_tot
-                xy_ref[:, off : off + S] = a * pb_tot
-            dy_x = jax.lax.dot_general(
-                xy_ref[:], kyx_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype, precision=HIGHEST,
-            )
-            for s in range(2):
-                ext = slice(0, SE) if s == 0 else slice(NX - SE, NX)
-                qoth[:, ext] = (
-                    qoth[:, ext] + d2w_x[s] - dy_x[:, s * SE : (s + 1) * SE]
-                )
 
         lsacc_ref[:] = jnp.zeros((CH, nsrc), dtype)
 
@@ -974,81 +998,12 @@ def make_scanres_reverse_snap(grid: Grid, nt: int, nsrc: int, nrec: int,
                 + _shift_sum_cols(u_ref, d2x, r, 0, NX, NZ)
             )
 
-            # z strips, both sides (same three-phase packed-MXU treatment
-            # as the rings reverse)
-            d1u_z = []
-            for s, R0 in ((0, 0), (1, NZ - S)):
-                a, b = az_ref[s], bz_ref[s]
-                off = (r if s == 0 else 2 * r) + s * S3
-                u_strip = u_ref[PZ + R0 : PZ + R0 + S, PX : PX + NX]
-                ps_tot = psz[s] + u_strip
-                psz[s] = b * ps_tot
-                zw_ref[off : off + S, :] = a * ps_tot
-                u_slab = u_ref[PZ + R0 - r : PZ + R0 - r + S + 2 * r,
-                               PX : PX + NX]
-                d1u_z.append(
-                    jnp.dot(kz_ref[0:S], u_slab,
-                            preferred_element_type=dtype, precision=HIGHEST)
-                )
-            dw_z = jnp.dot(kwz_ref[:], zw_ref[:],
-                           preferred_element_type=dtype, precision=HIGHEST)
-            d2w_z = []
-            for s in range(2):
-                a, b = az_ref[s], bz_ref[s]
-                off = (r if s == 0 else 2 * r) + s * S3
-                d1w = dw_z[2 * SE * s : 2 * SE * s + SE]
-                d2w_z.append(dw_z[2 * SE * s + SE : 2 * SE * (s + 1)])
-                strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
-                pb_tot = pbz[s] - d1u_z[s] - d1w[strip_in_ext]
-                pbz[s] = b * pb_tot
-                zy_ref[off : off + S, :] = a * pb_tot
-            dy_z = jnp.dot(kyz_ref[:], zy_ref[:],
-                           preferred_element_type=dtype, precision=HIGHEST)
-            for s in range(2):
-                ext = slice(0, SE) if s == 0 else slice(NZ - SE, NZ)
-                qoth[ext, :] = (
-                    qoth[ext, :] + d2w_z[s] - dy_z[s * SE : (s + 1) * SE]
-                )
-
-            d1u_x = []
-            for s, C0 in ((0, 0), (1, NX - S)):
-                a, b = ax_ref[s], bx_ref[s]
-                off = (r if s == 0 else 2 * r) + s * S3
-                u_strip = u_ref[PZ : PZ + NZ, PX + C0 : PX + C0 + S]
-                ps_tot = psx[s] + u_strip
-                psx[s] = b * ps_tot
-                xw_ref[:, off : off + S] = a * ps_tot
-                u_slab = u_ref[PZ : PZ + NZ,
-                               PX + C0 - r : PX + C0 - r + S + 2 * r]
-                d1u_x.append(
-                    jax.lax.dot_general(
-                        u_slab, kx_ref[0:S], (((1,), (1,)), ((), ())),
-                        preferred_element_type=dtype, precision=HIGHEST,
-                    )
-                )
-            dw_x = jax.lax.dot_general(
-                xw_ref[:], kwx_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype, precision=HIGHEST,
+            _transposed_strips(
+                u_ref, qoth, az_ref, bz_ref, ax_ref, bx_ref,
+                pbz, psz, pbx, psx, zw_ref, zy_ref, xw_ref, xy_ref,
+                kz_ref, kwz_ref, kyz_ref, kx_ref, kwx_ref, kyx_ref,
+                NZ, NX, S, SE, S3, r, dtype,
             )
-            d2w_x = []
-            for s in range(2):
-                a, b = ax_ref[s], bx_ref[s]
-                off = (r if s == 0 else 2 * r) + s * S3
-                d1w = dw_x[:, 2 * SE * s : 2 * SE * s + SE]
-                d2w_x.append(dw_x[:, 2 * SE * s + SE : 2 * SE * (s + 1)])
-                strip_in_ext = slice(0, S) if s == 0 else slice(r, SE)
-                pb_tot = pbx[s] - d1u_x[s] - d1w[:, strip_in_ext]
-                pbx[s] = b * pb_tot
-                xy_ref[:, off : off + S] = a * pb_tot
-            dy_x = jax.lax.dot_general(
-                xy_ref[:], kyx_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype, precision=HIGHEST,
-            )
-            for s in range(2):
-                ext = slice(0, SE) if s == 0 else slice(NX - SE, NX)
-                qoth[:, ext] = (
-                    qoth[:, ext] + d2w_x[s] - dy_x[:, s * SE : (s + 1) * SE]
-                )
 
         lsacc_ref[:] = jnp.zeros((CH, nsrc), dtype)
 

@@ -320,6 +320,15 @@ def make_elastic_simulator_fused(
         zxs = jnp.zeros((2, NZ, S), dtype)
         zzs = jnp.zeros((2, S, NX), dtype)
 
+        # RingSpec stores slabs FLATTENED (HBM tape layout, see
+        # boundary.py); the fused kernels' impose() writes 2D slab refs,
+        # so un-flatten at the kernel boundary
+        _sdims = [tuple(sl.stop - sl.start for sl in s_)
+                  for s_ in rings.slices]
+
+        def _slabs(rg):
+            return tuple(r.reshape(d) for r, d in zip(rg, _sdims))
+
         def body(carry, xs):
             (fields, cot, memb, g, vsrc_acc) = carry
             ring_tm1, w_t, ybar_t = xs
@@ -327,7 +336,9 @@ def make_elastic_simulator_fused(
             vxb, vzb, sxxb, szzb, sxzb = cot
             mS = memb[4:]
             mV = memb[:4]
-            r_vx, r_vz, r_sxx, r_szz, r_sxz = ring_tm1
+            r_vx, r_vz, r_sxx, r_szz, r_sxz = (
+                _slabs(rg) for rg in ring_tm1
+            )
 
             # receiver cotangent scatter (O(nrec), XLA)
             if record == "v":
