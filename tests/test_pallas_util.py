@@ -38,3 +38,42 @@ def test_kwarg_only_spec_roundtrip():
 
     spec = bspec(memory_space=pltpu.ANY)
     assert spec.index_map is None
+
+
+def test_default_index_map_replaced_with_i32_zeros():
+    """A no-index-map bspec must NOT fall through to jax's
+    default_index_map, whose python-int zeros lower as i64 constants
+    under x64 (func.return (i64,i64,i64) — runs/tpu_queue7/tpu_ci_d.log).
+    The substitution happens in to_block_mapping, where the operand rank
+    is first known."""
+    from jax._src import core as jax_core
+    from jax._src.pallas import core as pallas_core
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = bspec(memory_space=pltpu.VMEM)
+    aval = jax_core.ShapedArray((4, 8, 128), jnp.float32)
+    i32 = jax_core.ShapedArray((), jnp.int32)
+    bm = spec.to_block_mapping(
+        "input[0]",
+        aval,
+        index_map_avals=(i32, i32),
+        index_map_tree=jax.tree.structure(((0, 0), {})),
+        grid=(2, 3),
+        vmapped_dims=(),
+    )
+    for atom in bm.index_map_jaxpr.jaxpr.outvars:
+        assert isinstance(atom, jax_core.Literal) and atom.val == 0
+        assert atom.aval.dtype == jnp.int32, atom.aval
+    assert bm.has_trivial_window()
+    # explicit block_shape with no map gets the same treatment
+    spec2 = bspec((2, 8, 128), memory_space=pltpu.VMEM)
+    bm2 = spec2.to_block_mapping(
+        "input[1]",
+        aval,
+        index_map_avals=(i32, i32),
+        index_map_tree=jax.tree.structure(((0, 0), {})),
+        grid=(2, 3),
+        vmapped_dims=(),
+    )
+    for atom in bm2.index_map_jaxpr.jaxpr.outvars:
+        assert atom.aval.dtype == jnp.int32

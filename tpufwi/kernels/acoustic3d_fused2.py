@@ -1007,7 +1007,12 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
     )
     uyh = bspec(
         (BY, BZ, NX),
-        lambda gz, gy: (jnp.clip(gy - yh0, 0, yh1 - yh0), gz, 0),
+        # minimum/maximum, not clip: jnp.clip's inner jit materializes
+        # i64 bound constants under x64 whose i64->i32 convert sends
+        # Mosaic lowering into infinite recursion (tpu_ci run 2)
+        lambda gz, gy: (
+            jnp.minimum(jnp.maximum(gy - yh0, 0), yh1 - yh0), gz, 0
+        ),
         memory_space=pltpu.VMEM,
     )
 
@@ -1019,7 +1024,9 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
             used = jnp.zeros((), jnp.bool_)
             for jb in jbs:
                 used = used | (gz == jb)
-            return (jnp.where(used, gy, 0), 0, 0)
+            # i32 branch literal: a weak python 0 becomes an i64 arg of
+            # where's inner jit under x64 -> Mosaic convert recursion
+            return (jnp.where(used, gy, jnp.int32(0)), 0, 0)
 
         return bspec((BY, WZP, NX), idx, memory_space=pltpu.VMEM)
 
