@@ -76,8 +76,11 @@ print("RESULT " + json.dumps(out), flush=True)
 def main():
     # Mosaic supports only HIGHEST / DEFAULT dot precisions (HIGH fails
     # to lower). DEFAULT rounds through bf16 (~2e-3) — measured here for
-    # the speed ceiling, not as a production candidate.
-    for prec in ("highest", "default"):
+    # the speed ceiling, not as a production candidate. high3 is the
+    # manual 3-pass bf16-split emulation (kernels/
+    # acoustic2d_pallas_scanres.py::_pdot) — the candidate middle path.
+    levels = sys.argv[1:] or ["highest", "high3"]
+    for prec in levels:
         env = dict(os.environ, TPUFWI_SCANRES_MXU_PRECISION=prec)
         code = CHILD % {"repo": REPO}
         r = subprocess.run([sys.executable, "-c", code], env=env,

@@ -50,6 +50,20 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="tiny CPU smoke-test configuration")
     ap.add_argument("--nt", type=int, default=600)
+    # scale knobs (defaults reproduce the runs/overthrust_demo_ms
+    # configuration exactly; --ny 400 --nz 160 --nx 560 --nt 900 is the
+    # large-scale single-chip configuration, ~44M padded cells)
+    ap.add_argument("--ny", type=int, default=100)
+    ap.add_argument("--nz", type=int, default=94)
+    ap.add_argument("--nx", type=int, default=200)
+    ap.add_argument("--shots-y", type=int, default=3)
+    ap.add_argument("--shots-x", type=int, default=4)
+    ap.add_argument("--rcv-dy", type=int, default=10)
+    ap.add_argument("--rcv-dx", type=int, default=6)
+    ap.add_argument("--lbfgs-m", type=int, default=10,
+                    help="L-BFGS history pairs (device memory: 2*m models)")
+    ap.add_argument("--by", type=int, default=16)
+    ap.add_argument("--bz", type=int, default=64)
     ap.add_argument("--free-surface-model", dest="known_surface",
                     action="store_false",
                     help="do NOT pin the near-surface rows to truth")
@@ -85,7 +99,7 @@ def main():
         vp3, dx = overthrust_like(nz=32, ny=32, nx=48)
         nt = 120
     else:
-        vp3, dx = overthrust_like(nz=94, ny=100, nx=200)
+        vp3, dx = overthrust_like(nz=args.nz, ny=args.ny, nx=args.nx)
         nt = args.nt
     vp_true = np.ascontiguousarray(np.transpose(vp3, (1, 0, 2)))
     grid = Grid(shape=vp_true.shape, h=(dx,) * 3, pml=10, order=8)
@@ -107,18 +121,22 @@ def main():
         ]
     else:
         rcv = np.array(
-            [[y, 3, x] for y in range(10, 90, 10) for x in range(10, 190, 6)]
+            [[y, 3, x] for y in range(10, ny_ - 10, args.rcv_dy)
+             for x in range(10, nx_ - 10, args.rcv_dx)]
         )
+        shot_ys = np.linspace(0.2 * ny_, 0.8 * ny_, args.shots_y)
+        shot_xs = np.linspace(0.15 * nx_, 0.75 * nx_, args.shots_x)
         geoms = [
-            Geometry.from_physical(grid, np.array([[y, 2, x]]), rcv)
-            for y in (20, 50, 80)
-            for x in (30, 70, 110, 150)
+            Geometry.from_physical(grid, np.array([[int(y), 2, int(x)]]), rcv)
+            for y in shot_ys
+            for x in shot_xs
         ]
 
     if args.engine == "fused":
         from tpufwi.adjoint3d_pallas import make_simulator3d_fused
 
-        sim = make_simulator3d_fused(grid, dt, f0, c_max, by=16, bz=64)
+        sim = make_simulator3d_fused(grid, dt, f0, c_max,
+                                     by=args.by, bz=args.bz)
     elif args.engine == "fused_sharded":
         from jax.sharding import Mesh
 
@@ -275,7 +293,7 @@ def main():
         vp, infos = minimize(
             vg, vp, iterations=args.iters, method="lbfgs",
             bounds=(2000.0, 6000.0), precond=pre, loss_only=loss,
-            callback=cb,
+            callback=cb, lbfgs_m=args.lbfgs_m,
         )
         Jb1 = float(vg(vp)[0])
         it_total += len(infos)

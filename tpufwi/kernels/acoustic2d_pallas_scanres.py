@@ -92,20 +92,78 @@ def _run_pairs(pair):
             jnp.int32(0), jnp.int32(CH // 2), pair, jnp.int32(0)
         )
 
-# MXU precision for the banded strip products and gathers. HIGHEST (the
-# 6-pass fp32 emulation) is the correctness default — the MXU f32 default
-# path rounds through bf16 (~2e-3 relative), unacceptable for physics
-# values. TPUFWI_SCANRES_MXU_PRECISION=high selects the 3-pass emulation:
-# scripts/exp_2d_scanres.py measures its speed and gradient-accuracy
-# trade on hardware before any default change.
+# MXU precision for the banded strip products and gathers. The MXU f32
+# default path rounds through bf16 (~2e-3 relative), unacceptable for
+# physics values; Mosaic lowers only HIGHEST and DEFAULT dot precisions
+# (Precision.HIGH raises NotImplementedError — measured round 3,
+# BASELINE.md "2D machine model"). The default mode "high3" is a MANUAL
+# 3-pass emulation built from bf16 splits + DEFAULT dots (classic HIGH
+# algorithm: a=ah+al, b=bh+bl, keep ah·bh + ah·bl + al·bh — ~2^-18
+# relative vs DEFAULT's 2^-9; one-hot operands are bf16-exact, so their
+# dots split only the value side into THREE terms for full fp32).
+# Hardware A/B (runs/tpu_queue8/prec_high3.log, official bench config):
+#   highest 4.111 shots/s, grad_rel 4.0e-6 | high3 4.668 shots/s (+13.5%),
+#   grad_rel 3.1e-6 — faster at equal-or-better accuracy, hence default.
+# TPUFWI_SCANRES_MXU_PRECISION=highest restores the 6-pass XLA emulation.
 _PREC = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
 }
-HIGHEST = _PREC[
-    _os.environ.get("TPUFWI_SCANRES_MXU_PRECISION", "highest").lower()
-]
+_MXU_MODE = _os.environ.get("TPUFWI_SCANRES_MXU_PRECISION", "high3").lower()
+HIGHEST = _PREC[_MXU_MODE] if _MXU_MODE in _PREC else jax.lax.Precision.HIGHEST
+
+_DOT01 = (((1,), (0,)), ((), ()))  # jnp.dot(a, b) dimension numbers
+_DOT11 = (((1,), (1,)), ((), ()))  # contract both on axis 1
+
+
+def _split2(x, dtype):
+    """bf16 hi/lo pair: xh + xl carries ~17 mantissa bits of x."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(dtype)).astype(jnp.bfloat16)
+    return xh, xl
+
+
+def _split3(x, dtype):
+    """bf16 hi/mid/lo triple: carries the full fp32 mantissa (24 bits)."""
+    xh = x.astype(jnp.bfloat16)
+    r1 = x - xh.astype(dtype)
+    xm = r1.astype(jnp.bfloat16)
+    xl = (r1 - xm.astype(dtype)).astype(jnp.bfloat16)
+    return xh, xm, xl
+
+
+def _pdot(a, b, dims=_DOT01, a_exact=False, b_exact=False,
+          dtype=jnp.float32):
+    """MXU dot at the configured precision mode.
+
+    ``a_exact``/``b_exact`` mark operands whose values are exactly
+    representable in bf16 (one-hot factors, iota masks): in high3 mode
+    they are cast once and only the other side is split — three terms
+    (full fp32) since the passes are tiny there anyway."""
+    if _MXU_MODE != "high3":
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=dtype,
+                                   precision=HIGHEST)
+
+    def D(x, y):
+        return jax.lax.dot_general(x, y, dims,
+                                   preferred_element_type=dtype,
+                                   precision=jax.lax.Precision.DEFAULT)
+
+    if a_exact and b_exact:
+        return D(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+    if a_exact:
+        ae = a.astype(jnp.bfloat16)
+        bh, bm, bl = _split3(b, dtype)
+        return D(ae, bh) + D(ae, bm) + D(ae, bl)
+    if b_exact:
+        be = b.astype(jnp.bfloat16)
+        ah, am, al = _split3(a, dtype)
+        return D(ah, be) + D(am, be) + D(al, be)
+    ah, al = _split2(a, dtype)
+    bh, bl = _split2(b, dtype)
+    return D(ah, bh) + D(ah, bl) + D(al, bh)
 
 
 def _banded_kz(d1, d2, S, r, dtype):
@@ -171,11 +229,9 @@ def _transposed_strips(u_ref, qoth, az_ref, bz_ref, ax_ref, bx_ref,
         u_slab = u_ref[PZ + R0 - r : PZ + R0 - r + S + 2 * r,
                        PX : PX + NX]
         d1u_z.append(
-            jnp.dot(kz_ref[0:S], u_slab,
-                    preferred_element_type=dtype, precision=HIGHEST)
+            _pdot(kz_ref[0:S], u_slab, dtype=dtype)
         )
-    dw_z = jnp.dot(kwz_ref[:], zw_ref[:],
-                   preferred_element_type=dtype, precision=HIGHEST)
+    dw_z = _pdot(kwz_ref[:], zw_ref[:], dtype=dtype)
     d2w_z = []
     for s in range(2):
         a, b = az_ref[s], bz_ref[s]
@@ -186,8 +242,7 @@ def _transposed_strips(u_ref, qoth, az_ref, bz_ref, ax_ref, bx_ref,
         pb_tot = pbz[s] - d1u_z[s] - d1w[strip_in_ext]
         pbz[s] = b * pb_tot
         zy_ref[off : off + S, :] = a * pb_tot
-    dy_z = jnp.dot(kyz_ref[:], zy_ref[:],
-                   preferred_element_type=dtype, precision=HIGHEST)
+    dy_z = _pdot(kyz_ref[:], zy_ref[:], dtype=dtype)
     for s in range(2):
         ext = slice(0, SE) if s == 0 else slice(NZ - SE, NZ)
         qoth[ext, :] = (
@@ -205,15 +260,9 @@ def _transposed_strips(u_ref, qoth, az_ref, bz_ref, ax_ref, bx_ref,
         u_slab = u_ref[PZ : PZ + NZ,
                        PX + C0 - r : PX + C0 - r + S + 2 * r]
         d1u_x.append(
-            jax.lax.dot_general(
-                u_slab, kx_ref[0:S], (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype, precision=HIGHEST,
-            )
+            _pdot(u_slab, kx_ref[0:S], _DOT11, dtype=dtype)
         )
-    dw_x = jax.lax.dot_general(
-        xw_ref[:], kwx_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=dtype, precision=HIGHEST,
-    )
+    dw_x = _pdot(xw_ref[:], kwx_ref[:], _DOT11, dtype=dtype)
     d2w_x = []
     for s in range(2):
         a, b = ax_ref[s], bx_ref[s]
@@ -224,10 +273,7 @@ def _transposed_strips(u_ref, qoth, az_ref, bz_ref, ax_ref, bx_ref,
         pb_tot = pbx[s] - d1u_x[s] - d1w[:, strip_in_ext]
         pbx[s] = b * pb_tot
         xy_ref[:, off : off + S] = a * pb_tot
-    dy_x = jax.lax.dot_general(
-        xy_ref[:], kyx_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=dtype, precision=HIGHEST,
-    )
+    dy_x = _pdot(xy_ref[:], kyx_ref[:], _DOT11, dtype=dtype)
     for s in range(2):
         ext = slice(0, SE) if s == 0 else slice(NX - SE, NX)
         qoth[:, ext] = (
@@ -399,15 +445,13 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
                 off = (r if s == 0 else 2 * r) + s * S3
                 p_slab = cur_ref[PZ + R0 - r : PZ + R0 - r + S + 2 * r,
                                  PX : PX + NX]
-                d12 = jnp.dot(kz_ref[:], p_slab, preferred_element_type=dtype,
-                              precision=HIGHEST)
+                d12 = _pdot(kz_ref[:], p_slab, dtype=dtype)
                 d1p, d2p = d12[:S], d12[S:]
                 d2p_z.append(d2p)
                 ph = b * phiz[s] + a * d1p
                 phiz[s] = ph
                 zc_ref[off : off + S, :] = ph
-            corr_z = jnp.dot(kcz_ref[:], zc_ref[:],
-                             preferred_element_type=dtype, precision=HIGHEST)
+            corr_z = _pdot(kcz_ref[:], zc_ref[:], dtype=dtype)
             for s, R0 in ((0, 0), (1, NZ - S)):
                 a, b = az_ref[s], bz_ref[s]
                 corr = corr_z[s * SE : (s + 1) * SE]
@@ -424,19 +468,13 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
                 off = (r if s == 0 else 2 * r) + s * S3
                 p_slab = cur_ref[PZ : PZ + NZ,
                                  PX + C0 - r : PX + C0 - r + S + 2 * r]
-                d12 = jax.lax.dot_general(
-                    p_slab, kx_ref[:], (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype, precision=HIGHEST,
-                )
+                d12 = _pdot(p_slab, kx_ref[:], _DOT11, dtype=dtype)
                 d1p, d2p = d12[:, :S], d12[:, S:]
                 d2p_x.append(d2p)
                 ph = b * phix[s] + a * d1p
                 phix[s] = ph
                 xc_ref[:, off : off + S] = ph
-            corr_x = jax.lax.dot_general(
-                xc_ref[:], kcx_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype, precision=HIGHEST,
-            )
+            corr_x = _pdot(xc_ref[:], kcx_ref[:], _DOT11, dtype=dtype)
             for s, C0 in ((0, 0), (1, NX - S)):
                 a, b = ax_ref[s], bx_ref[s]
                 corr = corr_x[:, s * SE : (s + 1) * SE]
@@ -468,8 +506,8 @@ def make_scanres_forward(grid: Grid, nt: int, nsrc: int, nrec: int,
             # accumulator via a one-hot sublane mask (dynamic sublane
             # stores don't lower), flushed once per chunk
             slab = dst_ref[pl.ds(PZ + r0, RH), PX : PX + NX]
-            M = jnp.dot(slab, ohxT_ref[:], preferred_element_type=dtype,
-                        precision=HIGHEST)  # (RH, nrec)
+            M = _pdot(slab, ohxT_ref[:], b_exact=True,
+                      dtype=dtype)  # (RH, nrec)
             row = jnp.sum(M * ohzT_ref[:], axis=0, keepdims=True)
             jmask = (
                 jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0) == jl
@@ -722,11 +760,11 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
             ohj = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1) == j
             ).astype(dtype)
-            ybrow = jnp.dot(ohj, yb_ref[0], preferred_element_type=dtype,
-                            precision=HIGHEST)  # (1, nrec)
+            ybrow = _pdot(ohj, yb_ref[0], a_exact=True,
+                          dtype=dtype)  # (1, nrec)
             u_rec = ohzT_ref[:] * ybrow  # (RH, nrec)
-            inj = jnp.dot(u_rec, ohx_ref[:], preferred_element_type=dtype,
-                          precision=HIGHEST)  # (RH, NX)
+            inj = _pdot(u_rec, ohx_ref[:], b_exact=True,
+                        dtype=dtype)  # (RH, NX)
             qcur[pl.ds(r0, RH), :] = qcur[pl.ds(r0, RH), :] + inj
             lam = qcur[:]
             lam_prev = qoth[:]
@@ -737,8 +775,8 @@ def make_scanres_reverse(grid: Grid, nt: int, nsrc: int, nrec: int,
                 lam = lam * fsmask
                 lam_prev = lam_prev * fsmask
             # adjoint-at-source gather: one-hot column product + sublane sum
-            col = jnp.dot(lam, sxT_ref[:], preferred_element_type=dtype,
-                          precision=HIGHEST)  # (NZ, nsrc)
+            col = _pdot(lam, sxT_ref[:], b_exact=True,
+                        dtype=dtype)  # (NZ, nsrc)
             row_s = jnp.sum(col * szT_ref[:], axis=0, keepdims=True)
             jmask = (
                 jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0) == j
@@ -968,11 +1006,11 @@ def make_scanres_reverse_snap(grid: Grid, nt: int, nsrc: int, nrec: int,
             ohj = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1) == j
             ).astype(dtype)
-            ybrow = jnp.dot(ohj, yb_ref[0], preferred_element_type=dtype,
-                            precision=HIGHEST)  # (1, nrec)
+            ybrow = _pdot(ohj, yb_ref[0], a_exact=True,
+                          dtype=dtype)  # (1, nrec)
             u_rec = ohzT_ref[:] * ybrow  # (RH, nrec)
-            inj = jnp.dot(u_rec, ohx_ref[:], preferred_element_type=dtype,
-                          precision=HIGHEST)  # (RH, NX)
+            inj = _pdot(u_rec, ohx_ref[:], b_exact=True,
+                        dtype=dtype)  # (RH, NX)
             qcur[pl.ds(r0, RH), :] = qcur[pl.ds(r0, RH), :] + inj
             lam = qcur[:]
             lam_prev = qoth[:]
@@ -982,8 +1020,8 @@ def make_scanres_reverse_snap(grid: Grid, nt: int, nsrc: int, nrec: int,
                 ).astype(dtype)
                 lam = lam * fsmask
                 lam_prev = lam_prev * fsmask
-            col = jnp.dot(lam, sxT_ref[:], preferred_element_type=dtype,
-                          precision=HIGHEST)  # (NZ, nsrc)
+            col = _pdot(lam, sxT_ref[:], b_exact=True,
+                        dtype=dtype)  # (NZ, nsrc)
             row_s = jnp.sum(col * szT_ref[:], axis=0, keepdims=True)
             jmask = (
                 jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0) == j
