@@ -136,3 +136,113 @@ def test_fwi_problem_map_loop_for_jnp_engine():
     )
     problem._build()
     assert problem.shot_loop == "map"
+
+
+# ---- 3D tier (VERDICT r3 item 2): auto routes 3D to the fused engine ----
+
+
+def _grid3():
+    return Grid(shape=(24, 30, 40), h=(10.0,) * 3, pml=8, order=8)
+
+
+def _prop3(impl="auto"):
+    grid = _grid3()
+    dt = grid.cfl_dt(3000.0, safety=0.7)
+    return grid, AcousticPropagator(grid, dt, 8.0, 3000.0, impl=impl)
+
+
+def _geom3(grid):
+    rcv = np.array([[y, 3, x] for y in range(4, 20, 4)
+                    for x in range(4, 36, 4)])
+    return Geometry.from_physical(grid, np.array([[12, 2, 20]]), rcv)
+
+
+def test_auto3d_is_jnp_on_cpu():
+    _, prop = _prop3()
+    assert prop.impl == "jnp"
+
+
+def test_auto3d_picks_fused_on_tpu(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    grid, prop = _prop3()
+    assert prop.impl == "auto"  # deferred: nt-dependent (ring-tape budget)
+    assert prop.resolve_impl(_geom3(grid), nt=100) == "pallas3d"
+    # without a wavelet length the ring tape cannot be sized
+    assert prop.resolve_impl(_geom3(grid)) == "jnp"
+
+
+def test_auto3d_bf16_tape_between_budgets(monkeypatch):
+    """fp32 tape over budget but bf16 within -> the bf16-tape engine; both
+    over -> jnp fallback (not a silent OOM)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    grid, prop = _prop3()
+    cells = prop._tape3d_cells_per_step()
+    nt_mid = prop.TAPE3D_FP32_BUDGET_BYTES // (cells * 4) + 1
+    assert prop.resolve_impl(None, nt=int(nt_mid)) == "pallas3d_bf16"
+    nt_over = prop.TAPE3D_BF16_BUDGET_BYTES // (cells * 2) + 1
+    assert prop.resolve_impl(None, nt=int(nt_over)) == "jnp"
+    assert "exceeds" in prop.resolve_note
+
+
+def test_fwi_problem_pins_fused3d_and_python_loop(monkeypatch):
+    """The driver path: FwiProblem resolves 'auto' once against the 3D
+    survey and selects the host shot loop the fused engine needs."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    grid, prop = _prop3()
+    geoms = [_geom3(grid) for _ in range(2)]
+    stacked = jax.tree.map(lambda *x: jnp.stack(x), *geoms)
+    nt, nrec = 32, geoms[0].nrec
+
+    from tpufwi.invert import FwiProblem
+
+    problem = FwiProblem(
+        prop=prop,
+        geoms=stacked,
+        d_obs=jnp.zeros((2, nt, nrec), jnp.float32),
+        wavelet=jnp.zeros(nt, jnp.float32),
+        dt=prop.dt,
+    )
+    problem._build()  # resolves; engines build lazily (no TPU needed)
+    assert prop.impl == "pallas3d"
+    assert "fp32 ring tape" in prop.resolve_note
+    assert problem.shot_loop == "python"
+
+
+def test_explicit_pallas3d_on_2d_grid_rejected():
+    grid = _grid()
+    dt = grid.cfl_dt(3000.0, safety=0.7)
+    with pytest.raises(ValueError):
+        AcousticPropagator(grid, dt, 8.0, 3000.0, impl="pallas3d")
+
+
+def test_driver_jsonl_records_engine(tmp_path):
+    """Every inversion artifact names the engine that produced it
+    (VERDICT r3 item 8): invert() writes an event='engine' record with
+    the resolved impl + resolution note per stage."""
+    import json
+    import os
+
+    from tpufwi.config import AcqCfg, FwiConfig, OptCfg, PrecondCfg, PropCfg, StageCfg
+    from tpufwi.invert import build_synthetic_problem, invert
+
+    cfg = FwiConfig(
+        stages=(StageCfg(8.0, 1, "lbfgs"),),
+        prop=PropCfg(order=4, pml=8, cfl_safety=0.7, dtype="float64",
+                     impl="jnp"),
+        acq=AcqCfg(n_shots=1, src_z=2, rcv_z=2, rcv_dx=4, f0=11.0,
+                   t_max=0.25),
+        precond=PrecondCfg(use_illumination=False),
+        opt=OptCfg(vmin=1500.0, vmax=2600.0),
+        run_dir=str(tmp_path / "run"),
+    )
+    vp_true = np.full((30, 40), 2000.0)
+    vp_true[18:, :] = 2250.0
+    problem, vp0 = build_synthetic_problem(cfg, vp_true, dx=10.0)
+    invert(problem, vp0, cfg)
+
+    recs = [json.loads(l)
+            for l in open(os.path.join(cfg.run_dir, "log.jsonl"))]
+    eng = [r for r in recs if r.get("event") == "engine"]
+    assert len(eng) == 1 and eng[0]["stage"] == 0
+    assert eng[0]["engine"] == "jnp"
+    assert eng[0]["note"] == "explicit"

@@ -211,3 +211,43 @@ def test_new_engines_compile_on_tpu():
     m = r > 30.0
     rel = np.abs(np.asarray(t) - r / 2000.0)[m] / (r[m] / 2000.0)
     assert rel.max() < 0.06, rel.max()
+
+
+def test_auto3d_driver_path_compiled():
+    """impl='auto' routes a 3D fp32 grid to the fused engine on the real
+    TPU (VERDICT r3 item 2) and its value+grad matches the jnp engine."""
+    from tpufwi.misfit import l2_misfit
+    from tpufwi.propagators.acoustic2d import AcousticPropagator
+    from tpufwi.wavelets import ricker
+
+    vp = np.full((24, 30, 40), 2500.0, np.float32)
+    vp[:, 15:, :] = 2900.0
+    grid = Grid(shape=vp.shape, h=(10.0,) * 3, pml=8, order=8)
+    dt = grid.cfl_dt(2900.0, safety=0.7)
+    # nt long enough (and the source deep enough) that the reflection
+    # actually reaches the receivers: at nt=80/src_z=2 the gradient is
+    # ~1e-9 noise and ANY relative comparison is meaningless (measured:
+    # |g|max 3e-9, rel 1.3; at this config |g|max 1.7e-4, rel 4.5e-6)
+    nt = 300
+    w = jnp.asarray(ricker(8.0, dt, nt), jnp.float32)
+    rcv = np.array([[y, 3, x] for y in range(4, 20, 4)
+                    for x in range(4, 36, 4)])
+    geom = Geometry.from_physical(grid, np.array([[12, 10, 20]]), rcv)
+
+    prop = AcousticPropagator(grid, dt, 8.0, 2900.0, impl="auto")
+    assert prop.resolve_impl(geom, nt=nt) == "pallas3d"
+    prop_ref = AcousticPropagator(grid, dt, 8.0, 2900.0, impl="jnp")
+
+    vpj = jnp.asarray(vp)
+    d_obs = jax.jit(lambda v: prop_ref(v, geom, w))(vpj * 0 + 2600.0)
+
+    def loss(p):
+        return jax.jit(
+            jax.value_and_grad(lambda v: l2_misfit(p(v, geom, w), d_obs))
+        )
+
+    J_f, g_f = loss(prop)(vpj)
+    J_j, g_j = loss(prop_ref)(vpj)
+    np.testing.assert_allclose(float(J_f), float(J_j), rtol=2e-4)
+    rel = float(jnp.linalg.norm(g_f - g_j) / jnp.linalg.norm(g_j))
+    assert rel < 1e-4, rel  # measured 4.5e-6 on v5e (2026-08-20)

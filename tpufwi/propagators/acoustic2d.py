@@ -54,15 +54,25 @@ class AcousticPropagator:
         gradient error; same receiver-slab contract), 'jnp' (XLA twin —
         CPU, fp64, 3D), or 'auto'.
 
-        'auto' resolves to 'jnp' off-TPU (or for fp64/3D); on a TPU
+        For 3D grids: 'pallas3d' (the fused v2 forward+backward engine,
+        adjoint3d_pallas.make_simulator3d_fused — 2.2x end-to-end over
+        the XLA engine at Overthrust-demo scale), 'pallas3d_bf16' (same
+        with the ring tape stored bf16 — halves tape HBM at a measured
+        ~4e-3 relative gradient error), or 'jnp'.
+
+        'auto' resolves to 'jnp' off-TPU (or for fp64); on a TPU
         backend with a 2D fp32 grid the choice between the whole-scan-
         resident engine (the benched fastest path) and the single-step
         engine is geometry-dependent (the scanres receiver-slab
         contract), so it is deferred: each __call__ with a CONCRETE
         geometry picks scanres when every shot's receivers fit one
         8-aligned 16-row slab, else falls back to 'pallas' with a logged
-        reason. FwiProblem resolves it once up front against the survey
-        (fix_impl_for), so the driver path gets the benched engine too.
+        reason. On a TPU backend with a 3D fp32 grid, 'auto' picks the
+        fused engine whenever its boundary-ring tape fits the HBM
+        budget (fp32 tape first, bf16 when fp32 would not fit), falling
+        back to 'jnp' with a logged reason. FwiProblem resolves it once
+        up front against the survey (fix_impl_for), so the driver path
+        gets the benched engine too.
 
         tape_dtype (jnp engine only, e.g. jnp.bfloat16): store the
         boundary-ring tape compressed — halves tape memory at a measured
@@ -75,9 +85,12 @@ class AcousticPropagator:
         self.dtype = dtype
         if impl == "auto":
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
-            if not (grid.ndim == 2 and dtype == jnp.float32 and on_tpu):
+            if not (grid.ndim in (2, 3) and dtype == jnp.float32 and on_tpu):
                 impl = "jnp"
         self.impl = impl
+        # human-readable account of the last impl='auto' resolution
+        # (logged into the driver JSONL so every run names its engine)
+        self.resolve_note = "explicit" if impl != "auto" else "unresolved"
         self._sims: dict = {}
         self._tape_dtype = tape_dtype
         if tape_dtype is not None and impl != "jnp":
@@ -125,6 +138,15 @@ class AcousticPropagator:
                 self.grid, self.dt, self.f0, self.c_max,
                 tape_mode="snap" if impl == "pallas_scansnap" else "rings",
             )
+        elif impl in ("pallas3d", "pallas3d_bf16"):
+            from ..adjoint3d_pallas import make_simulator3d_fused
+
+            if self.dtype != jnp.float32:
+                raise ValueError("pallas path is fp32 only")
+            self._sims[impl] = make_simulator3d_fused(
+                self.grid, self.dt, self.f0, self.c_max,
+                tape_dtype=jnp.bfloat16 if impl == "pallas3d_bf16" else None,
+            )
         else:
             self._sims[impl] = make_simulator(
                 self.grid, self.dt, self.f0, self.c_max, self.dtype,
@@ -140,6 +162,60 @@ class AcousticPropagator:
     SNAP_TAPE_BUDGET_BYTES = 8 * 1024**3
     SNAP_VMEM_BUDGET_BYTES = 60 * 1024**2
 
+    # 3D fused-engine ring-tape budgets (v5e: 15.75 GB HBM; the full-scale
+    # probe runs/fullscale3d holds an 11.5 GB bf16 tape plus fields). The
+    # fp32 threshold is where auto switches the tape to bf16 (measured
+    # gradient error ~4e-3 relative, runs/fullscale3d summary) instead of
+    # falling back to the slow engine.
+    TAPE3D_FP32_BUDGET_BYTES = 6 * 1024**3
+    TAPE3D_BF16_BUDGET_BYTES = 12 * 1024**3
+
+    def _tape3d_cells_per_step(self) -> int:
+        """Ring-tape cells per time step of the fused 3D engine: the six
+        8-aligned face slabs of kernels/acoustic3d_bwd_pallas.ring_windows,
+        sliced from the block-extended field (adjoint3d_pallas._fwd_scan)."""
+        from ..kernels.acoustic3d_bwd_pallas import ring_windows
+        from ..kernels.acoustic3d_pallas import y_extended, z_extended
+
+        wins = ring_windows(self.grid)
+        NYe = y_extended(self.grid, 16)
+        NZe = z_extended(self.grid, 64)
+        NX = self.grid.padded_shape[2]
+        return (
+            sum(w for _, w in wins[0]) * NZe * NX
+            + NYe * sum(w for _, w in wins[1]) * NX
+            + NYe * NZe * sum(w for _, w in wins[2])
+        )
+
+    def _resolve_impl_3d(self, nt: int | None) -> str:
+        """impl='auto' on the TPU/3D/fp32 tier: the fused v2 engine
+        (adjoint3d_pallas, 2.2x end-to-end over the XLA engine at
+        Overthrust-demo scale) whenever its boundary-ring tape fits the
+        HBM budgets above — fp32 tape first, bf16 when fp32 would not
+        fit — with a logged fallback to the XLA twin otherwise."""
+        log = logging.getLogger(__name__)
+        cells = self._tape3d_cells_per_step()
+        if nt is None:
+            reason = "wavelet length unknown (ring tape cannot be sized)"
+        elif nt * cells * 4 <= self.TAPE3D_FP32_BUDGET_BYTES:
+            self.resolve_note = "fused engine, fp32 ring tape"
+            return "pallas3d"
+        elif nt * cells * 2 <= self.TAPE3D_BF16_BUDGET_BYTES:
+            self.resolve_note = (
+                f"fused engine, bf16 ring tape ({nt * cells * 2 / 2**30:.1f}"
+                " GiB; fp32 tape over budget)"
+            )
+            return "pallas3d_bf16"
+        else:
+            reason = (
+                f"ring tape {nt * cells * 2 / 2**30:.1f} GiB (bf16) exceeds "
+                f"the {self.TAPE3D_BF16_BUDGET_BYTES / 2**30:.0f} GiB budget"
+            )
+        self.resolve_note = f"jnp fallback: {reason}"
+        log.info("impl='auto' (3D): falling back to the jnp engine: %s",
+                 reason)
+        return "jnp"
+
     def resolve_impl(self, geom: Geometry | None = None,
                      rcv_rows: int = 16, nt: int | None = None) -> str:
         """The engine a call with ``geom`` (and a length-``nt`` wavelet)
@@ -154,6 +230,8 @@ class AcousticPropagator:
         engine."""
         if self.impl != "auto":
             return self.impl
+        if self.grid.ndim == 3:
+            return self._resolve_impl_3d(nt)
         reason = None
         if geom is None:
             reason = "no geometry to check the scanres receiver slab against"
@@ -177,6 +255,7 @@ class AcousticPropagator:
                 "impl='auto': falling back to the single-step pallas "
                 "engine: %s", reason,
             )
+            self.resolve_note = f"single-step fallback: {reason}"
             return "pallas"
         NZ, NX = self.grid.padded_shape
         from ..kernels.acoustic2d_pallas_scanres import CH
@@ -191,11 +270,13 @@ class AcousticPropagator:
         elif 2 * CH * NZ * NX * 2 > self.SNAP_VMEM_BUDGET_BYTES:
             snap_reason = "snapshot out-stream exceeds the VMEM budget"
         else:
+            self.resolve_note = "whole-scan snapshot engine"
             return "pallas_scansnap"
         log.info(
             "impl='auto': whole-scan rings engine (snapshot ineligible: "
             "%s)", snap_reason,
         )
+        self.resolve_note = f"rings engine (snapshot ineligible: {snap_reason})"
         return "pallas_scanres"
 
     def fix_impl_for(self, geom: Geometry, nt: int | None = None) -> str:
