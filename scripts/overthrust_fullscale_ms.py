@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Overthrust-SCALE 3D multiscale FWI through the DRIVER path (VERDICT r3
+item 1): >= 20M physical cells, FwiProblem + invert() — not a hand-rolled
+loop — on whatever engine impl='auto' resolves to (the fused 3D engine
+with a bf16 ring tape at this scale; the resolution is recorded in the
+run's JSONL as an event='engine' record).
+
+Spec: BASELINE.json:11 (C5 — 3D acoustic FWI on SEG/EAGE Overthrust);
+SURVEY.md §0.5 C5, §3.5. The round-3 recovery artifact
+(runs/overthrust_demo_ms) proved the multiscale + preconditioning +
+bounded-L-BFGS machinery RECOVERS the model at 1.88M physical cells; the
+round-3 full-scale probe (runs/fullscale3d) proved the fused engine's
+value+grad runs at 106.6M cells. This script combines them: an inversion
+at real Overthrust scale on one chip.
+
+Success gate: err_ratio_illuminated_third <= 0.85 (clear of the < 0.9
+gate, not marginal), wall time + engine recorded in summary.json.
+
+Default configuration: (ny, nz, nx) = (424, 142, 344) at 25 m
+= 20.7M physical cells (10.6 km x 3.55 km x 8.6 km), 16 surface shots on
+a 4x4 (y, x) grid, surface receiver carpet, 3 continuation bands
+(3 / 4.5 Hz / full-band 6 Hz Ricker) x 12 bounded-L-BFGS iterations.
+
+Usage:
+  python scripts/overthrust_fullscale_ms.py               # the real run
+  python scripts/overthrust_fullscale_ms.py --small       # CPU smoke
+  python scripts/overthrust_fullscale_ms.py --medium      # demo-scale
+      (the round-3 runs/overthrust_demo_ms configuration, but through
+      the driver — convergence cross-check + VERDICT item 7 evidence)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ny", type=int, default=424)
+    ap.add_argument("--nz", type=int, default=142)
+    ap.add_argument("--nx", type=int, default=344)
+    ap.add_argument("--nt", type=int, default=700)
+    ap.add_argument("--shots-y", type=int, default=4)
+    ap.add_argument("--shots-x", type=int, default=4)
+    ap.add_argument("--rcv-dy", type=int, default=10)
+    ap.add_argument("--rcv-dx", type=int, default=6)
+    ap.add_argument("--iters", type=int, default=12, help="iterations/band")
+    ap.add_argument("--seed", type=int, default=7, help="overthrust_like seed")
+    ap.add_argument("--run-dir", default="runs/overthrust_fullscale_ms")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny CPU smoke-test configuration")
+    ap.add_argument("--medium", action="store_true",
+                    help="round-3 demo scale (100x94x200, nt=420, 12 shots)")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--extra-band", action="store_true",
+                    help="4 bands (3/4.5/6/full) instead of 3 (3/4.5/full)")
+    args = ap.parse_args()
+
+    if args.small:
+        args.ny, args.nz, args.nx, args.nt = 32, 32, 48, 120
+        args.shots_y, args.shots_x = 1, 2
+        args.rcv_dy, args.rcv_dx = 8, 6
+        args.iters = min(args.iters, 2)
+    elif args.medium:
+        args.ny, args.nz, args.nx, args.nt = 100, 94, 200, 600
+        args.shots_y, args.shots_x = 3, 4
+
+    os.makedirs(args.run_dir, exist_ok=True)
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from scipy.ndimage import gaussian_filter
+
+    from tpufwi.acquisition import Geometry
+    from tpufwi.config import FwiConfig, OptCfg, PrecondCfg, PropCfg, StageCfg
+    from tpufwi.grid import Grid
+    from tpufwi.invert import FwiProblem, invert
+    from tpufwi.io import overthrust_like
+    from tpufwi.propagators.acoustic2d import AcousticPropagator
+    from tpufwi.wavelets import ricker
+
+    t_start = time.time()
+
+    # model in tpufwi (y, z, x) layout
+    vp3, dx = overthrust_like(nz=args.nz, ny=args.ny, nx=args.nx,
+                              seed=args.seed)
+    vp_true = np.ascontiguousarray(np.transpose(vp3, (1, 0, 2)))
+    grid = Grid(shape=vp_true.shape, h=(dx,) * 3, pml=10, order=8)
+    c_max, f0 = float(vp_true.max()), 6.0
+    dt = grid.cfl_dt(c_max, safety=0.7)
+    nt = args.nt
+    w = jnp.asarray(ricker(f0, dt, nt), jnp.float32)
+    print(f"grid (y,z,x)={vp_true.shape} = "
+          f"{np.prod(vp_true.shape)/1e6:.1f}M physical cells, "
+          f"padded {grid.padded_shape}, dt={dt*1e3:.2f} ms, nt={nt} "
+          f"({nt*dt:.2f} s record)", flush=True)
+
+    # surface shots on a (shots_y x shots_x) grid; surface receiver carpet
+    ny_, _, nx_ = vp_true.shape
+    rcv = np.array(
+        [[y, 3, x] for y in range(10, ny_ - 10, args.rcv_dy)
+         for x in range(10, nx_ - 10, args.rcv_dx)]
+    )
+    if args.small:
+        rcv = np.array(
+            [[y, 3, x] for y in range(4, ny_ - 4, args.rcv_dy)
+             for x in range(4, nx_ - 4, args.rcv_dx)]
+        )
+        srcs = [(ny_ // 2, nx_ // 3), (ny_ // 2, 2 * nx_ // 3)]
+    else:
+        shot_ys = np.linspace(0.2 * ny_, 0.8 * ny_, args.shots_y)
+        shot_xs = np.linspace(0.15 * nx_, 0.75 * nx_, args.shots_x)
+        srcs = [(int(y), int(x)) for y in shot_ys for x in shot_xs]
+    geoms = [
+        Geometry.from_physical(grid, np.array([[sy, 2, sx]]), rcv)
+        for sy, sx in srcs
+    ]
+    stacked = jax.tree.map(lambda *x: jnp.stack(x), *geoms)
+    print(f"{len(geoms)} shots, {len(rcv)} receivers", flush=True)
+
+    prop = AcousticPropagator(grid, dt, f0, c_max, impl="auto")
+    note = prop.resolve_impl(stacked, nt=nt)
+    print(f"impl='auto' resolves to: {note} ({prop.resolve_note})",
+          flush=True)
+
+    # observed data with the TRUE model, full band, through the same
+    # propagator (one dispatch per shot)
+    vp_t = jnp.asarray(vp_true, jnp.float32)
+    fwd1 = jax.jit(lambda v, g: prop(v, g, w))
+    d_obs = jnp.stack([fwd1(vp_t, g) for g in geoms])
+    jax.block_until_ready(d_obs)
+    t_data = time.time()
+    print(f"observed data generated in {t_data - t_start:.0f} s", flush=True)
+
+    # smooth start; near-surface rows pinned to truth (source z=2,
+    # receivers z=3, mask_top=5 — the known near-surface convention the
+    # 2D driver and overthrust_ms.py use; without it the wrong source
+    # injection amplitude c2[src] swamps the model residual)
+    mask_top = 5
+    vp0_np = np.clip(
+        gaussian_filter(vp_true.astype(np.float64), 5.0), 2000, 6000
+    )
+    vp0_np[:, :mask_top, :] = vp_true[:, :mask_top, :]
+    vp0 = jnp.asarray(vp0_np, jnp.float32)
+
+    if args.extra_band:
+        bands = [(3.0, 2.0), (4.5, 1.5), (6.0, 1.2), (None, 1.0)]
+    else:
+        bands = [(3.0, 2.0), (4.5, 1.5), (None, 1.0)]
+    cfg = FwiConfig(
+        stages=tuple(
+            StageCfg(fmax, args.iters, "lbfgs", smooth_sigma=sig)
+            for fmax, sig in bands
+        ),
+        prop=PropCfg(order=8, pml=10, cfl_safety=0.7, dtype="float32",
+                     impl="auto"),
+        precond=PrecondCfg(use_illumination=True, illum_eps=1e-3,
+                           mask_top=mask_top),
+        opt=OptCfg(vmin=2000.0, vmax=6000.0, lbfgs_m=10),
+        run_dir=args.run_dir,
+        checkpoint_every=1,
+    )
+
+    problem = FwiProblem(
+        prop=prop, geoms=stacked, d_obs=d_obs, wavelet=w, dt=dt,
+    )
+
+    def echo(rec):
+        rec = dict(rec, t_wall=round(time.time() - t_start, 1))
+        print(json.dumps(rec), flush=True)
+
+    vp = invert(problem, vp0, cfg, resume=args.resume, log_fn=echo)
+    t1 = time.time()
+
+    # full-band misfit bracketing + model-error metrics (the judge's gate)
+    vg_full, loss_full = problem.stage_objectives(None)
+    J0 = float(loss_full(vp0))
+    J1 = float(loss_full(vp))
+    vp_n = np.asarray(vp)
+    err0 = float(np.sqrt(np.mean((vp0_np - vp_true) ** 2)))
+    err1 = float(np.sqrt(np.mean((vp_n - vp_true) ** 2)))
+    zt = vp_true.shape[1] // 3
+    errt0 = float(np.sqrt(np.mean((vp0_np[:, :zt] - vp_true[:, :zt]) ** 2)))
+    errt1 = float(np.sqrt(np.mean((vp_n[:, :zt] - vp_true[:, :zt]) ** 2)))
+
+    summary = {
+        "err_ratio_illuminated_third": errt1 / errt0,
+        "err_ratio": err1 / err0,
+        "J_ratio": J1 / J0,
+        "grid_yzx": list(vp_true.shape),
+        "physical_cells": int(np.prod(vp_true.shape)),
+        "padded_cells": int(np.prod(grid.padded_shape)),
+        "nt": nt,
+        "dt_ms": round(dt * 1e3, 3),
+        "n_shots": len(geoms),
+        "n_receivers": int(len(rcv)),
+        "iters_per_band": args.iters,
+        "bands_hz": [b[0] for b in bands],
+        "engine": prop.impl,
+        "engine_note": prop.resolve_note,
+        "seed": args.seed,
+        "driver": "FwiProblem + invert() (tpufwi/invert.py)",
+        "precondition": {
+            "illum_eps": 1e-3, "mask_top": mask_top,
+            "smooth_sigma": [b[1] for b in bands],
+        },
+        "known_surface_rows": mask_top,
+        "wall_seconds": round(t1 - t_start, 1),
+        "wall_data": round(t_data - t_start, 1),
+        "chip": "v5e-1",
+    }
+    with open(os.path.join(args.run_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    np.save(os.path.join(args.run_dir, "vp_final.npy"), vp_n)
+    print("SUMMARY", json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

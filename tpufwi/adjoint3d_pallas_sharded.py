@@ -7,29 +7,32 @@ module puts the SAME fused v2 kernels inside `jax.shard_map` over a
 ("shot", "y") mesh:
 
   - The domain is decomposed along y — the merged kernel's untiled
-    leading axis (x is the 128-lane minor dim that every block spans by
-    design; z is blocked and shardable later by the same recipe).
-    Device row k owns the y-slab [k*L, (k+1)*L) of the padded grid.
+    leading axis — and OPTIONALLY along z (round-4: pass ``z_axis`` for
+    a ("shot", "y", "z") mesh; x stays the 128-lane minor dim every
+    block spans by design). Device row k owns the y-slab [k*L, (k+1)*L)
+    (and z-column j the z-slab [j*Lz, (j+1)*Lz)) of the padded grid.
   - Per time step, each device ppermute-exchanges its radius-r edge rows
     of the wavefield (forward and reconstruction) or of u = c2*lam (the
     transposed stencil is itself a stencil over u), and the kernels run
-    with ``y_halo=True``: the halo slabs replace the zero extension at
-    the slab's interior cuts, while real global edges keep zeros
-    (ppermute fills uncovered destinations with zeros — exactly the
-    unsharded kernel's edge semantics).
-  - The y-face CPML kernels run on EVERY device (SPMD-uniform program)
-    with per-device (a, b) profile data: real values on the edge
-    devices, zeros elsewhere — every term of the corr/tcorr algebra is
-    proportional to a or b, so interior devices compute exact structural
-    no-ops. The z/x faces span all slabs and use the global profiles.
+    with ``y_halo=True`` (and ``z_halo=True``): the halo slabs replace
+    the zero extension at the slab's interior cuts, while real global
+    edges keep zeros (ppermute fills uncovered destinations with zeros —
+    exactly the unsharded kernel's edge semantics).
+  - The y-face (and, when z-sharded, z-face) CPML kernels run on EVERY
+    device (SPMD-uniform program) with per-device (a, b) profile data:
+    real values on the edge devices, zeros elsewhere — every term of the
+    corr/tcorr algebra is proportional to a or b, so interior devices
+    compute exact structural no-ops. The x faces span all slabs and use
+    the global profiles.
   - The boundary-ring tape, final snapshots, and imaging accumulator are
     sharded with the domain (each device tapes only its slab), so tape
-    HBM scales 1/py — the full-scale-3D memory binder
+    HBM scales 1/(py*pz) — the full-scale-3D memory binder
     (docs/ROADMAP.md known constraints).
 
-Per-step collectives: two ppermutes of (r, NZe, NX) slabs over "y" (ICI
-neighbors on a real mesh). Per-shot: one psum of the (nt, nrec)
-seismogram; the wavelet cotangent and gradient psum once at the end.
+Per-step collectives: two ppermutes of (r, NZe, NX) slabs over "y" (and
+two of (L, r, NX) over "z") — ICI neighbors on a real mesh. Per-shot:
+one psum of the (nt, nrec) seismogram; the wavelet cotangent and
+gradient psum once at the end.
 
 Exactness: per-block kernel computations are IDENTICAL to the unsharded
 engine given identical inputs, and the halo exchange feeds each block
@@ -38,7 +41,11 @@ collective reduction order (tests/test_sharding3d.py fused cases).
 
 Constraints (checked): padded NY % py == 0; L = NY // py divisible by
 ``by``; the y CPML face (pml + 3*radius rows) contained in one slab;
-nshot % mesh.shape[shot_axis] == 0.
+nshot % mesh.shape[shot_axis] == 0. With z sharding additionally:
+padded NZ % pz == 0 with Lz = NZ // pz divisible by ``bz`` (no dead
+z-extension rows may sit at interior cuts), the z CPML face inside one
+z-slab, and no free surface (the surface pin would run at a local row
+on every z-device; unsupported until needed).
 """
 
 from __future__ import annotations
@@ -79,6 +86,7 @@ def make_simulator3d_fused_sharded(
     mesh: Mesh,
     shot_axis: str = "shot",
     y_axis: str = "y",
+    z_axis: str | None = None,
     by: int = 8,
     bz: int = 64,
     bz_y: int = 16,
@@ -89,14 +97,18 @@ def make_simulator3d_fused_sharded(
     with the boundary-saving custom VJP, shot+domain sharded over ``mesh``.
 
     c2dt2: (c*dt)^2 on the PADDED grid, fp32 (replicated in; its cotangent
-    comes back y-sharded). wavelet: (nt,), shared across shots. src_idx /
-    rcv_idx: (nshot, nsrc|nrec, 3) padded-grid indices. Seismogram rows of
-    receivers are exact for every receiver (each device gathers the rows
-    it owns; psum over "y" assembles the trace).
+    comes back domain-sharded). wavelet: (nt,), shared across shots.
+    src_idx / rcv_idx: (nshot, nsrc|nrec, 3) padded-grid indices.
+    Seismogram rows of receivers are exact for every receiver (each
+    device gathers the rows it owns; psum over the domain axes assembles
+    the trace). ``z_axis``: name of a second spatial mesh axis for a
+    ("shot", "y", "z") 2-axis domain decomposition (SURVEY.md §3.5's
+    mesh ("shot","x","y") modulo this repo's (y, z, x) layout).
     """
     if grid.ndim != 3:
         raise ValueError("needs a 3D grid")
     py = mesh.shape[y_axis]
+    pz = mesh.shape[z_axis] if z_axis is not None else 1
     r = grid.radius
     S = grid.pml + r
     W = S + 2 * r
@@ -113,17 +125,41 @@ def make_simulator3d_fused_sharded(
             f"y CPML face ({W} rows) does not fit one slab of {L} rows; "
             "use fewer y devices or a thinner pml"
         )
-    # Local grid view: same pml/order/h, y extent = one slab. Every piece
-    # of kernel geometry then lands at the correct LOCAL position:
-    # device 0's y-lo face is global rows [0, W) = local [0, W); device
-    # py-1's y-hi face is global [NY-W, NY) = local [L-W, L); the local
-    # ring windows are global-correct on the edge devices and impose
-    # saved TRUE interior values on the others (harmless by definition).
+    z_halo = pz > 1
+    if z_halo:
+        if NZ % pz != 0:
+            raise ValueError(f"padded NZ={NZ} not divisible by mesh "
+                             f"z={pz}")
+        Lz = NZ // pz
+        if Lz % bz != 0:
+            raise ValueError(
+                f"z slab {Lz} not divisible by bz={bz} (dead z-extension "
+                "rows at an interior cut would corrupt the stencil)"
+            )
+        if W > Lz:
+            raise ValueError(
+                f"z CPML face ({W} rows) does not fit one z slab of "
+                f"{Lz} rows; use fewer z devices or a thinner pml"
+            )
+        if grid.free_surface:
+            raise ValueError("free surface with a sharded z axis is "
+                             "unsupported (the surface pin is per-slab)")
+    else:
+        Lz = NZ
+    # Local grid view: same pml/order/h, y (and z) extent = one slab.
+    # Every piece of kernel geometry then lands at the correct LOCAL
+    # position: device 0's y-lo face is global rows [0, W) = local
+    # [0, W); device py-1's y-hi face is global [NY-W, NY) = local
+    # [L-W, L); the local ring windows are global-correct on the edge
+    # devices and impose saved TRUE interior values on the others
+    # (harmless by definition). Same per axis for z.
     lgrid = dataclasses.replace(
-        grid, shape=(L - 2 * pad, grid.shape[1], grid.shape[2])
+        grid, shape=(L - 2 * pad, Lz - 2 * pad if z_halo else grid.shape[1],
+                     grid.shape[2])
     )
-    assert lgrid.padded_shape == (L, NZ, NX)
+    assert lgrid.padded_shape == (L, Lz, NX)
     NZe = z_extended(lgrid, bz)
+    assert not z_halo or NZe == Lz
     rings = RingSpec.build(grid)  # GLOBAL gradient mask
 
     # ---- profile data ----
@@ -147,48 +183,78 @@ def make_simulator3d_fused_sharded(
 
     # ---- local kernels (host-side factories, built once) ----
     _zp = (jnp.zeros((S, 1, 1), dtype), jnp.zeros((S, 1, 1), dtype))
+    _zpz = (jnp.zeros((1, S, 1), dtype), jnp.zeros((1, S, 1), dtype))
     step2, zero_state = make_acoustic3d_fused_step2(
         lgrid, dt, f0, c_max, by=by, bz=bz, bz_y=bz_y,
         interpret=interpret, y_halo=True, y_profiles=(_zp, _zp),
+        z_halo=z_halo,
+        z_profiles=(_zpz, _zpz) if z_halo else None,
     )
     recon = make_recon3d_kernel(lgrid, by=by, bz=bz, interpret=interpret,
-                                y_halo=True)
+                                y_halo=True, z_halo=z_halo)
     transp = make_transpose3d_kernel(lgrid, by=by, bz=bz,
-                                     interpret=interpret, y_halo=True)
+                                     interpret=interpret, y_halo=True,
+                                     z_halo=z_halo)
     tcy = {s: make_tcorr3d_y(lgrid, s, bz_y, NZe, by, interpret)
            for s in (0, 1)}
     tcz = {s: make_tcorr3d_z(lgrid, s, by, L, interpret) for s in (0, 1)}
 
     perm_dn = [(k, k + 1) for k in range(py - 1)]
     perm_up = [(k + 1, k) for k in range(py - 1)]
+    perm_dn_z = [(k, k + 1) for k in range(pz - 1)]
+    perm_up_z = [(k + 1, k) for k in range(pz - 1)]
 
     def _halos(f):
-        """(hylo, hyhi): (H, NZe, NX) neighbor-edge slabs of local f."""
+        """Neighbor-edge halo slabs of local f: (hylo, hyhi) (H, NZe, NX)
+        over the y axis, plus (hzlo, hzhi) (L, H, NX) over z when
+        z-sharded — the flat tuple the kernels' halos= argument takes."""
         bot = lax.slice_in_dim(f, L - r, L, axis=0)
         top = lax.slice_in_dim(f, 0, r, axis=0)
         hlo = lax.ppermute(bot, y_axis, perm_dn)
         hhi = lax.ppermute(top, y_axis, perm_up)
         zp = jnp.zeros((H - r,) + f.shape[1:], f.dtype)
-        return (jnp.concatenate([zp, hlo], 0),
-                jnp.concatenate([hhi, zp], 0))
+        out = (jnp.concatenate([zp, hlo], 0),
+               jnp.concatenate([hhi, zp], 0))
+        if not z_halo:
+            return out
+        zbot = lax.slice_in_dim(f, NZe - r, NZe, axis=1)
+        ztop = lax.slice_in_dim(f, 0, r, axis=1)
+        hzlo = lax.ppermute(zbot, z_axis, perm_dn_z)
+        hzhi = lax.ppermute(ztop, z_axis, perm_up_z)
+        zpz = jnp.zeros((f.shape[0], H - r, f.shape[2]), f.dtype)
+        return out + (jnp.concatenate([zpz, hzlo], 1),
+                      jnp.concatenate([hzhi, zpz], 1))
+
+    def _axprofs(axis_name, p_n, lo_ab, hi_ab):
+        """Per-device face (a, b): real on the edge devices, zeros
+        inside (exact structural no-op of the face kernels)."""
+        ia = lax.axis_index(axis_name)
+        s_lo = (ia == 0).astype(dtype)
+        s_hi = (ia == p_n - 1).astype(dtype)
+        return ((lo_ab[0] * s_lo, lo_ab[1] * s_lo),
+                (hi_ab[0] * s_hi, hi_ab[1] * s_hi))
 
     def _yprofs():
-        """Per-device y-face (a, b): real on the edge devices, zeros
-        inside (exact structural no-op of the face kernels)."""
-        iy = lax.axis_index(y_axis)
-        s_lo = (iy == 0).astype(dtype)
-        s_hi = (iy == py - 1).astype(dtype)
-        return ((ylo_ab[0] * s_lo, ylo_ab[1] * s_lo),
-                (yhi_ab[0] * s_hi, yhi_ab[1] * s_hi))
+        return _axprofs(y_axis, py, ylo_ab, yhi_ab)
+
+    def _zprofs():
+        if not z_halo:
+            return None
+        return _axprofs(z_axis, pz, (azl, bzl), (azh, bzh))
 
     def _local_coords(idx):
         """Global padded (n, 3) indices -> local coords + ownership."""
         iy = lax.axis_index(y_axis)
         yl = idx[..., 0].astype(jnp.int32) - iy * jnp.int32(L)
-        own = ((yl >= 0) & (yl < L)).astype(dtype)
+        own = (yl >= 0) & (yl < L)
         yl = jnp.clip(yl, 0, L - 1)
-        return (yl, idx[..., 1].astype(jnp.int32),
-                idx[..., 2].astype(jnp.int32)), own
+        zl = idx[..., 1].astype(jnp.int32)
+        if z_halo:
+            iz = lax.axis_index(z_axis)
+            zl = zl - iz * jnp.int32(Lz)
+            own = own & (zl >= 0) & (zl < Lz)
+            zl = jnp.clip(zl, 0, Lz - 1)
+        return (yl, zl, idx[..., 2].astype(jnp.int32)), own.astype(dtype)
 
     def _fs_mask(idx):
         if not grid.free_surface:
@@ -215,8 +281,11 @@ def make_simulator3d_fused_sharded(
         *yz, rxl, rxh = tape_t
         return (*yz, jnp.moveaxis(rxl, 0, -1), jnp.moveaxis(rxh, 0, -1))
 
+    dom_axes = (y_axis,) + ((z_axis,) if z_halo else ())
+
     def _fwd_one(c2e, wavelet, src_idx, rcv_idx, with_tape):
         yprofs = _yprofs()
+        zprofs = _zprofs()
         src, s_own = _local_coords(src_idx)
         rcv, r_own = _local_coords(rcv_idx)
         smask = _fs_mask(src_idx) * s_own
@@ -227,7 +296,8 @@ def make_simulator3d_fused_sharded(
             else:
                 s = carry
             halos = _halos(s[1])
-            s = step2(s, c2e, halos=halos, y_profiles_override=yprofs)
+            s = step2(s, c2e, halos=halos, y_profiles_override=yprofs,
+                      z_profiles_override=zprofs)
             p_prev, p_next, strips = s
             p_next = p_next.at[src].add(smask * c2e[src] * w_t,
                                         mode="drop")
@@ -259,6 +329,10 @@ def make_simulator3d_fused_sharded(
                  seis_bar):
         yprofs = _yprofs()
         (ayl, byl), (ayh, byh) = yprofs
+        if z_halo:
+            (azl_d, bzl_d), (azh_d, bzh_d) = _zprofs()
+        else:
+            (azl_d, bzl_d), (azh_d, bzh_d) = (azl, bzl), (azh, bzh)
         src, s_own = _local_coords(src_idx)
         rcv, r_own = _local_coords(rcv_idx)
         smask = _fs_mask(src_idx) * s_own
@@ -269,7 +343,7 @@ def make_simulator3d_fused_sharded(
         zS_y = jnp.zeros((S, NZe, NX), dtype)
         zS_z = jnp.zeros((L, S, NX), dtype)
         zS_x = jnp.zeros((L, NZe, S), dtype)
-        offs = {0: (0, L - W), 1: (0, NZ - W)}
+        offs = {0: (0, L - W), 1: (0, Lz - W)}
 
         def _slice(f, ax, side):
             return lax.slice_in_dim(f, offs[ax][side],
@@ -294,7 +368,7 @@ def make_simulator3d_fused_sharded(
             upds_y, upds_z = [], []
             dy2, dz2 = [], []
             prof_y = {0: (ayl, byl), 1: (ayh, byh)}
-            prof_z = {0: (azl, bzl), 1: (azh, bzh)}
+            prof_z = {0: (azl_d, bzl_d), 1: (azh_d, bzh_d)}
             for ax, tc, duals, ulist, nlist, prof in (
                 (0, tcy, dy, upds_y, dy2, prof_y),
                 (1, tcz, dz, upds_z, dz2, prof_z),
@@ -335,7 +409,8 @@ def make_simulator3d_fused_sharded(
 
     # ------------- shard_map wrappers -------------
 
-    spec_c2 = P(y_axis, None, None)
+    zs = z_axis if z_halo else None  # z placement (None = replicated)
+    spec_c2 = P(y_axis, zs, None)
     spec_shot = P(shot_axis, None, None)
     spec_seis = P(shot_axis, None, None)
 
@@ -350,7 +425,7 @@ def make_simulator3d_fused_sharded(
                 rec, tape = ys
             else:
                 rec, tape = ys, None
-            rec = lax.psum(rec, y_axis)  # assemble full traces
+            rec = lax.psum(rec, dom_axes)  # assemble full traces
             outs.append((rec, tape, final[0], final[1]))
         seis = jnp.stack([o[0] for o in outs])
         if not with_tape:
@@ -374,16 +449,17 @@ def make_simulator3d_fused_sharded(
             gacc = g_i if gacc is None else gacc + g_i
             wbar = w_i if wbar is None else wbar + w_i
         gbar = crop_yz(lax.psum(gacc, shot_axis), lgrid)
-        wbar = lax.psum(wbar, (shot_axis, y_axis))
+        wbar = lax.psum(wbar, (shot_axis,) + dom_axes)
         return gbar, wbar
 
     # tape slab out-specs: slab k of each device concatenates along its
     # own slab axis — y slabs along their window axis, z slabs along
     # local y (both axis 2 after the shot/nt leading dims), x slabs
-    # (stored transposed (r, L, NZe)) along local y at axis 3
+    # (stored transposed (r, L, NZe)) along local y at axis 3; each
+    # slab's local-z dim additionally shards over z when z-sharded
     def _tape_specs():
-        yz = P(shot_axis, None, y_axis, None, None)
-        x = P(shot_axis, None, None, y_axis, None)
+        yz = P(shot_axis, None, y_axis, zs, None)
+        x = P(shot_axis, None, None, y_axis, zs)
         return (yz, yz, yz, yz, x, x)
 
     fwd_plain = jax.shard_map(
@@ -393,21 +469,19 @@ def make_simulator3d_fused_sharded(
         out_specs=spec_seis,
         check_vma=False,
     )
+    spec_p = P(shot_axis, y_axis, zs, None)
     fwd_tape = jax.shard_map(
         lambda c2, w, si, ri: _fwd_dev(c2, w, si, ri, True),
         mesh=mesh,
         in_specs=(spec_c2, P(), spec_shot, spec_shot),
-        out_specs=(spec_seis, _tape_specs(),
-                   P(shot_axis, y_axis, None, None),
-                   P(shot_axis, y_axis, None, None)),
+        out_specs=(spec_seis, _tape_specs(), spec_p, spec_p),
         check_vma=False,
     )
     bwd_sharded = jax.shard_map(
         _bwd_dev,
         mesh=mesh,
         in_specs=(spec_c2, P(), spec_shot, spec_shot, _tape_specs(),
-                  P(shot_axis, y_axis, None, None),
-                  P(shot_axis, y_axis, None, None), spec_seis),
+                  spec_p, spec_p, spec_seis),
         out_specs=(spec_c2, P()),
         check_vma=False,
     )

@@ -12,13 +12,17 @@ from typing import List, Tuple
 class StageCfg:
     """One frequency-continuation stage [GENRE: Bunks et al. 1995]."""
 
-    fmax: float
+    fmax: float  # band edge in Hz; None = full band (final stage)
     iterations: int
     method: str = "lbfgs"  # or "nlcg"
     linesearch: str = "armijo"  # or "wolfe" (strong-Wolfe bracket+zoom)
     # re-estimate the source wavelet at stage start from the current model
     # (frequency-domain Wiener correction; source_estimation.py)
     source_est: bool = False
+    # per-stage gradient smoothing radius (cells): multiscale runs smooth
+    # more at the low bands (e.g. 2.0 -> 1.5 -> 1.0, the overthrust_ms
+    # recipe); negative = inherit PrecondCfg.smooth_sigma
+    smooth_sigma: float = -1.0
 
 
 @dataclasses.dataclass(frozen=True)

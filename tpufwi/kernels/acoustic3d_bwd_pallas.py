@@ -91,7 +91,8 @@ def extract_tape3d(grid: Grid, p):
 
 
 def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
-                        interpret: bool = False, y_halo: bool = False):
+                        interpret: bool = False, y_halo: bool = False,
+                        z_halo: bool = False):
     """R kernel: blocked reverse leapfrog + ring imposition + imaging.
 
     call(p_tp1, p_t, c2, lam, gacc, ry_lo, ry_hi, rz_lo, rz_hi,
@@ -105,7 +106,8 @@ def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
     ``y_halo``: domain-sharded composition (adjoint3d_pallas_sharded) —
     the slab's y edges are interior cuts; (H, NZe, NX) halo slabs of p_t
     (exchanged by the caller) replace the zero extension at gy==0 /
-    gy==nyb-1 (rows [H-r, H) of hylo, [0, r) of hyhi).
+    gy==nyb-1 (rows [H-r, H) of hylo, [0, r) of hyhi). ``z_halo`` is the
+    same mechanism on z ((NYe, H, NX) slabs, appended after the y pair).
     """
     NYe = y_extended(grid, by)
     NZe = z_extended(grid, bz)
@@ -148,6 +150,9 @@ def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
         i = 15
         if y_halo:
             hylo_ref, hyhi_ref = refs[i : i + 2]
+            i += 2
+        if z_halo:
+            hzlo_ref, hzhi_ref = refs[i : i + 2]
             i += 2
         out_ref, gacc_o, scr_ref = refs[i : i + 3]
         gz = pl.program_id(0)
@@ -193,6 +198,17 @@ def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
         @pl.when(gz < nzb - 1)
         def _():
             scr_ref[r : r + BY, H + BZ : H + BZ + H, PX : PX + NX] = zhi_ref[:]
+
+        if z_halo:
+            @pl.when(gz == 0)
+            def _():
+                scr_ref[r : r + BY, 0:H, PX : PX + NX] = hzlo_ref[:]
+
+            @pl.when(gz == nzb - 1)
+            def _():
+                scr_ref[r : r + BY, H + BZ : H + BZ + H, PX : PX + NX] = (
+                    hzhi_ref[:]
+                )
 
         lap = None
         for k, c in enumerate(d2y):
@@ -275,6 +291,10 @@ def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
         hspec = bspec((H, BZ, NX), lambda gz, gy: (0, gz, 0),
                       memory_space=pltpu.VMEM)
         in_specs += [hspec, hspec]
+    if z_halo:
+        hzspec = bspec((BY, H, NX), lambda gz, gy: (gy, 0, 0),
+                       memory_space=pltpu.VMEM)
+        in_specs += [hzspec, hzspec]
 
     call = pl.pallas_call(
         kernel2,
@@ -503,7 +523,8 @@ def make_tcorr3d_z(grid: Grid, side: int, by: int, NYe: int,
 
 
 def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
-                            interpret: bool = False, y_halo: bool = False):
+                            interpret: bool = False, y_halo: bool = False,
+                            z_halo: bool = False):
     """T kernel: lam' = 2 lam - lam_prev + lap(u) + transposed x-face
     in-block + y/z upd slab application (sticky maps, as forward v2).
 
@@ -515,7 +536,8 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
     ``y_halo``: sharded composition — the (H, NZe, NX) halo slabs carry
     the neighbor devices' edge rows of U (= c2*lam; the transposed
     stencil is itself a stencil over u, so exchanging u's halos makes
-    the local transpose equal the global one on owned rows).
+    the local transpose equal the global one on owned rows). ``z_halo``:
+    same mechanism on z ((NYe, H, NX) slabs, appended after the y pair).
     """
     from .acoustic3d_fused2 import z_window
 
@@ -583,6 +605,9 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
         if y_halo:
             hylo_ref, hyhi_ref = refs[i : i + 2]
             i += 2
+        if z_halo:
+            hzlo_ref, hzhi_ref = refs[i : i + 2]
+            i += 2
         out_ref, pbxl_o, psxl_o, pbxh_o, psxh_o, scr_ref = refs[i : i + 6]
         gz = pl.program_id(0)
         gy = pl.program_id(1)
@@ -628,6 +653,17 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
         @pl.when(gz < nzb - 1)
         def _():
             scr_ref[r : r + BY, H + BZ : H + BZ + H, PX : PX + NX] = zhi_ref[:]
+
+        if z_halo:
+            @pl.when(gz == 0)
+            def _():
+                scr_ref[r : r + BY, 0:H, PX : PX + NX] = hzlo_ref[:]
+
+            @pl.when(gz == nzb - 1)
+            def _():
+                scr_ref[r : r + BY, H + BZ : H + BZ + H, PX : PX + NX] = (
+                    hzhi_ref[:]
+                )
 
         lap = None
         for k, c in enumerate(d2y):
@@ -785,6 +821,10 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
         hspec = bspec((H, BZ, NX), lambda gz, gy: (0, gz, 0),
                       memory_space=pltpu.VMEM)
         in_specs += [hspec, hspec]
+    if z_halo:
+        hzspec = bspec((BY, H, NX), lambda gz, gy: (gy, 0, 0),
+                       memory_space=pltpu.VMEM)
+        in_specs += [hzspec, hzspec]
 
     call = pl.pallas_call(
         kernel,

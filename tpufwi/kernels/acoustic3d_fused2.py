@@ -340,7 +340,8 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                            x_face: str = "mxu",
                            fold_z: bool = False,
                            fold_y: bool = False,
-                           y_halo: bool = False):
+                           y_halo: bool = False,
+                           z_halo: bool = False):
     """Merged kernel: blocked leapfrog + in-block x-face CPML + whole-block
     application of the y/z face update slabs.
 
@@ -486,10 +487,10 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
 
     if x_face not in ("mxu", "vpu", "off"):
         raise ValueError(f"unknown x_face mode {x_face!r}")
-    if y_halo and (fold_y or fold_z):
+    if (y_halo or z_halo) and (fold_y or fold_z):
         # the sharded composition (adjoint3d_pallas_sharded) targets the
         # production v2 slab-kernel configuration only
-        raise ValueError("y_halo mode requires fold_y=fold_z=False")
+        raise ValueError("halo modes require fold_y=fold_z=False")
 
     YOFF = 2 * r if fold_y else r  # scratch y-halo width
 
@@ -515,6 +516,9 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
             i += 2
         if y_halo:
             hylo_ref, hyhi_ref = refs[i : i + 2]
+            i += 2
+        if z_halo:
+            hzlo_ref, hzhi_ref = refs[i : i + 2]
             i += 2
         out_ref, xst_o = refs[i : i + 2]
         i += 2
@@ -585,6 +589,20 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
             scr_ref[YOFF : YOFF + BY, H + BZ : H + BZ + H, PX : PX + NX] = (
                 zhi_ref[:]
             )
+
+        if z_halo:
+            # z-sharded composition: the slab's z edges are interior cuts
+            # — the caller ppermute-exchanges the neighbor edge rows and
+            # passes (NYe, H, NX) slabs (rows [H-r, H) of hzlo / [0, r)
+            # of hzhi are real); global z edges still get zeros.
+            @pl.when(gz == 0)
+            def _():
+                scr_ref[YOFF : YOFF + BY, 0:H, PX : PX + NX] = hzlo_ref[:]
+
+            @pl.when(gz == nzb - 1)
+            def _():
+                scr_ref[YOFF : YOFF + BY, H + BZ : H + BZ + H,
+                        PX : PX + NX] = hzhi_ref[:]
 
         lap = None
         for k, c in enumerate(d2y):
@@ -1075,6 +1093,10 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
         hspec = bspec((H, BZ, NX), lambda gz, gy: (0, gz, 0),
                       memory_space=pltpu.VMEM)
         in_specs += [hspec, hspec]
+    if z_halo:
+        hzspec = bspec((BY, H, NX), lambda gz, gy: (gy, 0, 0),
+                       memory_space=pltpu.VMEM)
+        in_specs += [hzspec, hzspec]
     if fold_y:
         anyspec = bspec(memory_space=pltpu.HBM)
         out_specs += [anyspec] * 4
@@ -1134,7 +1156,9 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
                                 fold_z: bool | None = None,
                                 fold_y: bool | None = None,
                                 y_halo: bool = False,
-                                y_profiles=None):
+                                z_halo: bool = False,
+                                y_profiles=None,
+                                z_profiles=None):
     """Production fused 3D step v2 (see module docstring): 4 corr slab
     kernels + 1 merged kernel, no dynamic_update_slice.
 
@@ -1149,6 +1173,10 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
     ``y_profiles=((a_lo, b_lo), (a_hi, b_hi))`` overrides the y-face CPML
     profiles with per-device data (zeros on interior devices null the face
     kernels exactly — every term in corr/upd is proportional to a or b).
+    ``z_halo`` / ``z_profiles`` are the same mechanism on the z axis (the
+    two compose for a 2-axis (y, z) domain decomposition); with z_halo the
+    ``halos`` tuple is (hylo, hyhi, hzlo, hzhi) with the z slabs
+    (NYe, H, NX).
     """
     from jax import lax as jlax
 
@@ -1174,6 +1202,7 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
         # either way (scripts/check_foldz_hw.py).
         fz_env = _os.environ.get("TPUFWI_3D_FOLDZ", "")
         fold_z = (can_fold_z(grid, bz)
+                  and not (y_halo or z_halo)
                   and (fz_env == "1" or (interpret and fz_env != "0")))
     if fold_y is None:
         # fold_y auto-defaults on only in interpret mode: the compiled
@@ -1184,13 +1213,13 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
         fy_env = _os.environ.get("TPUFWI_3D_FOLDY", "")
         fold_y = (fold_z and can_fold_y(grid, by)
                   and (fy_env == "1" or (interpret and fy_env != "0")))
-    if y_halo and (fold_y or fold_z):
-        raise ValueError("y_halo mode requires fold_y=fold_z=False")
+    if (y_halo or z_halo) and (fold_y or fold_z):
+        raise ValueError("halo modes require fold_y=fold_z=False")
     merged = make_leapfrog3d_merged(
         grid, by=by, bz=bz, interpret=interpret,
         dimension_semantics=dimension_semantics,
         vmem_limit_mb=vmem_limit_mb, x_face=x_face, fold_z=fold_z,
-        fold_y=fold_y, y_halo=y_halo,
+        fold_y=fold_y, y_halo=y_halo, z_halo=z_halo,
     )
     corr_y = (None if fold_y else
               {s: make_corr3d_y(grid, s, bz_y, NZe, by, interpret)
@@ -1220,6 +1249,8 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
         profs.append((lo, hi))
     if y_profiles is not None:
         profs[0] = y_profiles
+    if z_profiles is not None:
+        profs[1] = z_profiles
 
     NXP = -(-NX // 128) * 128
 
@@ -1246,13 +1277,16 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
         return jlax.slice_in_dim(f, offs[ax][side], offs[ax][side] + W,
                                  axis=ax)
 
-    def step(state, c2dt2, halos=(), y_profiles_override=None):
+    def step(state, c2dt2, halos=(), y_profiles_override=None,
+             z_profiles_override=None):
         p_prev, p, strips = state
         profs_eff = list(profs)
         if y_profiles_override is not None:
-            # per-device (traced) y-face profiles — the domain-sharded
+            # per-device (traced) y/z-face profiles — the domain-sharded
             # composition selects real/zero profiles by device index
             profs_eff[0] = y_profiles_override
+        if z_profiles_override is not None:
+            profs_eff[1] = z_profiles_override
         uy, uz = [], []
         new_y, new_z = [], []
         axes = []
