@@ -44,7 +44,9 @@ def main():
     ap.add_argument("--ny", type=int, default=424)
     ap.add_argument("--nz", type=int, default=142)
     ap.add_argument("--nx", type=int, default=344)
-    ap.add_argument("--nt", type=int, default=700)
+    ap.add_argument("--nt", type=int, default=None,
+                    help="time steps (default: 700 fullscale, 600 medium, "
+                    "120 small)")
     ap.add_argument("--shots-y", type=int, default=4)
     ap.add_argument("--shots-x", type=int, default=4)
     ap.add_argument("--rcv-dy", type=int, default=10)
@@ -62,13 +64,17 @@ def main():
     args = ap.parse_args()
 
     if args.small:
-        args.ny, args.nz, args.nx, args.nt = 32, 32, 48, 120
+        args.ny, args.nz, args.nx = 32, 32, 48
+        args.nt = args.nt or 120
         args.shots_y, args.shots_x = 1, 2
         args.rcv_dy, args.rcv_dx = 8, 6
         args.iters = min(args.iters, 2)
     elif args.medium:
-        args.ny, args.nz, args.nx, args.nt = 100, 94, 200, 600
+        args.ny, args.nz, args.nx = 100, 94, 200
+        args.nt = args.nt or 600
         args.shots_y, args.shots_x = 3, 4
+    else:
+        args.nt = args.nt or 700
 
     os.makedirs(args.run_dir, exist_ok=True)
 

@@ -1,6 +1,7 @@
 """Fused 3D backward (adjoint3d_pallas + kernels/acoustic3d_bwd_pallas):
 forward parity and gradient parity vs the proven XLA adjoint engine."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -83,6 +84,7 @@ def test_fused3d_gradient_wavelet_cotangent():
     assert err < 1e-4, f"fused3d wavelet grad vs XLA engine: {err:.3e}"
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_fused3d_gradient_matches_xla_engine_fold_yz():
     """Same gradient parity with the forward/reconstruction sweeps on
     the fold_y+fold_z merged kernel (pml=12 so S=16 satisfies the
@@ -156,6 +158,7 @@ def test_fused3d_free_surface_forward_matches_jnp():
     assert err < 1e-5, f"fused3d free-surface forward vs jnp: {err:.3e}"
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_fused3d_free_surface_gradient_matches_xla_engine():
     grid, dt, f0, c_max, c2, w, src, rcv = _setup_fs()
     sim_jnp = make_simulator(grid, dt, f0, c_max, use_custom_vjp=True)
@@ -179,6 +182,7 @@ def test_fused3d_free_surface_gradient_matches_xla_engine():
     assert err < 5e-4, f"fused3d free-surface gradient: {err:.3e}"
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_fused3d_free_surface_wavelet_cotangent():
     grid, dt, f0, c_max, c2, w, src, rcv = _setup_fs()
     sim_jnp = make_simulator(grid, dt, f0, c_max, use_custom_vjp=True)

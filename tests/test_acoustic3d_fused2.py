@@ -1,6 +1,7 @@
 """Fused 3D step v2 (kernels/acoustic3d_fused2.py: corr-slab face kernels
 + merged leapfrog/x-face/apply kernel) == the proven XLA-strip step."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -74,6 +75,7 @@ def test_fused2_vpu_x_face_matches_xla_strip_step():
     assert err < 1e-6, f"fused2(vpu x-face) vs XLA-strip 3D step: {err:.3e}"
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_fused2_fold_yz_matches_xla_strip_step():
     """fold_y + fold_z: all six CPML faces computed inside the merged
     kernel (manual-DMA staged face state, S=16 so the 8-tile DMA

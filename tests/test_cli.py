@@ -1,6 +1,7 @@
 """CLI lanes (python -m tpufwi.invert): every physics family must run
 end-to-end from main() with dotted overrides and leave artifacts."""
 
+import pytest
 import json
 import os
 
@@ -21,6 +22,7 @@ def _common(run_dir, extra):
     ] + extra
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_cli_elastic(tmp_path):
     rd = str(tmp_path / "el")
     main(["--mesh", "0"] + _common(rd, ["physics=elastic"]))

@@ -137,6 +137,7 @@ def test_gradient_matches_full_ad_free_surface():
         assert err < 1e-10, f"{name} fs-grad custom vs AD rel {err:.3e}"
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_fused_engine_matches_jnp_free_surface():
     """The fused Pallas engine (XLA-level image + hand-transposed image_t)
     agrees with the jnp engine: forward and gradient, interpret mode."""

@@ -23,6 +23,10 @@ from tpufwi.wavelets import ricker_np
 
 INTERPRET = jax.default_backend() == "cpu"
 
+# K-step is a measured dead end (BASELINE.md round-2: DMA-phase-bound);
+# the engine is retained but its parity battery runs in the slow lane
+pytestmark = pytest.mark.slow
+
 # Gradient-parity tolerance: interpret mode is bit-disciplined; on hardware
 # the two engines accumulate the same ~1e2-step fp32 sums in different
 # orders (and the relay compiles with --xla_allow_excess_precision), so the

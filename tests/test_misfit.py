@@ -3,6 +3,7 @@ amplitude, phase-rotation invariance), AD gradient vs finite differences,
 registry wiring through FwiProblem, and an FWI sanity run where the
 envelope objective decreases like L2 does."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -99,6 +100,7 @@ def test_w2_monotone_in_time_shift_where_l2_saturates():
     assert w2_misfit(d, d) < 1e-12
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_fwi_problem_envelope_objective_decreases():
     """FwiProblem(misfit='envelope'): one L-BFGS stage on a tiny lens
     model reduces the objective (adjoint source via AD through the

@@ -60,6 +60,7 @@ def test_resume_bit_identical(tmp_path):
     )
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_multiparameter_resume_bit_identical(tmp_path):
     """Same fault-injection contract for the multiparameter driver
     (invert_multiparameter run_dir/resume): kill mid-stage-2, resume,

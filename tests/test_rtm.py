@@ -3,6 +3,7 @@ laterally coherent polarity, and a point scatterer focuses near its true
 position. Uses the jnp engine on tiny grids (the image IS the FWI
 gradient, whose numerics are covered by test_adjoint)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +30,7 @@ def _problem(vp_true, grid, f0, n_shots):
     return FwiProblem(prop=prop, geoms=geoms, d_obs=d_obs, wavelet=w, dt=dt)
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_reflector_migrates_to_depth():
     nz, nx, zr = 72, 110, 44
     vp = np.full((nz, nx), 2000.0, np.float32)
@@ -50,6 +52,7 @@ def test_reflector_migrates_to_depth():
     assert (np.sign(row) == np.sign(row[row.size // 2])).mean() > 0.9
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_point_scatterer_focuses():
     nz, nx, z0, x0 = 64, 96, 36, 48
     vp = np.full((nz, nx), 2000.0, np.float32)

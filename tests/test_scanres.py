@@ -57,6 +57,7 @@ def _loss(sim, geom, d_obs):
 
 
 @pytest.mark.parametrize("nt", [135, 128, 139])
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_scanres_matches_jnp(nt):
     grid, dt, f0, c_max, c2, w, geom = _setup(nt=nt)
     sim_j = make_simulator(grid, dt, f0, c_max, dtype=jnp.float32)
@@ -83,6 +84,7 @@ def test_scanres_matches_jnp(nt):
     assert werr < GTOL, f"nt={nt} wavelet-gradient max rel err {werr:.3e}"
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_scanres_multisource():
     grid, dt, f0, c_max, c2, w, geom = _setup(nt=96, nsrc=3)
     sim_j = make_simulator(grid, dt, f0, c_max, dtype=jnp.float32)
@@ -97,6 +99,7 @@ def test_scanres_multisource():
     assert err < GTOL, f"multisource gradient max rel err {err:.3e}"
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_scanres_free_surface():
     grid, dt, f0, c_max, c2, w, geom = _setup(nt=96, free_surface=True)
     sim_j = make_simulator(grid, dt, f0, c_max, dtype=jnp.float32)

@@ -1,6 +1,7 @@
 """Distributed semantics without a cluster (SURVEY.md §4.7): 8 virtual CPU
 devices. Shot-sharded loss/gradient must equal the sequential per-shot sum."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -105,6 +106,7 @@ def test_gradient_accumulation_more_shots_than_devices():
     assert abs(J_sh - J_ref) / J_ref < 1e-12
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_multiparameter_problem_shot_dp_matches_sequential():
     """VdFwiProblem and QFwiProblem with mesh= : shot-sharded (J, grad)
     == the sequential lax.map path (same problems, mesh=None)."""
@@ -147,6 +149,7 @@ def test_multiparameter_problem_shot_dp_matches_sequential():
             assert rel < 1e-11, (cls.__name__, rel)
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_anisotropic_problems_shot_dp_matches_sequential():
     """VtiFwiProblem and TtiFwiProblem with mesh= : shot-sharded
     (J, grad) == the sequential path (the shared _mp_total shard_map
@@ -193,6 +196,7 @@ def test_anisotropic_problems_shot_dp_matches_sequential():
             assert rel < 1e-11, (name, rel)
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_scanres_shot_dp_shard_map_matches_sequential():
     """P1 composition evidence (VERDICT r2 item 5): the whole-scan-
     resident engine under shard_map shot DP. Compiled scanres does not

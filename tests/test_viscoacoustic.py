@@ -3,6 +3,7 @@ adjoint.make_simulator_visco): oracle parity, lossless limit, physical
 attenuation rate, AD gradients through the checkpointed scan, and the
 checkpointed_scan utility itself."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -144,6 +145,7 @@ def test_gradients_finite_difference():
         assert rel < 1e-4, (i, rel)  # central-FD truncation floor
 
 
+@pytest.mark.slow  # slow-lane: interpret-mode/demo-grade; fast lane keeps a representative
 def test_q_fwi_problem_inverts():
     """(vp, Q) multiparameter driver: one stage on a tiny low-Q anomaly —
     the objective decreases and the Q update has the right sign inside
