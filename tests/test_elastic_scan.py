@@ -1,0 +1,149 @@
+"""Whole-scan elastic engine == the proven XLA-engine forward/gradient
+(interpret mode, CPU). Spec C4; VERDICT r3 item 5 (elastic perf): the
+engine under test is kernels/elastic2d_pallas_scan.py via
+adjoint_elastic_scan.make_elastic_simulator_scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufwi import Geometry, Grid
+from tpufwi.adjoint_elastic_scan import make_elastic_simulator_scan
+from tpufwi.propagators.elastic2d import (
+    elastic_cfl_dt,
+    make_elastic_simulator,
+)
+from tpufwi.wavelets import ricker_np
+
+
+def _setup(nt=90):
+    nz, nx, pml, f0 = 40, 50, 8, 12.0
+    rng = np.random.default_rng(3)
+    vp = np.clip(2300 + 150 * rng.standard_normal((nz, nx)), 2000, 2600)
+    vs = vp / 1.8
+    rho = 1000.0 + 0.3 * vp
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=pml, order=4)
+    dt = elastic_cfl_dt(grid.h, float(vp.max()), 4, safety=0.7)
+    w = jnp.asarray(ricker_np(f0, dt, nt), jnp.float32)
+    src = np.array([[nz // 2 - 6, nx // 2], [nz // 2, nx // 2 - 8]])
+    rx = np.arange(5, nx - 5, 3)
+    rcv = np.stack([np.full_like(rx, 5), rx], 1)
+    geom = Geometry.from_physical(grid, src, rcv)
+
+    from tpufwi.propagators.elastic2d import ElasticPropagator
+
+    prop = ElasticPropagator(grid, dt, f0, float(vp.max()),
+                             dtype=jnp.float32)
+    mats = prop.material_fields(
+        jnp.asarray(vp, jnp.float32), jnp.asarray(vs, jnp.float32),
+        jnp.asarray(rho, jnp.float32),
+    )
+    return grid, dt, f0, float(vp.max()), mats, w, geom
+
+
+@pytest.mark.parametrize("record,source_type", [
+    ("v", "pressure"),
+    pytest.param("p", "pressure", marks=pytest.mark.slow),
+    pytest.param("v", "force", marks=pytest.mark.slow),
+])
+def test_elastic_scan_gradient_matches_xla_engine(record, source_type):
+    grid, dt, f0, c_max, mats, w, geom = _setup()
+
+    sim_x = make_elastic_simulator(
+        grid, dt, f0, c_max, dtype=jnp.float32, record=record,
+        source_type=source_type,
+    )
+    sim_s = make_elastic_simulator_scan(
+        grid, dt, f0, c_max, record=record, source_type=source_type,
+        interpret=True,
+    )
+    d_obs = sim_x(*mats, w, geom.src_idx, geom.rcv_idx)
+
+    def loss(sim):
+        def f(lam, lam2mu, mu_xz, bx, bz, w_):
+            r = (sim(lam, lam2mu, mu_xz, bx, bz, w_, geom.src_idx,
+                     geom.rcv_idx) - d_obs)
+            return 0.5 * jnp.sum(r * r)
+
+        return f
+
+    mats_p = tuple(m * 1.02 for m in mats)
+    seis_s = sim_s(*mats_p, w, geom.src_idx, geom.rcv_idx)
+    seis_x = sim_x(*mats_p, w, geom.src_idx, geom.rcv_idx)
+    fscale = float(jnp.abs(seis_x).max())
+    ferr = float(jnp.abs(seis_s - seis_x).max()) / fscale
+    assert ferr < 1e-5, f"scan forward vs XLA engine: {ferr:.3e}"
+
+    gx = jax.grad(loss(sim_x), argnums=(0, 1, 2, 3, 4, 5))(*mats_p, w)
+    gs = jax.grad(loss(sim_s), argnums=(0, 1, 2, 3, 4, 5))(*mats_p, w)
+    names = ["lam", "lam2mu", "mu_xz", "buoy_x", "buoy_z", "wavelet"]
+    for name, a, b in zip(names, gx, gs):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-30)
+        err = np.abs(a - b).max() / scale
+        assert err < 2e-4, (
+            f"{record}/{source_type}: {name} gradient max rel err {err:.3e}"
+        )
+
+
+def test_elastic_scan_nt_padding_matches_unpadded():
+    """nt not a CH multiple: the wrapper zero-pads; seis/gradient equal
+    the XLA engine at the ORIGINAL nt (the padded steps carry zero
+    residual and reconstruct exactly)."""
+    grid, dt, f0, c_max, mats, w, geom = _setup(nt=83)  # 83 % 8 != 0
+    sim_x = make_elastic_simulator(
+        grid, dt, f0, c_max, dtype=jnp.float32,
+    )
+    sim_s = make_elastic_simulator_scan(grid, dt, f0, c_max,
+                                        interpret=True)
+    d_obs = sim_x(*mats, w, geom.src_idx, geom.rcv_idx)
+    mats_p = tuple(m * 1.02 for m in mats)
+    seis_s = sim_s(*mats_p, w, geom.src_idx, geom.rcv_idx)
+    seis_x = sim_x(*mats_p, w, geom.src_idx, geom.rcv_idx)
+    assert seis_s.shape == seis_x.shape
+    fscale = float(jnp.abs(seis_x).max())
+    assert float(jnp.abs(seis_s - seis_x).max()) / fscale < 1e-5
+
+    def loss(sim):
+        def f(lam):
+            r = (sim(lam, *mats_p[1:], w, geom.src_idx, geom.rcv_idx)
+                 - d_obs)
+            return 0.5 * jnp.sum(r * r)
+
+        return f
+
+    ga = np.asarray(jax.grad(loss(sim_x))(mats_p[0]))
+    gb = np.asarray(jax.grad(loss(sim_s))(mats_p[0]))
+    err = np.abs(ga - gb).max() / max(np.abs(ga).max(), 1e-30)
+    assert err < 2e-4, f"padded-nt lam gradient: {err:.3e}"
+
+
+def test_propagator_impl_pallas_scan():
+    """ElasticPropagator(impl='pallas_scan') routes __call__ through the
+    whole-scan engine and matches the jnp-engine propagator."""
+    from tpufwi.propagators.elastic2d import ElasticPropagator
+
+    grid, dt, f0, c_max, mats, w, geom = _setup(nt=48)
+    nz, nx = grid.shape
+    vp = np.full((nz, nx), 2300.0, np.float32)
+    vs = vp / 1.8
+    rho = np.full((nz, nx), 2000.0, np.float32)
+    p_ref = ElasticPropagator(grid, dt, f0, c_max, dtype=jnp.float32)
+    p_scan = ElasticPropagator(grid, dt, f0, c_max, dtype=jnp.float32,
+                               impl="pallas_scan", interpret=True)
+    a = np.asarray(p_ref(jnp.asarray(vp), jnp.asarray(vs),
+                         jnp.asarray(rho), geom, w))
+    b = np.asarray(p_scan(jnp.asarray(vp), jnp.asarray(vs),
+                          jnp.asarray(rho), geom, w))
+    err = np.abs(a - b).max() / np.abs(a).max()
+    assert err < 1e-5, f"propagator pallas_scan vs jnp: {err:.3e}"
+
+
+def test_elastic_scan_free_surface_rejected():
+    grid = Grid(shape=(40, 50), h=(10.0, 10.0), pml=8, order=4,
+                free_surface=True)
+    with pytest.raises(ValueError):
+        make_elastic_simulator_scan(grid, 0.001, 12.0, 2600.0,
+                                    interpret=True)

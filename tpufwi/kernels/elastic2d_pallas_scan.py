@@ -1,0 +1,744 @@
+"""Whole-scan-resident elastic P-SV engine: the ENTIRE time loop (and the
+entire reverse pass) inside ONE pallas_call each, 5-field state persistent
+in VMEM scratch across grid steps (spec C4; VERDICT r3 item 5).
+
+Why (round-3 measurement): the per-step fused elastic kernels
+(elastic2d_pallas.py / elastic2d_pallas_bwd.py) move ~45 full-field HBM
+passes per reverse step (primals + cotangents + gradients + materials in
+and out of every call) — 2.4 Gcu/s on the fused gradient vs the acoustic
+whole-scan engine's 15+. This module applies the acoustic scanres recipe
+(kernels/acoustic2d_pallas_scanres.py): grid = (nt/CH,) time chunks; the
+five wavefields, five cotangents, five gradient accumulators and all
+CPML strip memories live in scratch, which Mosaic persists across
+sequential grid iterations. Per-step HBM traffic falls to the 5-field
+boundary-ring tape plus the seismogram/wavelet rows.
+
+Per-sub-step semantics are IDENTICAL algebra to the per-step kernels
+(the staggered derivative helpers are imported from elastic2d_pallas;
+the reverse reconstruct/transpose/imaging bodies mirror
+elastic2d_pallas_bwd.kernel_rs / kernel_rv with the load_padded copies
+deleted — the fields already live in padded scratch). Parity is pinned
+against the XLA engine's gradient in tests/test_elastic_scan.py.
+
+Contracts and limits:
+  * fp32, 2D, no free surface (raise; the per-step engines keep that
+    path — the image ops between stages are XLA-level there).
+  * receiver rows within one RH-row 8-aligned slab (the scanres
+    receiver-window contract); record "v" (vz, vx) or "p".
+  * nt padded to a CH multiple by the wrapper (zero source afterwards;
+    reconstruction through the padded steps is exact, so gradients are
+    unchanged — same argument as the acoustic engine).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_util import bspec
+
+from ..grid import D1_STAGGERED_COEFFS, Grid
+from .acoustic2d_pallas import strip_depth
+from .acoustic2d_pallas_scanres import _pdot
+from .elastic2d_pallas import _stag_cols, _stag_rows
+
+import os as _os
+
+CH = int(_os.environ.get("TPUFWI_ESCAN_CH", "8"))
+
+PZ, PX = 8, 128
+dtype = jnp.float32
+
+
+def _common(grid: Grid):
+    if grid.ndim != 2:
+        raise ValueError("elastic scan kernel is 2D")
+    if grid.free_surface:
+        raise ValueError(
+            "whole-scan elastic engine does not support the free surface "
+            "(use the per-step fused or jnp engines)"
+        )
+    NZ, NX = grid.padded_shape
+    r = grid.radius
+    S = strip_depth(grid)
+    cs = D1_STAGGERED_COEFFS[grid.order]
+    tz = tuple(float(c) / grid.h[0] for c in cs)
+    tx = tuple(float(c) / grid.h[1] for c in cs)
+    from ..propagators.boundary import RingSpec
+
+    ring_slices = RingSpec.build(grid).slices
+    ring_dims = tuple(
+        tuple(sl.stop - sl.start for sl in s_) for s_ in ring_slices
+    )
+    return NZ, NX, r, S, tz, tx, ring_slices, ring_dims
+
+
+def _interior(ref, NZ, NX):
+    return ref[PZ : PZ + NZ, PX : PX + NX]
+
+
+def _set_interior(ref, NZ, NX, val):
+    ref[PZ : PZ + NZ, PX : PX + NX] = val
+
+
+def _src_slab_add(field_ref, sz_i, sx_i, amp, NX):
+    """8-row slab iota-mask fma add of amp at (sz_i, sx_i)."""
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 0)
+    x8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 1)
+    sz8 = pl.multiple_of((sz_i // jnp.int32(8)) * jnp.int32(8), 8)
+    mask = (i8 == sz_i - sz8) & (x8 == sx_i)
+    field_ref[pl.ds(PZ + sz8, 8), PX : PX + NX] = (
+        field_ref[pl.ds(PZ + sz8, 8), PX : PX + NX]
+        + amp * mask.astype(dtype)
+    )
+
+
+def _src_slab_gather(field_ref, sz_i, sx_i, NX):
+    """Value of the resident field at (sz_i, sx_i): 8-row masked reduce."""
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 0)
+    x8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 1)
+    sz8 = pl.multiple_of((sz_i // jnp.int32(8)) * jnp.int32(8), 8)
+    mask = ((i8 == sz_i - sz8) & (x8 == sx_i)).astype(dtype)
+    slab = field_ref[pl.ds(PZ + sz8, 8), PX : PX + NX]
+    return jnp.sum(slab * mask)
+
+
+def make_elastic_scan_forward(grid: Grid, dt: float, nt: int, nsrc: int,
+                              nrec: int, rcv_rows: int = 16,
+                              source_type: str = "pressure",
+                              record: str = "v",
+                              with_tape: bool = False,
+                              interpret: bool = False):
+    """Whole-scan elastic forward.
+
+    fwd(lam, l2m, muxz, bxm, bzm, az, bz, ax, bx,
+        w (nt,), bsrc (nsrc,), sz, sx (nsrc,), rxr (1,nrec),
+        rzr (1,nrec), r0 (1,))
+      -> (seis3 (nC, CH, CW), [5*NRING tape slabs (nt, h, w)],
+          vx_f, vz_f, sxx_f, szz_f, sxz_f (NZ, NX))
+
+    CW = 2*nrec for record="v" (lanes [0:nrec)=vz, [nrec:2nrec)=vx),
+    nrec for record="p". Tape row t = rings(state after step t-1) — the
+    shift the reverse recursion consumes, realized with a 1-deep in-VMEM
+    delay (the elastic scheme is first-order: one back-state suffices,
+    vs the leapfrog's two).
+    """
+    if nt % CH != 0:
+        raise ValueError(f"nt must be a multiple of {CH}")
+    NZ, NX, r, S, tz, tx, ring_slices, ring_dims = _common(grid)
+    RH = rcv_rows
+    nC = nt // CH
+    NRING = len(ring_slices)
+    NTAPE = 5 * NRING if with_tape else 0
+    CW = 2 * nrec if record == "v" else nrec
+    DT = float(dt)
+
+    def kernel(*refs):
+        (lam_ref, l2m_ref, muxz_ref, bxm_ref, bzm_ref,
+         az_ref, bz_ref, ax_ref, bx_ref,
+         w_ref, bsrc_ref, sz_ref, sx_ref, rxr_ref, rzr_ref,
+         r0_ref) = refs[:16]
+        refs = refs[16:]
+        seis_ref = refs[0]
+        ring_o = refs[1 : 1 + NTAPE]
+        (vxf_ref, vzf_ref, sxxf_ref, szzf_ref, sxzf_ref) = refs[
+            1 + NTAPE : 6 + NTAPE
+        ]
+        scr = refs[6 + NTAPE :]
+        vx, vz, sxx, szz, sxz = scr[0:5]
+        memx = scr[5:9]    # m_sxx_x, m_sxz_x, m_vx_x, m_vz_x (2, NZ, S)
+        memz = scr[9:13]   # m_sxz_z, m_szz_z, m_vx_z, m_vz_z (2, S, NX)
+        ohzT_ref, ohxT_ref, sacc_ref = scr[13:16]
+        delay = scr[16 : 16 + NTAPE]
+
+        c = pl.program_id(0)
+        tb = c * CH
+        r0 = pl.multiple_of(r0_ref[0], 8)
+
+        @pl.when(c == 0)
+        def _init():
+            for f in (vx, vz, sxx, szz, sxz):
+                f[:] = jnp.zeros((NZ + 2 * PZ, NX + 2 * PX), dtype)
+            for m in memx + memz:
+                m[:] = jnp.zeros_like(m)
+            ohzT_ref[:] = (
+                jax.lax.broadcasted_iota(jnp.int32, (RH, nrec), 0)
+                == rzr_ref[:]
+            ).astype(dtype)
+            ohxT_ref[:] = (
+                jax.lax.broadcasted_iota(jnp.int32, (NX, nrec), 0)
+                == rxr_ref[:]
+            ).astype(dtype)
+            for dref in delay:
+                dref[:] = jnp.zeros_like(dref)
+
+        def gather_row(field_ref):
+            slab = field_ref[pl.ds(PZ + r0, RH), PX : PX + NX]
+            M = _pdot(slab, ohxT_ref[:], b_exact=True, dtype=dtype)
+            return jnp.sum(M * ohzT_ref[:], axis=0, keepdims=True)
+
+        def rmw_cols(ref, C0, val):
+            ref[PZ : PZ + NZ, PX + C0 : PX + C0 + S] = (
+                ref[PZ : PZ + NZ, PX + C0 : PX + C0 + S] + val
+            )
+
+        def rmw_rows(ref, R0, val):
+            ref[PZ + R0 : PZ + R0 + S, PX : PX + NX] = (
+                ref[PZ + R0 : PZ + R0 + S, PX : PX + NX] + val
+            )
+
+        def substep(jl, carry):
+            # ---- stage V (reads resident stresses; in-place v update) --
+            d_sxx_x = _stag_cols(sxx, tx, 0, NX, NZ, PZ, PX, True)
+            d_sxz_z = _stag_rows(sxz, tz, 0, NZ, NX, PZ, PX, False)
+            d_sxz_x = _stag_cols(sxz, tx, 0, NX, NZ, PZ, PX, False)
+            d_szz_z = _stag_rows(szz, tz, 0, NZ, NX, PZ, PX, True)
+            _set_interior(
+                vx, NZ, NX,
+                _interior(vx, NZ, NX)
+                + DT * bxm_ref[:] * (d_sxx_x + d_sxz_z),
+            )
+            _set_interior(
+                vz, NZ, NX,
+                _interior(vz, NZ, NX)
+                + DT * bzm_ref[:] * (d_sxz_x + d_szz_z),
+            )
+            # x-strips: m_sxx_x -> vx, m_sxz_x -> vz (pointwise adds)
+            for s, C0 in ((0, 0), (1, NX - S)):
+                a, b = ax_ref[s], bx_ref[s]
+                sl = slice(C0, C0 + S)
+                m1 = b * memx[0][s] + a * d_sxx_x[:, sl]
+                memx[0][s] = m1
+                rmw_cols(vx, C0, DT * bxm_ref[:, sl] * m1)
+                m2 = b * memx[1][s] + a * d_sxz_x[:, sl]
+                memx[1][s] = m2
+                rmw_cols(vz, C0, DT * bzm_ref[:, sl] * m2)
+            # z-strips: m_sxz_z -> vx, m_szz_z -> vz
+            for s, R0 in ((0, 0), (1, NZ - S)):
+                a, b = az_ref[s], bz_ref[s]
+                sl = slice(R0, R0 + S)
+                m3 = b * memz[0][s] + a * d_sxz_z[sl, :]
+                memz[0][s] = m3
+                rmw_rows(vx, R0, DT * bxm_ref[sl, :] * m3)
+                m4 = b * memz[1][s] + a * d_szz_z[sl, :]
+                memz[1][s] = m4
+                rmw_rows(vz, R0, DT * bzm_ref[sl, :] * m4)
+
+            # ---- stage S (reads resident velocities) ----
+            exx = _stag_cols(vx, tx, 0, NX, NZ, PZ, PX, False)
+            ezz = _stag_rows(vz, tz, 0, NZ, NX, PZ, PX, False)
+            dvxz = _stag_rows(vx, tz, 0, NZ, NX, PZ, PX, True)
+            dvzx = _stag_cols(vz, tx, 0, NX, NZ, PZ, PX, True)
+            _set_interior(
+                sxx, NZ, NX,
+                _interior(sxx, NZ, NX)
+                + DT * (l2m_ref[:] * exx + lam_ref[:] * ezz),
+            )
+            _set_interior(
+                szz, NZ, NX,
+                _interior(szz, NZ, NX)
+                + DT * (l2m_ref[:] * ezz + lam_ref[:] * exx),
+            )
+            _set_interior(
+                sxz, NZ, NX,
+                _interior(sxz, NZ, NX) + DT * muxz_ref[:] * (dvxz + dvzx),
+            )
+            for s, C0 in ((0, 0), (1, NX - S)):
+                a, b = ax_ref[s], bx_ref[s]
+                sl = slice(C0, C0 + S)
+                m = b * memx[2][s] + a * exx[:, sl]
+                memx[2][s] = m
+                rmw_cols(sxx, C0, DT * l2m_ref[:, sl] * m)
+                rmw_cols(szz, C0, DT * lam_ref[:, sl] * m)
+                m2 = b * memx[3][s] + a * dvzx[:, sl]
+                memx[3][s] = m2
+                rmw_cols(sxz, C0, DT * muxz_ref[:, sl] * m2)
+            for s, R0 in ((0, 0), (1, NZ - S)):
+                a, b = az_ref[s], bz_ref[s]
+                sl = slice(R0, R0 + S)
+                m = b * memz[3][s] + a * ezz[sl, :]
+                memz[3][s] = m
+                rmw_rows(sxx, R0, DT * lam_ref[sl, :] * m)
+                rmw_rows(szz, R0, DT * l2m_ref[sl, :] * m)
+                m2 = b * memz[2][s] + a * dvxz[sl, :]
+                memz[2][s] = m2
+                rmw_rows(sxz, R0, DT * muxz_ref[sl, :] * m2)
+
+            # ---- source (after stage S, matching the fused path) ----
+            w_t = w_ref[tb + jl]
+            for i in range(nsrc):
+                if source_type == "pressure":
+                    _src_slab_add(sxx, sz_ref[i], sx_ref[i], DT * w_t, NX)
+                    _src_slab_add(szz, sz_ref[i], sx_ref[i], DT * w_t, NX)
+                else:
+                    _src_slab_add(
+                        vz, sz_ref[i], sx_ref[i],
+                        DT * bsrc_ref[i] * w_t, NX,
+                    )
+
+            # ---- record ----
+            jmask = (
+                jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0) == jl
+            ).astype(dtype)
+            if record == "v":
+                row = jnp.concatenate(
+                    [gather_row(vz), gather_row(vx)], axis=1
+                )
+            else:
+                row = -(gather_row(sxx) + gather_row(szz)) / 2.0
+            sacc_ref[:] = sacc_ref[:] + jmask * row
+
+            # ---- tape: row t <- rings(state after t-1) (1-deep delay) --
+            if with_tape:
+                for fi, f in enumerate((vx, vz, sxx, szz, sxz)):
+                    for m, sl in enumerate(ring_slices):
+                        k = fi * NRING + m
+                        ring_o[k][pl.ds(jl, 1)] = delay[k][:][None]
+                        delay[k][:] = f[
+                            PZ + sl[0].start : PZ + sl[0].stop,
+                            PX + sl[1].start : PX + sl[1].stop,
+                        ]
+            return carry
+
+        sacc_ref[:] = jnp.zeros((CH, CW), dtype)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH), substep,
+                          jnp.int32(0))
+        seis_ref[0] = sacc_ref[:]
+
+        @pl.when(c == nC - 1)
+        def _final():
+            vxf_ref[:] = _interior(vx, NZ, NX)
+            vzf_ref[:] = _interior(vz, NZ, NX)
+            sxxf_ref[:] = _interior(sxx, NZ, NX)
+            szzf_ref[:] = _interior(szz, NZ, NX)
+            sxzf_ref[:] = _interior(sxz, NZ, NX)
+
+    const2 = lambda c: (0, 0)  # noqa: E731
+    const3 = lambda c: (0, 0, 0)  # noqa: E731
+    full = bspec((NZ, NX), const2, memory_space=pltpu.VMEM)
+    in_specs = [full] * 5 + [
+        bspec((2, S, 1), const3, memory_space=pltpu.VMEM),  # az
+        bspec((2, S, 1), const3, memory_space=pltpu.VMEM),  # bz
+        bspec((2, 1, S), const3, memory_space=pltpu.VMEM),  # ax
+        bspec((2, 1, S), const3, memory_space=pltpu.VMEM),  # bx
+        bspec((nt,), lambda c: (0,), memory_space=pltpu.SMEM),  # w
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # bsrc
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # sz
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),  # sx
+        bspec((1, nrec), const2, memory_space=pltpu.VMEM),  # rxr
+        bspec((1, nrec), const2, memory_space=pltpu.VMEM),  # rzr
+        bspec((1,), lambda c: (0,), memory_space=pltpu.SMEM),  # r0
+    ]
+    out_specs = [
+        bspec((1, CH, CW), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((nC, CH, CW), dtype)]
+    if with_tape:
+        for _f in range(5):
+            for dims in ring_dims:
+                out_specs.append(
+                    bspec((CH,) + dims, lambda c: (c, 0, 0),
+                          memory_space=pltpu.VMEM)
+                )
+                out_shape.append(jax.ShapeDtypeStruct((nt,) + dims, dtype))
+    for _f in range(5):
+        out_specs.append(bspec((NZ, NX), const2, memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((NZ, NX), dtype))
+
+    scratch = (
+        [pltpu.VMEM((NZ + 2 * PZ, NX + 2 * PX), dtype)] * 5
+        + [pltpu.VMEM((2, NZ, S), dtype)] * 4
+        + [pltpu.VMEM((2, S, NX), dtype)] * 4
+        + [
+            pltpu.VMEM((RH, nrec), dtype),
+            pltpu.VMEM((NX, nrec), dtype),
+            pltpu.VMEM((CH, CW), dtype),
+        ]
+    )
+    if with_tape:
+        scratch += [
+            pltpu.VMEM(dims, dtype) for _f in range(5) for dims in ring_dims
+        ]
+    return pl.pallas_call(
+        kernel,
+        grid=(nC,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
+                              nrec: int, rcv_rows: int = 16,
+                              source_type: str = "pressure",
+                              record: str = "v",
+                              interpret: bool = False):
+    """Whole-scan elastic reverse: reconstruction + exact transposed V/S
+    stages + lam/mu/buoyancy imaging, time chunks walking DESCENDING.
+
+    rev(lam, l2m, muxz, bxm, bzm, az, bz, ax, bx,
+        w (nt,), bsrc (nsrc,), sz, sx (nsrc,), rxr, rzr (1,nrec),
+        r0 (1,), ybar3 (nC, CH, CW), [5*NRING tape slabs],
+        vx_f, vz_f, sxx_f, szz_f, sxz_f)
+      -> (glam, gl2m, gmuxz, gbx, gbz (NZ, NX),
+          srcrow3 (nC, CH, nsrc))
+
+    srcrow3[t, i] is the per-step source-point cotangent gather
+    ((sxxb+szzb)[src_i] for a pressure source, vzb[src_i] for a force) —
+    the wrapper turns it into the wavelet cotangent (and the force's
+    buoy_z source chain) exactly as propagators/elastic2d.py does.
+    """
+    if nt % CH != 0:
+        raise ValueError(f"nt must be a multiple of {CH}")
+    NZ, NX, r, S, tz, tx, ring_slices, ring_dims = _common(grid)
+    RH = rcv_rows
+    nC = nt // CH
+    NRING = len(ring_slices)
+    NTAPE = 5 * NRING
+    CW = 2 * nrec if record == "v" else nrec
+    DT = float(dt)
+    ntz = tuple(-c for c in tz)
+    ntx = tuple(-c for c in tx)
+
+    def kernel(*refs):
+        (lam_ref, l2m_ref, muxz_ref, bxm_ref, bzm_ref,
+         az_ref, bz_ref, ax_ref, bx_ref,
+         w_ref, bsrc_ref, sz_ref, sx_ref, rxr_ref, rzr_ref,
+         r0_ref, yb_ref) = refs[:17]
+        ring_i = refs[17 : 17 + NTAPE]
+        (vxf_ref, vzf_ref, sxxf_ref, szzf_ref, sxzf_ref) = refs[
+            17 + NTAPE : 22 + NTAPE
+        ]
+        (glam_o, gl2m_o, gmuxz_o, gbx_o, gbz_o, srcrow_ref) = refs[
+            22 + NTAPE : 28 + NTAPE
+        ]
+        scr = refs[28 + NTAPE :]
+        vx, vz, sxx, szz, sxz = scr[0:5]          # primal residents
+        vxb, vzb, sxxb, szzb, sxzb = scr[5:10]    # cotangent residents
+        glam, gl2m, gmuxz, gbx, gbz = scr[10:15]  # gradient accumulators
+        dmemx = scr[15:19]  # duals: m_vx_x, m_vz_x, m_sxx_x, m_sxz_x
+        dmemz = scr[19:23]  # duals: m_vx_z, m_vz_z, m_sxz_z, m_szz_z
+        scrA, scrB = scr[23:25]  # transient padded dbar scratches
+        ohzT_ref, ohx_ref, lsacc_ref = scr[25:28]
+
+        c = pl.program_id(0)
+        tb = (nC - 1 - c) * CH
+        r0 = pl.multiple_of(r0_ref[0], 8)
+
+        @pl.when(c == 0)
+        def _init():
+            for f, src in ((vx, vxf_ref), (vz, vzf_ref), (sxx, sxxf_ref),
+                           (szz, szzf_ref), (sxz, sxzf_ref)):
+                f[:] = jnp.zeros((NZ + 2 * PZ, NX + 2 * PX), dtype)
+                _set_interior(f, NZ, NX, src[:])
+            for f in (vxb, vzb, sxxb, szzb, sxzb):
+                f[:] = jnp.zeros((NZ, NX), dtype)
+            for g in (glam, gl2m, gmuxz, gbx, gbz):
+                g[:] = jnp.zeros((NZ, NX), dtype)
+            for m in dmemx + dmemz:
+                m[:] = jnp.zeros_like(m)
+            ohzT_ref[:] = (
+                jax.lax.broadcasted_iota(jnp.int32, (RH, nrec), 0)
+                == rzr_ref[:]
+            ).astype(dtype)
+            ohx_ref[:] = (
+                jax.lax.broadcasted_iota(jnp.int32, (nrec, NX), 1)
+                == jnp.reshape(rxr_ref[:], (nrec, 1))
+            ).astype(dtype)
+
+        def inject_rows(dst_ref, yrow):
+            """dst rows [r0, r0+RH) += one_hot scatter of yrow (1,nrec)."""
+            inj = _pdot(ohzT_ref[:] * yrow, ohx_ref[:],
+                        dtype=dtype)  # (RH, NX)
+            dst_ref[pl.ds(r0, RH), :] = dst_ref[pl.ds(r0, RH), :] + inj
+
+        def fill_dbar_x(scrp, base, mrefs, aref, bref):
+            """scrp <- padded(base with x-strip a-mods); duals updated."""
+            scrp[PZ - (r + 1) : PZ, :] = jnp.zeros(
+                (r + 1, NX + 2 * PX), dtype)
+            scrp[PZ + NZ : PZ + NZ + r + 1, :] = jnp.zeros(
+                (r + 1, NX + 2 * PX), dtype)
+            scrp[:, PX - (r + 1) : PX] = jnp.zeros(
+                (NZ + 2 * PZ, r + 1), dtype)
+            scrp[:, PX + NX : PX + NX + r + 1] = jnp.zeros(
+                (NZ + 2 * PZ, r + 1), dtype)
+            scrp[PZ : PZ + NZ, PX : PX + NX] = base
+            for s, C0 in ((0, 0), (1, NX - S)):
+                tot = base[:, C0 : C0 + S] + mrefs[s]
+                mrefs[s] = bref[s] * tot
+                scrp[PZ : PZ + NZ, PX + C0 : PX + C0 + S] = (
+                    base[:, C0 : C0 + S] + aref[s] * tot
+                )
+
+        def fill_dbar_z(scrp, base, mrefs, aref, bref):
+            scrp[PZ - (r + 1) : PZ, :] = jnp.zeros(
+                (r + 1, NX + 2 * PX), dtype)
+            scrp[PZ + NZ : PZ + NZ + r + 1, :] = jnp.zeros(
+                (r + 1, NX + 2 * PX), dtype)
+            scrp[:, PX - (r + 1) : PX] = jnp.zeros(
+                (NZ + 2 * PZ, r + 1), dtype)
+            scrp[:, PX + NX : PX + NX + r + 1] = jnp.zeros(
+                (NZ + 2 * PZ, r + 1), dtype)
+            scrp[PZ : PZ + NZ, PX : PX + NX] = base
+            for s, R0 in ((0, 0), (1, NZ - S)):
+                tot = base[R0 : R0 + S, :] + mrefs[s]
+                mrefs[s] = bref[s] * tot
+                scrp[PZ + R0 : PZ + R0 + S, PX : PX + NX] = (
+                    base[R0 : R0 + S, :] + aref[s] * tot
+                )
+
+        def impose(f, fi, rt):
+            for m, sl in enumerate(ring_slices):
+                val = ring_i[fi * NRING + m][pl.ds(rt, 1)]
+                f[PZ + sl[0].start : PZ + sl[0].stop,
+                  PX + sl[1].start : PX + sl[1].stop] = val[0]
+
+        def substep(jl, carry):
+            rt = jnp.int32(CH - 1) - jl
+            w_t = w_ref[tb + rt]
+
+            # ---- receiver cotangent scatter ----
+            yrow = yb_ref[0, pl.ds(rt, 1), :]  # (1, CW)
+            if record == "v":
+                inject_rows(vzb, yrow[:, 0:nrec])
+                inject_rows(vxb, yrow[:, nrec : 2 * nrec])
+            else:
+                inject_rows(sxxb, -0.5 * yrow)
+                inject_rows(szzb, -0.5 * yrow)
+
+            # ---- source-point cotangent gather (streamed out) ----
+            jmask = (
+                jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0) == rt
+            ).astype(dtype)
+            for i in range(nsrc):
+                if source_type == "pressure":
+                    # gather from the interior-resident cotangent fields
+                    i8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 0)
+                    x8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 1)
+                    sz8 = pl.multiple_of(
+                        (sz_ref[i] // jnp.int32(8)) * jnp.int32(8), 8)
+                    mask = ((i8 == sz_ref[i] - sz8)
+                            & (x8 == sx_ref[i])).astype(dtype)
+                    val = jnp.sum(
+                        (sxxb[pl.ds(sz8, 8), :] + szzb[pl.ds(sz8, 8), :])
+                        * mask
+                    )
+                else:
+                    i8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 0)
+                    x8 = jax.lax.broadcasted_iota(jnp.int32, (8, NX), 1)
+                    sz8 = pl.multiple_of(
+                        (sz_ref[i] // jnp.int32(8)) * jnp.int32(8), 8)
+                    mask = ((i8 == sz_ref[i] - sz8)
+                            & (x8 == sx_ref[i])).astype(dtype)
+                    val = jnp.sum(vzb[pl.ds(sz8, 8), :] * mask)
+                imask = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, nsrc), 1)
+                    == i
+                ).astype(dtype)
+                lsacc_ref[:] = lsacc_ref[:] + jmask * (imask * val)
+
+            # ---- R-S: strains, reconstruct sigma_t, imaging, S-transpose
+            # (force: undo the step-t source on resident vz FIRST — both
+            # the strains and the later reconstruction need the pre-source
+            # value; the NEXT step's state then correctly carries only its
+            # own source, mirroring the per-step kernels' local undo) ----
+            if source_type != "pressure":
+                for i in range(nsrc):
+                    _src_slab_add(vz, sz_ref[i], sx_ref[i],
+                                  -DT * bsrc_ref[i] * w_t, NX)
+            exx = _stag_cols(vx, tx, 0, NX, NZ, PZ, PX, False)
+            ezz = _stag_rows(vz, tz, 0, NZ, NX, PZ, PX, False)
+            dvxz = _stag_rows(vx, tz, 0, NZ, NX, PZ, PX, True)
+            dvzx = _stag_cols(vz, tx, 0, NX, NZ, PZ, PX, True)
+            _set_interior(
+                sxx, NZ, NX,
+                _interior(sxx, NZ, NX)
+                - DT * (l2m_ref[:] * exx + lam_ref[:] * ezz),
+            )
+            _set_interior(
+                szz, NZ, NX,
+                _interior(szz, NZ, NX)
+                - DT * (l2m_ref[:] * ezz + lam_ref[:] * exx),
+            )
+            _set_interior(
+                sxz, NZ, NX,
+                _interior(sxz, NZ, NX) - DT * muxz_ref[:] * (dvxz + dvzx),
+            )
+            if source_type == "pressure":
+                for i in range(nsrc):
+                    _src_slab_add(sxx, sz_ref[i], sx_ref[i],
+                                  -DT * w_t, NX)
+                    _src_slab_add(szz, sz_ref[i], sx_ref[i],
+                                  -DT * w_t, NX)
+            impose(sxx, 2, rt)
+            impose(szz, 3, rt)
+            impose(sxz, 4, rt)
+
+            # imaging (zero-memory linearization; strip (1+a) factors)
+            sxxbv, szzbv, sxzbv = sxxb[:], szzb[:], sxzb[:]
+            gl2m[:] = gl2m[:] + DT * (exx * sxxbv + ezz * szzbv)
+            glam[:] = glam[:] + DT * (ezz * sxxbv + exx * szzbv)
+            gmuxz[:] = gmuxz[:] + DT * ((dvxz + dvzx) * sxzbv)
+            for s, C0 in ((0, 0), (1, NX - S)):
+                a = ax_ref[s]
+                sl = slice(C0, C0 + S)
+                gl2m[:, sl] = gl2m[:, sl] + DT * a * exx[:, sl] * sxxbv[:, sl]
+                glam[:, sl] = glam[:, sl] + DT * a * exx[:, sl] * szzbv[:, sl]
+                gmuxz[:, sl] = (
+                    gmuxz[:, sl] + DT * a * dvzx[:, sl] * sxzbv[:, sl]
+                )
+            for s, R0 in ((0, 0), (1, NZ - S)):
+                a = az_ref[s]
+                sl = slice(R0, R0 + S)
+                gl2m[sl, :] = gl2m[sl, :] + DT * a * ezz[sl, :] * szzbv[sl, :]
+                glam[sl, :] = glam[sl, :] + DT * a * ezz[sl, :] * sxxbv[sl, :]
+                gmuxz[sl, :] = (
+                    gmuxz[sl, :] + DT * a * dvxz[sl, :] * sxzbv[sl, :]
+                )
+
+            # transpose: stress cotangents -> velocity cotangents
+            exxb = DT * (l2m_ref[:] * sxxbv + lam_ref[:] * szzbv)
+            ezzb = DT * (l2m_ref[:] * szzbv + lam_ref[:] * sxxbv)
+            shb = DT * muxz_ref[:] * sxzbv
+            fill_dbar_x(scrA, exxb, dmemx[0], ax_ref, bx_ref)
+            fill_dbar_z(scrB, shb, dmemz[0], az_ref, bz_ref)
+            vxb[:] = (
+                vxb[:]
+                + _stag_cols(scrA, ntx, 0, NX, NZ, PZ, PX, True)
+                + _stag_rows(scrB, ntz, 0, NZ, NX, PZ, PX, False)
+            )
+            fill_dbar_z(scrA, ezzb, dmemz[1], az_ref, bz_ref)
+            fill_dbar_x(scrB, shb, dmemx[1], ax_ref, bx_ref)
+            vzb[:] = (
+                vzb[:]
+                + _stag_rows(scrA, ntz, 0, NZ, NX, PZ, PX, True)
+                + _stag_cols(scrB, ntx, 0, NX, NZ, PZ, PX, False)
+            )
+
+            # ---- R-V: stress derivatives, reconstruct v^{t-1/2},
+            # imaging, V-transpose ----
+            d_sxx_x = _stag_cols(sxx, tx, 0, NX, NZ, PZ, PX, True)
+            d_sxz_z = _stag_rows(sxz, tz, 0, NZ, NX, PZ, PX, False)
+            d_sxz_x = _stag_cols(sxz, tx, 0, NX, NZ, PZ, PX, False)
+            d_szz_z = _stag_rows(szz, tz, 0, NZ, NX, PZ, PX, True)
+            _set_interior(
+                vx, NZ, NX,
+                _interior(vx, NZ, NX)
+                - DT * bxm_ref[:] * (d_sxx_x + d_sxz_z),
+            )
+            _set_interior(
+                vz, NZ, NX,
+                _interior(vz, NZ, NX)
+                - DT * bzm_ref[:] * (d_sxz_x + d_szz_z),
+            )
+            impose(vx, 0, rt)
+            impose(vz, 1, rt)
+
+            vxbv, vzbv = vxb[:], vzb[:]
+            gbx[:] = gbx[:] + DT * (d_sxx_x + d_sxz_z) * vxbv
+            gbz[:] = gbz[:] + DT * (d_sxz_x + d_szz_z) * vzbv
+            for s, C0 in ((0, 0), (1, NX - S)):
+                a = ax_ref[s]
+                sl = slice(C0, C0 + S)
+                gbx[:, sl] = gbx[:, sl] + DT * a * d_sxx_x[:, sl] * vxbv[:, sl]
+                gbz[:, sl] = gbz[:, sl] + DT * a * d_sxz_x[:, sl] * vzbv[:, sl]
+            for s, R0 in ((0, 0), (1, NZ - S)):
+                a = az_ref[s]
+                sl = slice(R0, R0 + S)
+                gbx[sl, :] = gbx[sl, :] + DT * a * d_sxz_z[sl, :] * vxbv[sl, :]
+                gbz[sl, :] = gbz[sl, :] + DT * a * d_szz_z[sl, :] * vzbv[sl, :]
+
+            ux = DT * bxm_ref[:] * vxbv
+            uz = DT * bzm_ref[:] * vzbv
+            fill_dbar_x(scrA, ux, dmemx[2], ax_ref, bx_ref)
+            sxxb[:] = sxxb[:] + _stag_cols(scrA, ntx, 0, NX, NZ, PZ, PX,
+                                           False)
+            fill_dbar_z(scrA, uz, dmemz[3], az_ref, bz_ref)
+            szzb[:] = szzb[:] + _stag_rows(scrA, ntz, 0, NZ, NX, PZ, PX,
+                                           False)
+            fill_dbar_z(scrA, ux, dmemz[2], az_ref, bz_ref)
+            fill_dbar_x(scrB, uz, dmemx[3], ax_ref, bx_ref)
+            sxzb[:] = (
+                sxzb[:]
+                + _stag_rows(scrA, ntz, 0, NZ, NX, PZ, PX, True)
+                + _stag_cols(scrB, ntx, 0, NX, NZ, PZ, PX, True)
+            )
+            return carry
+
+        lsacc_ref[:] = jnp.zeros((CH, nsrc), dtype)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(CH), substep,
+                          jnp.int32(0))
+        srcrow_ref[0] = lsacc_ref[:]
+
+        @pl.when(c == nC - 1)
+        def _final():
+            glam_o[:] = glam[:]
+            gl2m_o[:] = gl2m[:]
+            gmuxz_o[:] = gmuxz[:]
+            gbx_o[:] = gbx[:]
+            gbz_o[:] = gbz[:]
+
+    const2 = lambda c: (0, 0)  # noqa: E731
+    const3 = lambda c: (0, 0, 0)  # noqa: E731
+    desc3 = lambda c: (nC - 1 - c, 0, 0)  # noqa: E731
+    full = bspec((NZ, NX), const2, memory_space=pltpu.VMEM)
+    in_specs = [full] * 5 + [
+        bspec((2, S, 1), const3, memory_space=pltpu.VMEM),
+        bspec((2, S, 1), const3, memory_space=pltpu.VMEM),
+        bspec((2, 1, S), const3, memory_space=pltpu.VMEM),
+        bspec((2, 1, S), const3, memory_space=pltpu.VMEM),
+        bspec((nt,), lambda c: (0,), memory_space=pltpu.SMEM),
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),
+        bspec((nsrc,), lambda c: (0,), memory_space=pltpu.SMEM),
+        bspec((1, nrec), const2, memory_space=pltpu.VMEM),
+        bspec((1, nrec), const2, memory_space=pltpu.VMEM),
+        bspec((1,), lambda c: (0,), memory_space=pltpu.SMEM),
+        bspec((1, CH, CW), desc3, memory_space=pltpu.VMEM),  # ybar3
+    ]
+    for _f in range(5):
+        for dims in ring_dims:
+            in_specs.append(
+                bspec((CH,) + dims, desc3, memory_space=pltpu.VMEM)
+            )
+    in_specs += [full] * 5  # final fields
+
+    out_specs = [full] * 5 + [
+        bspec((1, CH, nsrc), desc3, memory_space=pltpu.VMEM)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((NZ, NX), dtype)] * 5 + [
+        jax.ShapeDtypeStruct((nC, CH, nsrc), dtype)
+    ]
+
+    scratch = (
+        [pltpu.VMEM((NZ + 2 * PZ, NX + 2 * PX), dtype)] * 5  # primals
+        + [pltpu.VMEM((NZ, NX), dtype)] * 5                  # cotangents
+        + [pltpu.VMEM((NZ, NX), dtype)] * 5                  # gradients
+        + [pltpu.VMEM((2, NZ, S), dtype)] * 4                # x duals
+        + [pltpu.VMEM((2, S, NX), dtype)] * 4                # z duals
+        + [pltpu.VMEM((NZ + 2 * PZ, NX + 2 * PX), dtype)] * 2  # scrA/B
+        + [
+            pltpu.VMEM((RH, nrec), dtype),
+            pltpu.VMEM((nrec, NX), dtype),
+            pltpu.VMEM((CH, nsrc), dtype),
+        ]
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nC,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )

@@ -437,7 +437,15 @@ class ElasticPropagator:
         dtype=jnp.float32,
         source_type: str = "pressure",
         record: str = "v",
+        impl: str = "jnp",
+        interpret: bool = False,
     ):
+        """``impl`` selects the differentiable engine behind __call__:
+        'jnp' (XLA, any dtype, free surface — the proven default),
+        'pallas' (per-step fused kernels, fp32), or 'pallas_scan' (the
+        whole-scan-resident engine, fp32, no free surface, receivers
+        within one 16-row slab — the fast TPU gradient path, VERDICT r3
+        item 5)."""
         limit = elastic_cfl_dt(grid.h, vp_max, grid.order, safety=1.0)
         if dt > limit:
             raise ValueError(f"dt={dt:.6g} exceeds elastic CFL limit {limit:.6g}")
@@ -448,9 +456,29 @@ class ElasticPropagator:
         self._vp_max = float(vp_max)
         self._source_type = source_type
         self._record = record
-        self._simulate = make_elastic_simulator(
-            grid, dt, f0, vp_max, dtype, source_type, record
-        )
+        self.impl = impl
+        if impl == "jnp":
+            self._simulate = make_elastic_simulator(
+                grid, dt, f0, vp_max, dtype, source_type, record
+            )
+        elif impl == "pallas":
+            if dtype != jnp.float32:
+                raise ValueError("pallas elastic engines are fp32 only")
+            self._simulate = make_elastic_simulator_fused(
+                grid, dt, f0, vp_max, source_type=source_type,
+                record=record, interpret=interpret,
+            )
+        elif impl == "pallas_scan":
+            from ..adjoint_elastic_scan import make_elastic_simulator_scan
+
+            if dtype != jnp.float32:
+                raise ValueError("pallas elastic engines are fp32 only")
+            self._simulate = make_elastic_simulator_scan(
+                grid, dt, f0, vp_max, source_type=source_type,
+                record=record, interpret=interpret,
+            )
+        else:
+            raise ValueError(f"unknown elastic impl {impl!r}")
 
     def material_fields(self, vp, vs, rho):
         """Differentiable map to the padded, staggered material fields."""
