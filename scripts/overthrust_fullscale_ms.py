@@ -140,10 +140,14 @@ def main():
           flush=True)
 
     # observed data with the TRUE model, full band, through the same
-    # propagator (one dispatch per shot)
+    # propagator (one dispatch per shot). Every device array rides as a
+    # jit ARGUMENT: closure jnp constants hang this sandbox's relay at
+    # lowering (ir_constant fetches the value back through the tunnel —
+    # measured 2026-08-20, see scripts/overthrust_ms.py for the
+    # known-good pattern).
     vp_t = jnp.asarray(vp_true, jnp.float32)
-    fwd1 = jax.jit(lambda v, g: prop(v, g, w))
-    d_obs = jnp.stack([fwd1(vp_t, g) for g in geoms])
+    fwd1 = jax.jit(lambda v, g, w_: prop(v, g, w_))
+    d_obs = jnp.stack([fwd1(vp_t, g, w) for g in geoms])
     jax.block_until_ready(d_obs)
     t_data = time.time()
     print(f"observed data generated in {t_data - t_start:.0f} s", flush=True)
