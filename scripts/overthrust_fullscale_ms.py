@@ -39,6 +39,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _iters_completed(run_dir):
+    """Count per-iteration records in the run's JSONL (excludes event
+    records) — makes wall-budget-stopped runs self-describing."""
+    n = 0
+    try:
+        with open(os.path.join(run_dir, "log.jsonl")) as f:
+            for line in f:
+                try:
+                    if "event" not in json.loads(line):
+                        n += 1
+                except json.JSONDecodeError:
+                    pass
+    except OSError:
+        pass
+    return n
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ny", type=int, default=424)
@@ -61,7 +78,20 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--extra-band", action="store_true",
                     help="4 bands (3/4.5/6/full) instead of 3 (3/4.5/full)")
+    ap.add_argument("--wall-budget", type=float, default=None,
+                    help="wall-clock budget (s) for the inversion loop "
+                    "(FwiConfig.max_wall_s): the driver stops cleanly "
+                    "after the current iteration once exceeded, so the "
+                    "summary is always written under an external timeout. "
+                    "Default: $TPUFWI_WALL_BUDGET, else 9000 for the "
+                    "fullscale config, unlimited for --small/--medium.")
     args = ap.parse_args()
+    if args.wall_budget is None:
+        env = os.environ.get("TPUFWI_WALL_BUDGET")
+        if env is not None:
+            args.wall_budget = float(env)
+        else:
+            args.wall_budget = 0.0 if (args.small or args.medium) else 9000.0
 
     if args.small:
         args.ny, args.nz, args.nx = 32, 32, 48
@@ -179,6 +209,7 @@ def main():
         opt=OptCfg(vmin=2000.0, vmax=6000.0, lbfgs_m=10),
         run_dir=args.run_dir,
         checkpoint_every=1,
+        max_wall_s=args.wall_budget,
     )
 
     problem = FwiProblem(
@@ -227,6 +258,8 @@ def main():
         "known_surface_rows": mask_top,
         "wall_seconds": round(t1 - t_start, 1),
         "wall_data": round(t_data - t_start, 1),
+        "wall_budget_s": args.wall_budget,
+        "iters_completed": _iters_completed(args.run_dir),
         "chip": "v5e-1",
     }
     with open(os.path.join(args.run_dir, "summary.json"), "w") as f:

@@ -1,0 +1,74 @@
+"""Wall-clock budget (FwiConfig.max_wall_s): long inversions under an
+external timeout must stop CLEANLY after the current iteration — model
+returned, checkpoint written, stop event logged — and be resumable.
+(SURVEY.md §5 checkpoint/resume; used by scripts/overthrust_fullscale_ms.py
+so the Overthrust-scale run always writes its summary.)"""
+
+import json
+
+import numpy as np
+
+from tpufwi.config import (
+    AcqCfg, FwiConfig, OptCfg, PrecondCfg, PropCfg, StageCfg,
+)
+from tpufwi.invert import build_synthetic_problem, invert
+
+
+def _cfg(run_dir, **kw):
+    return FwiConfig(
+        stages=(StageCfg(7.0, 3, "lbfgs"), StageCfg(11.0, 3, "lbfgs")),
+        prop=PropCfg(order=4, pml=8, cfl_safety=0.7, dtype="float64"),
+        acq=AcqCfg(n_shots=2, src_z=2, rcv_z=2, rcv_dx=3, f0=11.0, t_max=0.5),
+        precond=PrecondCfg(use_illumination=False, mask_top=2),
+        opt=OptCfg(vmin=1600.0, vmax=2600.0),
+        run_dir=str(run_dir),
+        checkpoint_every=1,
+        **kw,
+    )
+
+
+def _true_model():
+    from scipy.ndimage import gaussian_filter
+
+    vp = np.full((36, 52), 2000.0)
+    vp[16:22, 18:34] = 1820.0
+    return gaussian_filter(vp, 1.0)
+
+
+def _iter_records(run_dir):
+    with open(run_dir / "log.jsonl") as f:
+        recs = [json.loads(line) for line in f]
+    return [r for r in recs if "event" not in r], recs
+
+
+def test_wall_budget_stops_after_first_iterate_and_resumes(tmp_path):
+    vp_true = _true_model()
+
+    # an already-expired budget: the driver must still complete ONE
+    # iteration (stop is checked after the accepted iterate, never before
+    # any progress), log the stop event, and skip the remaining stages
+    cfg = _cfg(tmp_path / "a", max_wall_s=1e-6)
+    problem, vp0 = build_synthetic_problem(cfg, vp_true, dx=10.0)
+    vp = invert(problem, vp0, cfg)
+    iters, recs = _iter_records(tmp_path / "a")
+    assert len(iters) == 1, iters
+    assert any(r.get("event") == "wall_budget_stop" for r in recs)
+    assert not np.array_equal(np.asarray(vp), np.asarray(vp0))
+
+    # the budget-stopped run resumes from its checkpoint and, with the
+    # budget lifted, finishes the full schedule
+    cfg2 = _cfg(tmp_path / "a")
+    vp_fin = invert(problem, vp0, cfg2, resume=True)
+    iters2, _ = _iter_records(tmp_path / "a")  # appended to the same log
+    assert len(iters2) == 6, len(iters2)
+    assert np.isfinite(np.asarray(vp_fin)).all()
+
+
+def test_no_budget_runs_full_schedule(tmp_path):
+    vp_true = _true_model()
+    cfg = _cfg(tmp_path / "b")  # max_wall_s defaults to 0 = unlimited
+    problem, vp0 = build_synthetic_problem(cfg, vp_true, dx=10.0)
+    invert(problem, vp0, cfg)
+    iters, recs = _iter_records(tmp_path / "b")
+    assert len(iters) == 6, len(iters)
+    assert not any(r.get("event") == "wall_budget_stop" for r in recs)

@@ -110,6 +110,12 @@ class FwiConfig:
     # one compiled program / persistent-cache entry (window.canonical_nt;
     # applied by FwiProblem.with_canonical_nt for physics="acoustic")
     pad_nt: int = 0
+    # wall-clock budget in seconds for the whole inversion (0 = unlimited).
+    # When exceeded, the driver stops cleanly after the CURRENT iteration
+    # (checkpoint written, stop event logged, remaining stages skipped) so
+    # long runs under an external timeout always return a usable model
+    # instead of being killed mid-step; resume=True continues them.
+    max_wall_s: float = 0.0
 
     # -- (de)serialization ---------------------------------------------------
 

@@ -49,7 +49,8 @@ def minimize(
         illumination/depth/smoothing chain).
       loss_only: cheaper f(x) for line-search trials (defaults to
         value_and_grad(x)[0] — for FWI pass the tape-free forward).
-      callback: called after each accepted iterate.
+      callback: called after each accepted iterate; a truthy return value
+        stops the loop cleanly after that iterate.
       hist: externally owned L-BFGS history (checkpoint/resume); a fresh
         one is created if None.
       init_alpha: resume the previous accepted step length (bit-identical
@@ -137,7 +138,11 @@ def minimize(
         info = IterInfo(it, f, gnorm, ls.alpha, ls.n_evals + extra, time.time() - t0)
         infos.append(info)
         if callback is not None:
-            callback(x, info)
+            # a truthy return requests a clean early stop (wall-clock
+            # budgets, external cancellation) AFTER the accepted iterate
+            # and its checkpoint — never mid-step
+            if callback(x, info):
+                break
         if gtol and gnorm < gtol:
             break
     return x, infos
