@@ -104,8 +104,8 @@ def make_simulator(
     shard_map/ppermute variant lives in propagators/acoustic3d.py.
     """
     profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
-    a_ax = tuple(jnp.asarray(p[0], dtype) for p in profs)
-    b_ax = tuple(jnp.asarray(p[1], dtype) for p in profs)
+    a_ax = tuple(np.asarray(p[0], dtype) for p in profs)
+    b_ax = tuple(np.asarray(p[1], dtype) for p in profs)
     step = make_acoustic_step(grid)
     recon = make_reverse_reconstruct_step(grid)
     rings = RingSpec.build(grid, tape_dtype=tape_dtype)
@@ -270,10 +270,10 @@ def make_simulator_vd(
         ph = CpmlProfile.build(stagger=0.5, **kw)
         shape = [1] * grid.ndim
         shape[ax] = pn.a.shape[0]
-        prof_n.append((jnp.asarray(pn.a.reshape(shape), dtype),
-                       jnp.asarray(pn.b.reshape(shape), dtype)))
-        prof_h.append((jnp.asarray(ph.a.reshape(shape), dtype),
-                       jnp.asarray(ph.b.reshape(shape), dtype)))
+        prof_n.append((np.asarray(pn.a.reshape(shape), dtype),
+                       np.asarray(pn.b.reshape(shape), dtype)))
+        prof_h.append((np.asarray(ph.a.reshape(shape), dtype),
+                       np.asarray(ph.b.reshape(shape), dtype)))
     an = tuple(pr[0] for pr in prof_n)
     bn = tuple(pr[1] for pr in prof_n)
     ah = tuple(pr[0] for pr in prof_h)
@@ -404,10 +404,10 @@ def make_simulator_visco(
         ph = CpmlProfile.build(stagger=0.5, **kw)
         shape_ = [1] * grid.ndim
         shape_[ax] = pn.a.shape[0]
-        prof_n.append((jnp.asarray(pn.a.reshape(shape_), dtype),
-                       jnp.asarray(pn.b.reshape(shape_), dtype)))
-        prof_h.append((jnp.asarray(ph.a.reshape(shape_), dtype),
-                       jnp.asarray(ph.b.reshape(shape_), dtype)))
+        prof_n.append((np.asarray(pn.a.reshape(shape_), dtype),
+                       np.asarray(pn.b.reshape(shape_), dtype)))
+        prof_h.append((np.asarray(ph.a.reshape(shape_), dtype),
+                       np.asarray(ph.b.reshape(shape_), dtype)))
     an = tuple(pr[0] for pr in prof_n)
     bn = tuple(pr[1] for pr in prof_n)
     ah = tuple(pr[0] for pr in prof_h)
@@ -466,8 +466,8 @@ def make_simulator_offgrid(
     from .propagators.remat import checkpointed_scan
 
     profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
-    a = tuple(jnp.asarray(p[0], dtype) for p in profs)
-    b = tuple(jnp.asarray(p[1], dtype) for p in profs)
+    a = tuple(np.asarray(p[0], dtype) for p in profs)
+    b = tuple(np.asarray(p[1], dtype) for p in profs)
     base_step = make_acoustic_step(grid)
     ndim = grid.ndim
     shape = grid.padded_shape
@@ -540,8 +540,8 @@ def make_simulator_vti(
     from .propagators.remat import checkpointed_scan
 
     profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
-    a = tuple(jnp.asarray(p[0], dtype) for p in profs)
-    b = tuple(jnp.asarray(p[1], dtype) for p in profs)
+    a = tuple(np.asarray(p[0], dtype) for p in profs)
+    b = tuple(np.asarray(p[1], dtype) for p in profs)
     step = make_vti_step(grid)
     recon = make_vti_recon(grid)
     rings = RingSpec.build(grid)
@@ -674,8 +674,8 @@ def make_simulator_tti(
     from .propagators.remat import checkpointed_scan
 
     profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
-    a = tuple(jnp.asarray(p[0], dtype) for p in profs)
-    b = tuple(jnp.asarray(p[1], dtype) for p in profs)
+    a = tuple(np.asarray(p[0], dtype) for p in profs)
+    b = tuple(np.asarray(p[1], dtype) for p in profs)
     step = make_tti_step(grid)
     recon = make_tti_recon(grid)
     rings = RingSpec.build(grid)

@@ -171,10 +171,10 @@ def make_simulator3d_fused_sharded(
         )
         n_pad = grid.padded_shape[ax]
         shp = [(S, 1, 1), (1, S, 1), (1, 1, S)][ax]
-        lo = (jnp.asarray(prof.a[:S], dtype).reshape(shp),
-              jnp.asarray(prof.b[:S], dtype).reshape(shp))
-        hi = (jnp.asarray(prof.a[n_pad - S:], dtype).reshape(shp),
-              jnp.asarray(prof.b[n_pad - S:], dtype).reshape(shp))
+        lo = (np.asarray(prof.a[:S], dtype).reshape(shp),
+              np.asarray(prof.b[:S], dtype).reshape(shp))
+        hi = (np.asarray(prof.a[n_pad - S:], dtype).reshape(shp),
+              np.asarray(prof.b[n_pad - S:], dtype).reshape(shp))
         return lo, hi
 
     ylo_ab, yhi_ab = _prof(0)

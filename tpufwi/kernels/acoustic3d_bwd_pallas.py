@@ -512,9 +512,9 @@ def make_tcorr3d_z(grid: Grid, side: int, by: int, NYe: int,
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
-    k1 = jnp.asarray(k1_np)
-    ke = jnp.asarray(ke_np)
-    ky = jnp.asarray(ky_np)
+    k1 = np.asarray(k1_np)
+    ke = np.asarray(ke_np)
+    ky = np.asarray(ky_np)
 
     def tcorr(u_slab, pb, ps, a, b):
         return call(u_slab, pb, ps, a, b, k1, ke, ky)
@@ -579,9 +579,9 @@ def make_transpose3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
                     ke_np[m, S + r + i] = d2x1[k]
         kex[side] = ke_np
         kyx[side] = ky_np
-    k1x = jnp.asarray(k1x_np)
-    kex_lo, kex_hi = jnp.asarray(kex[0]), jnp.asarray(kex[1])
-    kyx_lo, kyx_hi = jnp.asarray(kyx[0]), jnp.asarray(kyx[1])
+    k1x = np.asarray(k1x_np)
+    kex_lo, kex_hi = np.asarray(kex[0]), np.asarray(kex[1])
+    kyx_lo, kyx_hi = np.asarray(kyx[0]), np.asarray(kyx[1])
 
     yspan = {s: _face_span(0 if s == 0 else NY - W, W, BY) for s in (0, 1)}
     zapply = {}

@@ -272,8 +272,8 @@ def make_corr3d_z(grid: Grid, side: int, by: int, NYe: int,
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
-    k12 = jnp.asarray(k12_np)
-    kc = jnp.asarray(kc_np)
+    k12 = np.asarray(k12_np)
+    kc = np.asarray(kc_np)
 
     def corr_z(p_slab, phi, psi, a, b, c2_slab):
         return call(p_slab, phi, psi, a, b, c2_slab, k12, kc)
@@ -466,9 +466,9 @@ def make_leapfrog3d_merged(grid: Grid, by: int = 16, bz: int = 64,
                 if 0 <= m < S:
                     kc_np[m, i] = d1x[k]
         kcx[side] = kc_np
-    kx12 = jnp.asarray(kx12_np)
-    kcx_lo = jnp.asarray(kcx[0])
-    kcx_hi = jnp.asarray(kcx[1])
+    kx12 = np.asarray(kx12_np)
+    kcx_lo = np.asarray(kcx[0])
+    kcx_hi = np.asarray(kcx[1])
 
     # y-face application sites: window blocks [yb0, yb1] per side
     yspan = {s: _face_span(0 if s == 0 else NY - W, W, BY) for s in (0, 1)}
@@ -1242,10 +1242,10 @@ def make_acoustic3d_fused_step2(grid: Grid, dt: float, f0: float,
             shp = (1, S, 1)
         else:
             shp = (1, 1, S)
-        lo = (jnp.asarray(prof.a[:S], dtype).reshape(shp),
-              jnp.asarray(prof.b[:S], dtype).reshape(shp))
-        hi = (jnp.asarray(prof.a[n_pad - S:], dtype).reshape(shp),
-              jnp.asarray(prof.b[n_pad - S:], dtype).reshape(shp))
+        lo = (np.asarray(prof.a[:S], dtype).reshape(shp),
+              np.asarray(prof.b[:S], dtype).reshape(shp))
+        hi = (np.asarray(prof.a[n_pad - S:], dtype).reshape(shp),
+              np.asarray(prof.b[n_pad - S:], dtype).reshape(shp))
         profs.append((lo, hi))
     if y_profiles is not None:
         profs[0] = y_profiles

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -446,10 +447,10 @@ def make_acoustic3d_strip_step(grid: Grid, dt: float, f0: float, c_max: float,
         n_pad = grid.padded_shape[ax]
         shp = [1, 1, 1]
         shp[ax] = S
-        lo = (jnp.asarray(prof.a[:S], jnp.float32).reshape(shp),
-              jnp.asarray(prof.b[:S], jnp.float32).reshape(shp))
-        hi = (jnp.asarray(prof.a[n_pad - S:], jnp.float32).reshape(shp),
-              jnp.asarray(prof.b[n_pad - S:], jnp.float32).reshape(shp))
+        lo = (np.asarray(prof.a[:S], jnp.float32).reshape(shp),
+              np.asarray(prof.b[:S], jnp.float32).reshape(shp))
+        hi = (np.asarray(prof.a[n_pad - S:], jnp.float32).reshape(shp),
+              np.asarray(prof.b[n_pad - S:], jnp.float32).reshape(shp))
         profs.append((lo, hi))
 
     def _slab_shape(ax):

@@ -343,10 +343,10 @@ def make_acoustic3d_fused_step(grid: Grid, dt: float, f0: float,
             shp = (1, S, 1)
         else:
             shp = (1, 1, S)
-        lo = (jnp.asarray(prof.a[:S], dtype).reshape(shp),
-              jnp.asarray(prof.b[:S], dtype).reshape(shp))
-        hi = (jnp.asarray(prof.a[n_pad - S:], dtype).reshape(shp),
-              jnp.asarray(prof.b[n_pad - S:], dtype).reshape(shp))
+        lo = (np.asarray(prof.a[:S], dtype).reshape(shp),
+              np.asarray(prof.b[:S], dtype).reshape(shp))
+        hi = (np.asarray(prof.a[n_pad - S:], dtype).reshape(shp),
+              np.asarray(prof.b[n_pad - S:], dtype).reshape(shp))
         profs.append((lo, hi))
 
     # band matrices (NumPy constants -> device inputs)
@@ -377,7 +377,7 @@ def make_acoustic3d_fused_step(grid: Grid, dt: float, f0: float,
                 eye = np.eye(by, dtype=np.float32)
                 k12 = np.kron(eye, k12)
                 kc = np.kron(eye, kc)
-            bands[(ax, side)] = (jnp.asarray(k12), jnp.asarray(kc))
+            bands[(ax, side)] = (np.asarray(k12), np.asarray(kc))
 
     bz_y = min(16, bz)  # y-slab kernel's own z-chunk (VMEM budget)
     calls = {}
