@@ -119,7 +119,7 @@ def strip_profiles(grid: Grid, dt: float, c_max: float, f0: float, dtype=np.floa
             out += [a2[:, :, None], b2[:, :, None]]  # (2,S,1)
         else:
             out += [a2[:, None, :], b2[:, None, :]]  # (2,1,S)
-    return tuple(jnp.asarray(x) for x in out)
+    return tuple(np.asarray(x) for x in out)
 
 
 def _shift_sum_rows(p_ref, taps, r, row0, nrows, NX, pz=PZ, px=PX):

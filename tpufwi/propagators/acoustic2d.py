@@ -98,8 +98,8 @@ class AcousticPropagator:
         if impl != "auto":
             self._sim(impl)  # build eagerly: surface config errors here
         profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
-        self._a = tuple(jnp.asarray(p[0], dtype) for p in profs)
-        self._b = tuple(jnp.asarray(p[1], dtype) for p in profs)
+        self._a = tuple(np.asarray(p[0], dtype) for p in profs)
+        self._b = tuple(np.asarray(p[1], dtype) for p in profs)
         self._step = make_acoustic_step(grid)
         self.rings = RingSpec.build(grid)
 

@@ -81,12 +81,12 @@ class ShardedAcoustic3D:
         self._step = make_acoustic_step(grid)
         profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
         # full-length broadcastable (a, b) per axis; sharded/sliced in specs
-        self._ay = jnp.asarray(profs[0][0], dtype)
-        self._by_ = jnp.asarray(profs[0][1], dtype)
-        self._az = jnp.asarray(profs[1][0], dtype)
-        self._bz = jnp.asarray(profs[1][1], dtype)
-        self._ax = jnp.asarray(profs[2][0], dtype)
-        self._bx_ = jnp.asarray(profs[2][1], dtype)
+        self._ay = np.asarray(profs[0][0], dtype)
+        self._by_ = np.asarray(profs[0][1], dtype)
+        self._az = np.asarray(profs[1][0], dtype)
+        self._bz = np.asarray(profs[1][1], dtype)
+        self._ax = np.asarray(profs[2][0], dtype)
+        self._bx_ = np.asarray(profs[2][1], dtype)
 
     def c2dt2(self, vp: jax.Array) -> jax.Array:
         pad = self.grid.pad

@@ -69,8 +69,8 @@ def make_elastic_simulator(
     """simulate(lam, lam2mu, mu_xz, buoy_x, buoy_z, wavelet, src, rcv) ->
     seis; differentiable in the five material fields and the wavelet."""
     profs = build_profiles(grid, dt, c_max, f0, dtype=np.float64)
-    az, bz_ = (jnp.asarray(p, dtype) for p in profs[0][:2])
-    ax, bx_ = (jnp.asarray(p, dtype) for p in profs[1][:2])
+    az, bz_ = (np.asarray(p, dtype) for p in profs[0][:2])
+    ax, bx_ = (np.asarray(p, dtype) for p in profs[1][:2])
     step = make_elastic_step(grid, dt, source_type, record)
     recon_stress, recon_velocity = make_elastic_reverse_reconstruct(
         grid, dt, source_type
@@ -510,8 +510,8 @@ class ElasticPropagator:
         "p" (= -(sxx+szz)/2)."""
         profs = build_profiles(self.grid, self.dt, self._vp_max, self._f0,
                                dtype=np.float64)
-        az, bz_ = (jnp.asarray(p, self.dtype) for p in profs[0][:2])
-        ax, bx_ = (jnp.asarray(p, self.dtype) for p in profs[1][:2])
+        az, bz_ = (np.asarray(p, self.dtype) for p in profs[0][:2])
+        ax, bx_ = (np.asarray(p, self.dtype) for p in profs[1][:2])
         step = make_elastic_step(self.grid, self.dt, self._source_type,
                                  self._record)
         mats = self.material_fields(vp, vs, rho)

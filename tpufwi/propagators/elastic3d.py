@@ -68,10 +68,10 @@ def _elastic3d_profiles(grid: Grid, dt: float, c_max: float, f0: float,
         ph = CpmlProfile.build(stagger=0.5, **kw)
         shape_ = [1, 1, 1]
         shape_[ax] = pn.a.shape[0]
-        prof_n.append((jnp.asarray(pn.a.reshape(shape_), dtype),
-                       jnp.asarray(pn.b.reshape(shape_), dtype)))
-        prof_h.append((jnp.asarray(ph.a.reshape(shape_), dtype),
-                       jnp.asarray(ph.b.reshape(shape_), dtype)))
+        prof_n.append((np.asarray(pn.a.reshape(shape_), dtype),
+                       np.asarray(pn.b.reshape(shape_), dtype)))
+        prof_h.append((np.asarray(ph.a.reshape(shape_), dtype),
+                       np.asarray(ph.b.reshape(shape_), dtype)))
     return (tuple(p[0] for p in prof_n), tuple(p[1] for p in prof_n),
             tuple(p[0] for p in prof_h), tuple(p[1] for p in prof_h))
 
