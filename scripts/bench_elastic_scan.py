@@ -77,12 +77,16 @@ def main():
         ts = []
         for nt in nts:
             w = jnp.asarray(ricker(12.0, dt, nt), jnp.float32)
-            jax.block_until_ready(fn(w))  # compile warm-up
+            float(fn(w))  # compile warm-up
             best = None
             for _ in range(reps):
                 wv = w * (1.0 + 1e-6 * np.random.rand())
                 t0 = time.time()
-                jax.block_until_ready(fn(wv))
+                # scalar VALUE fetch as the barrier: block_until_ready
+                # returns immediately through this relay (first queue10
+                # run printed 0.0 ms); bench_fwi.py uses the same
+                # float() pattern
+                float(fn(wv))
                 el = time.time() - t0
                 best = el if best is None else min(best, el)
             ts.append(best)

@@ -163,15 +163,23 @@ def make_elastic_simulator_scan(
         nC = ntp // CH
         yb = seis_bar.astype(jnp.float32)
         if record == "v":
-            # (nt, nrec, 2) -> lanes [vz, vx]
-            yb = jnp.moveaxis(yb, 2, 1).reshape(nt, 2 * nrec)
-            CW = 2 * nrec
+            # one (nC, CH, nrec) stream per component (vz, vx): lane
+            # slices of a packed 2*nrec row have lane offset nrec, which
+            # Mosaic cannot relayout inside the reverse kernel's
+            # inject_rows broadcast (runs/tpu_queue10 hardware log)
+            ybars = tuple(
+                jnp.pad(yb[..., i], ((0, ntp - nt), (0, 0))).reshape(
+                    nC, CH, nrec
+                )
+                for i in range(2)
+            )
         else:
-            CW = nrec
-        ybar3 = jnp.pad(yb, ((0, ntp - nt), (0, 0))).reshape(nC, CH, CW)
+            ybars = (
+                jnp.pad(yb, ((0, ntp - nt), (0, 0))).reshape(nC, CH, nrec),
+            )
         glam, gl2m, gmuxz, gbx, gbz, srcrow3 = rev(
             lam, l2m, muxz, bxm, bzm, az, bz, ax, bx,
-            w_pad, bsrc, sz, sx, rxr, rzr, r0, ybar3, *tape, *finals,
+            w_pad, bsrc, sz, sx, rxr, rzr, r0, *ybars, *tape, *finals,
         )
         srcrow = srcrow3.reshape(ntp, nsrc)
         if source_type == "pressure":

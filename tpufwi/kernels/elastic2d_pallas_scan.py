@@ -385,7 +385,9 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
 
     rev(lam, l2m, muxz, bxm, bzm, az, bz, ax, bx,
         w (nt,), bsrc (nsrc,), sz, sx (nsrc,), rxr, rzr (1,nrec),
-        r0 (1,), ybar3 (nC, CH, CW), [5*NRING tape slabs],
+        r0 (1,), ybar3... (one (nC, CH, nrec) stream per recorded
+        component: vz, vx for record="v"; one for "p"), [5*NRING tape
+        slabs],
         vx_f, vz_f, sxx_f, szz_f, sxz_f)
       -> (glam, gl2m, gmuxz, gbx, gbz (NZ, NX),
           srcrow3 (nC, CH, nsrc))
@@ -407,19 +409,28 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
     ntz = tuple(-c for c in tz)
     ntx = tuple(-c for c in tx)
 
+    # one receiver-cotangent stream per recorded component: a lane slice
+    # [nrec:2nrec) of a packed (1, 2*nrec) row carries lane offset nrec,
+    # which Mosaic cannot relayout for the RH-row broadcast in
+    # inject_rows (hardware: "Invalid input layout ... vector.broadcast
+    # (1x422) -> (16x422)", runs/tpu_queue10/elastic_scan_bench.log) —
+    # separate (nC, CH, nrec) inputs keep every row at lane offset 0
+    nY = 2 if record == "v" else 1
+
     def kernel(*refs):
         (lam_ref, l2m_ref, muxz_ref, bxm_ref, bzm_ref,
          az_ref, bz_ref, ax_ref, bx_ref,
          w_ref, bsrc_ref, sz_ref, sx_ref, rxr_ref, rzr_ref,
-         r0_ref, yb_ref) = refs[:17]
-        ring_i = refs[17 : 17 + NTAPE]
+         r0_ref) = refs[:16]
+        yb_refs = refs[16 : 16 + nY]
+        ring_i = refs[16 + nY : 16 + nY + NTAPE]
         (vxf_ref, vzf_ref, sxxf_ref, szzf_ref, sxzf_ref) = refs[
-            17 + NTAPE : 22 + NTAPE
+            16 + nY + NTAPE : 21 + nY + NTAPE
         ]
         (glam_o, gl2m_o, gmuxz_o, gbx_o, gbz_o, srcrow_ref) = refs[
-            22 + NTAPE : 28 + NTAPE
+            21 + nY + NTAPE : 27 + nY + NTAPE
         ]
-        scr = refs[28 + NTAPE :]
+        scr = refs[27 + nY + NTAPE :]
         vx, vz, sxx, szz, sxz = scr[0:5]          # primal residents
         vxb, vzb, sxxb, szzb, sxzb = scr[5:10]    # cotangent residents
         glam, gl2m, gmuxz, gbx, gbz = scr[10:15]  # gradient accumulators
@@ -505,11 +516,11 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
             w_t = w_ref[tb + rt]
 
             # ---- receiver cotangent scatter ----
-            yrow = yb_ref[0, pl.ds(rt, 1), :]  # (1, CW)
             if record == "v":
-                inject_rows(vzb, yrow[:, 0:nrec])
-                inject_rows(vxb, yrow[:, nrec : 2 * nrec])
+                inject_rows(vzb, yb_refs[0][0, pl.ds(rt, 1), :])
+                inject_rows(vxb, yb_refs[1][0, pl.ds(rt, 1), :])
             else:
+                yrow = yb_refs[0][0, pl.ds(rt, 1), :]  # (1, nrec)
                 inject_rows(sxxb, -0.5 * yrow)
                 inject_rows(szzb, -0.5 * yrow)
 
@@ -701,7 +712,10 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
         bspec((1, nrec), const2, memory_space=pltpu.VMEM),
         bspec((1, nrec), const2, memory_space=pltpu.VMEM),
         bspec((1,), lambda c: (0,), memory_space=pltpu.SMEM),
-        bspec((1, CH, CW), desc3, memory_space=pltpu.VMEM),  # ybar3
+    ] + [
+        # per-component receiver-cotangent streams (see nY above)
+        bspec((1, CH, nrec), desc3, memory_space=pltpu.VMEM)
+        for _ in range(nY)
     ]
     for _f in range(5):
         for dims in ring_dims:
