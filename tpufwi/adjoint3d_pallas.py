@@ -33,6 +33,7 @@ from .kernels.acoustic3d_pallas import crop_yz, extend_yz, y_extended, z_extende
 from .kernels.acoustic3d_fused2 import make_acoustic3d_fused_step2
 from .kernels.acoustic3d_bwd_pallas import (
     extract_tape3d,
+    tape_slab_shapes,
     make_recon3d_kernel,
     make_tcorr3d_y,
     make_tcorr3d_z,
@@ -131,9 +132,15 @@ def make_simulator3d_fused(
     #    rings(p_{t-1}), realized with a 2-deep delay line in the scan
     #    carry) — the reverse previously rebuilt that shift with a
     #    concat, i.e. a full second copy of the tape in HBM.
+    # round-4: slabs are stored FLATTENED to 1D (kernels.
+    # acoustic3d_bwd_pallas.tape_slab_shapes has the full story — the
+    # round-3 x-slab moveaxis was not layout-safe; XLA re-chose the
+    # r-as-lanes layout at the 20.7M-cell Overthrust shape, a 32x HBM
+    # expansion that crashed the chip)
+    _slab_shapes = tape_slab_shapes(grid, (NYe, NZe, NX))
+
     def _pack_tape(tape_t):
-        *yz, rxl, rxh = tape_t
-        out = (*yz, jnp.moveaxis(rxl, -1, 0), jnp.moveaxis(rxh, -1, 0))
+        out = tuple(x.reshape(-1) for x in tape_t)
         if tape_dtype is not None:
             out = jax.tree.map(lambda x: x.astype(tape_dtype), out)
         return out
@@ -141,8 +148,9 @@ def make_simulator3d_fused(
     def _unpack_tape(tape_t):
         if tape_dtype is not None:
             tape_t = jax.tree.map(lambda x: x.astype(dtype), tape_t)
-        *yz, rxl, rxh = tape_t
-        return (*yz, jnp.moveaxis(rxl, 0, -1), jnp.moveaxis(rxh, 0, -1))
+        return tuple(
+            x.reshape(s) for x, s in zip(tape_t, _slab_shapes)
+        )
 
     def _fwd_scan(c2e, wavelet, src_idx, rcv_idx, with_tape):
         src = _coords(src_idx)

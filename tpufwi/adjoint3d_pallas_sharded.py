@@ -64,6 +64,7 @@ from .kernels.acoustic3d_pallas import crop_yz, extend_yz, z_extended
 from .kernels.acoustic3d_fused2 import make_acoustic3d_fused_step2
 from .kernels.acoustic3d_bwd_pallas import (
     extract_tape3d,
+    tape_slab_shapes,
     make_recon3d_kernel,
     make_tcorr3d_y,
     make_tcorr3d_z,
@@ -263,14 +264,15 @@ def make_simulator3d_fused_sharded(
 
     # ------------- per-device, per-shot forward -------------
 
-    # tape layout: same two round-3 measures as adjoint3d_pallas — the
-    # x-face slabs transposed to (r, L, NZe) (minor-dim r tiles with a
-    # 32x lane-padding expansion when stacked over nt), and the tape
-    # emitted ALREADY time-shifted via a 2-deep delay line (the reverse's
-    # concat-shift kept a full second copy of the tape in HBM).
+    # tape layout: round-4 1D-flattened slabs (see kernels.
+    # acoustic3d_bwd_pallas.tape_slab_shapes — the round-3 x-slab
+    # moveaxis was not layout-safe against XLA layout assignment), and
+    # the tape emitted ALREADY time-shifted via a 2-deep delay line (the
+    # reverse's concat-shift kept a full second copy of the tape in HBM).
+    _slab_shapes = tape_slab_shapes(lgrid, (L, NZe, NX))
+
     def _pack_tape(tape_t):
-        *yz, rxl, rxh = tape_t
-        out = (*yz, jnp.moveaxis(rxl, -1, 0), jnp.moveaxis(rxh, -1, 0))
+        out = tuple(x.reshape(-1) for x in tape_t)
         if tape_dtype is not None:
             out = jax.tree.map(lambda x: x.astype(tape_dtype), out)
         return out
@@ -278,8 +280,9 @@ def make_simulator3d_fused_sharded(
     def _unpack_tape(tape_t):
         if tape_dtype is not None:
             tape_t = jax.tree.map(lambda x: x.astype(dtype), tape_t)
-        *yz, rxl, rxh = tape_t
-        return (*yz, jnp.moveaxis(rxl, 0, -1), jnp.moveaxis(rxh, 0, -1))
+        return tuple(
+            x.reshape(s) for x, s in zip(tape_t, _slab_shapes)
+        )
 
     dom_axes = (y_axis,) + ((z_axis,) if z_halo else ())
 
@@ -452,15 +455,17 @@ def make_simulator3d_fused_sharded(
         wbar = lax.psum(wbar, (shot_axis,) + dom_axes)
         return gbar, wbar
 
-    # tape slab out-specs: slab k of each device concatenates along its
-    # own slab axis — y slabs along their window axis, z slabs along
-    # local y (both axis 2 after the shot/nt leading dims), x slabs
-    # (stored transposed (r, L, NZe)) along local y at axis 3; each
-    # slab's local-z dim additionally shards over z when z-sharded
+    # tape slab out-specs: rows are 1D-FLATTENED slabs (round-4, see
+    # kernels.acoustic3d_bwd_pallas.tape_slab_shapes), so each tape
+    # element is (nt, Lflat) per device, (shot, nt, Lflat) stacked. The
+    # per-device flats concatenate along the flat axis over the domain
+    # axes — the "global" tape array has no spatial meaning, but it is
+    # only ever round-tripped through IDENTICAL fwd/rev specs, so every
+    # device receives exactly its own slab rows back in the reverse.
     def _tape_specs():
-        yz = P(shot_axis, None, y_axis, zs, None)
-        x = P(shot_axis, None, None, y_axis, zs)
-        return (yz, yz, yz, yz, x, x)
+        flat = P(shot_axis, None,
+                 (y_axis,) + ((z_axis,) if z_halo else ()))
+        return (flat,) * 6
 
     fwd_plain = jax.shard_map(
         lambda c2, w, si, ri: _fwd_dev(c2, w, si, ri, False),

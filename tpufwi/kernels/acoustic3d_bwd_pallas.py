@@ -90,6 +90,28 @@ def extract_tape3d(grid: Grid, p):
     return tuple(slabs)
 
 
+def tape_slab_shapes(grid: Grid, ext_shape):
+    """Shapes of extract_tape3d's slabs for an ``ext_shape`` field.
+
+    Used by the tape pack/unpack pair: slabs are stored FLATTENED to 1D
+    (stacked-over-nt tape rows are (nt, L) — always a clean T(8,128)
+    tiling). The round-3 moveaxis transpose of the x-face slabs is NOT
+    layout-safe: XLA's layout assignment can (and at the 20.7M-cell
+    Overthrust shape DID) pick the transposed-back layout with the
+    size-r axis as lanes, a 32x lane-padding expansion that turned the
+    476 MB x-slab tape into 2 x 14.87 GB of HBM and crashed the chip
+    (runs/tpu_queue10/diag2.log). A 1D buffer leaves layout assignment
+    no such freedom."""
+    wins = ring_windows(grid)
+    shapes = []
+    for ax in range(3):
+        for o, w in wins[ax]:
+            s = list(ext_shape)
+            s[ax] = w
+            shapes.append(tuple(s))
+    return tuple(shapes)
+
+
 def make_recon3d_kernel(grid: Grid, by: int = 16, bz: int = 64,
                         interpret: bool = False, y_halo: bool = False,
                         z_halo: bool = False):
