@@ -197,3 +197,30 @@ def test_fused3d_free_surface_wavelet_cotangent():
     g_got = np.asarray(jax.grad(loss(sim_f))(w))
     err = np.abs(g_got - g_ref).max() / (np.abs(g_ref).max() + 1e-30)
     assert err < 1e-4, f"fused3d free-surface wavelet grad: {err:.3e}"
+
+
+def test_fused3d_illumination_matches_jnp_path():
+    """simulate.illumination (fused forward step) == the propagator's
+    generic single-step illumination — the fullscale driver runs the
+    fused one (the jnp step crashed the chip at Overthrust shapes,
+    runs/tpu_queue10/fullscale2.log)."""
+    from tpufwi.acquisition import Geometry
+    from tpufwi.propagators.acoustic2d import AcousticPropagator
+
+    grid, dt, f0, c_max, c2, w, src, rcv = _setup()
+    sim_f = make_simulator3d_fused(grid, dt, f0, c_max, by=8, bz=16,
+                                   bz_y=16, interpret=True)
+    il_f = np.asarray(sim_f.illumination(c2, w, src))
+
+    pad = grid.pad
+    vp_like = jnp.sqrt(c2) / dt  # c2dt2 -> vp on the padded grid
+    prop = AcousticPropagator(grid, dt, f0, c_max, impl="jnp")
+    geom = Geometry(src_idx=src, rcv_idx=rcv)
+    il_j = np.asarray(
+        prop.illumination(vp_like[pad:-pad, pad:-pad, pad:-pad], geom, w)
+    )
+    assert il_f.shape == il_j.shape
+    denom = np.abs(il_j).max() + 1e-30
+    assert np.abs(il_f - il_j).max() / denom < 2e-5, (
+        np.abs(il_f - il_j).max() / denom
+    )

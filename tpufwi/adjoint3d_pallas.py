@@ -281,4 +281,29 @@ def make_simulator3d_fused(
                 _int_cotangent(rcv_idx))
 
     simulate.defvjp(simulate_fwd, simulate_bwd)
+
+    def illumination(c2dt2, wavelet, src_idx):
+        """sum_t p_t^2 on the PHYSICAL grid via the fused forward step —
+        the propagator's generic illumination path runs the jnp
+        single-step engine, which is unproven at Overthrust fullscale
+        shapes (the fused kernels are the proven path there; VERDICT r3
+        item 1 runs)."""
+        c2e = extend_yz(c2dt2, grid, by=by, bz=bz)
+        src = _coords(src_idx)
+        smask = _fs_mask(src_idx)
+
+        def body(carry, w_t):
+            s, acc = carry
+            s = step2(s, c2e)
+            p_prev, p_next, strips = s
+            p_next = p_next.at[src].add(smask * c2e[src] * w_t, mode="drop")
+            return ((p_prev, p_next, strips), acc + p_next * p_next), None
+
+        acc0 = jnp.zeros((NYe, NZe, NX), dtype)
+        (_, acc), _ = lax.scan(body, (zero_state(), acc0), wavelet)
+        pad = grid.pad
+        full = crop_yz(acc, grid)
+        return full[pad:NY - pad, pad:NZ - pad, pad:NX - pad]
+
+    simulate.illumination = illumination
     return simulate

@@ -332,7 +332,18 @@ class AcousticPropagator:
 
     def illumination(self, vp, geom, wavelet):
         """Source illumination sum_t p_t^2 on the physical grid (the
-        pseudo-Hessian diagonal for preconditioning [GENRE: Shin 2001])."""
+        pseudo-Hessian diagonal for preconditioning [GENRE: Shin 2001]).
+
+        On the fused 3D engines this runs the fused forward step (the
+        engine exposes an ``illumination`` attribute): the generic
+        single-step path below is unproven at Overthrust-fullscale
+        shapes, where only the fused kernels are the validated path."""
+        sim = self._sim(self.resolve_impl(geom, nt=int(wavelet.shape[0])))
+        fused_il = getattr(sim, "illumination", None)
+        if fused_il is not None:
+            return fused_il(
+                self.c2dt2(vp), wavelet.astype(self.dtype), geom.src_idx
+            )
         params = AcousticParams(
             c2dt2=self.c2dt2(vp), a=self._a, b=self._b,
             src_idx=geom.src_idx, rcv_idx=geom.rcv_idx,
