@@ -438,6 +438,7 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
         dmemz = scr[19:23]  # duals: m_vx_z, m_vz_z, m_sxz_z, m_szz_z
         scrA, scrB = scr[23:25]  # transient padded dbar scratches
         ohzT_ref, ohx_ref, lsacc_ref = scr[25:28]
+        dma_sem = scr[28]  # final-field loads (0-4) + gradient stores (5-9)
 
         c = pl.program_id(0)
         tb = (nC - 1 - c) * CH
@@ -445,10 +446,22 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
 
         @pl.when(c == 0)
         def _init():
-            for f, src in ((vx, vxf_ref), (vz, vzf_ref), (sxx, sxxf_ref),
-                           (szz, szzf_ref), (sxz, sxzf_ref)):
+            # final fields ride in HBM (pltpu.ANY) and are DMA'd into
+            # the padded primal scratches exactly once — keeping them as
+            # VMEM block inputs put the reverse kernel 12 MB over the
+            # 128 MB scoped-vmem ceiling at the 351x1701 bench grid
+            # (runs/tpu_queue11/elastic_scan.log)
+            for k, (f, src) in enumerate((
+                    (vx, vxf_ref), (vz, vzf_ref), (sxx, sxxf_ref),
+                    (szz, szzf_ref), (sxz, sxzf_ref))):
                 f[:] = jnp.zeros((NZ + 2 * PZ, NX + 2 * PX), dtype)
-                _set_interior(f, NZ, NX, src[:])
+                cp = pltpu.make_async_copy(
+                    src,
+                    f.at[pl.ds(PZ, NZ), pl.ds(PX, NX)],
+                    dma_sem.at[k],
+                )
+                cp.start()
+                cp.wait()
             for f in (vxb, vzb, sxxb, szzb, sxzb):
                 f[:] = jnp.zeros((NZ, NX), dtype)
             for g in (glam, gl2m, gmuxz, gbx, gbz):
@@ -690,11 +703,14 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
 
         @pl.when(c == nC - 1)
         def _final():
-            glam_o[:] = glam[:]
-            gl2m_o[:] = gl2m[:]
-            gmuxz_o[:] = gmuxz[:]
-            gbx_o[:] = gbx[:]
-            gbz_o[:] = gbz[:]
+            # gradient outputs are HBM (pltpu.ANY) refs, written once by
+            # DMA from the accumulator scratches (see _init comment)
+            for k, (g_o, g) in enumerate((
+                    (glam_o, glam), (gl2m_o, gl2m), (gmuxz_o, gmuxz),
+                    (gbx_o, gbx), (gbz_o, gbz))):
+                cp = pltpu.make_async_copy(g, g_o, dma_sem.at[5 + k])
+                cp.start()
+                cp.wait()
 
     const2 = lambda c: (0, 0)  # noqa: E731
     const3 = lambda c: (0, 0, 0)  # noqa: E731
@@ -722,9 +738,11 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
             in_specs.append(
                 bspec((CH,) + dims, desc3, memory_space=pltpu.VMEM)
             )
-    in_specs += [full] * 5  # final fields
+    # final fields stay in HBM; the kernel DMAs them into scratch once
+    # at c == 0 (scoped-vmem ceiling — see the _init comment)
+    in_specs += [bspec(memory_space=pltpu.ANY)] * 5
 
-    out_specs = [full] * 5 + [
+    out_specs = [bspec(memory_space=pltpu.ANY)] * 5 + [
         bspec((1, CH, nsrc), desc3, memory_space=pltpu.VMEM)
     ]
     out_shape = [jax.ShapeDtypeStruct((NZ, NX), dtype)] * 5 + [
@@ -742,6 +760,7 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
             pltpu.VMEM((RH, nrec), dtype),
             pltpu.VMEM((nrec, NX), dtype),
             pltpu.VMEM((CH, nsrc), dtype),
+            pltpu.SemaphoreType.DMA((10,)),
         ]
     )
     return pl.pallas_call(
