@@ -66,6 +66,41 @@ class _X64SafeBlockSpec(pl.BlockSpec):
         return super().to_block_mapping(origin, array_aval, **kwargs)
 
 
+_SUBLANE_BY_ITEMSIZE = {4: 8, 2: 16, 1: 32}
+
+
+def check_dma_tiling(shape, *, what, dtype=np.float32):
+    """Static hardware-contract lint for TPU async-copy slices.
+
+    Mosaic requires every ``make_async_copy`` slice to be aligned to the
+    VMEM tile on its trailing two dims — (8, 128) for fp32 — and rejects
+    the kernel at COMPILE time otherwise ("Slice shape along dimension 0
+    must be aligned to tiling (8), but is 124"). Interpret mode cannot
+    catch this (it has no tiles), and four rounds of hardware campaigns
+    each lost a TPU slot to a layout-only defect of this family (i64
+    index maps, lane-padded x-face rings, vpad broadcast, the cadb4b8
+    final-field DMAs). Engine builders must route every DMA slice extent
+    through this check so the failure happens at BUILD time, on CPU, in
+    the fast lane.
+
+    Raises ``ValueError`` naming ``what`` and the offending shape.
+    1-D copies are exempt (lane-only transfers are tile-free).
+    """
+    shape = tuple(int(s) for s in shape)
+    if len(shape) < 2:
+        return shape
+    sub = _SUBLANE_BY_ITEMSIZE.get(np.dtype(dtype).itemsize, 8)
+    if shape[-2] % sub or shape[-1] % 128:
+        raise ValueError(
+            f"{what}: DMA slice shape {shape} violates the TPU "
+            f"({sub},128) tiling contract on its trailing dims — Mosaic "
+            "would reject this kernel at hardware compile time. Pad the "
+            "copied extents (and the HBM buffer) to the tile and crop "
+            "in the wrapper."
+        )
+    return shape
+
+
 def bspec(block_shape=None, index_map=None, **kwargs):
     """``pl.BlockSpec`` with x64-proof (i32) index-map outputs."""
     if index_map is None:
