@@ -220,7 +220,39 @@ def main():
         rec = dict(rec, t_wall=round(time.time() - t_start, 1))
         print(json.dumps(rec), flush=True)
 
-    vp = invert(problem, vp0, cfg, resume=args.resume, log_fn=echo)
+    zt = vp_true.shape[1] // 3
+    errt0_ck = float(
+        np.sqrt(np.mean((vp0_np[:, :zt] - vp_true[:, :zt]) ** 2))
+    )
+
+    def refresh_summary(stage, it, vp_np):
+        """Per-checkpoint summary refresh (VERDICT r4 weak #2): an
+        externally-killed run always leaves a current headline artifact.
+        Cheap numpy-only metrics; the clean-exit write below overwrites
+        with the full (J-bracketing) summary."""
+        errt = float(
+            np.sqrt(np.mean((vp_np[:, :zt] - vp_true[:, :zt]) ** 2))
+        )
+        part = {
+            "partial": True,
+            "err_ratio_illuminated_third": errt / errt0_ck,
+            "stage": stage,
+            "iter": it,
+            "iters_completed": _iters_completed(args.run_dir),
+            "engine": prop.impl,
+            "engine_note": prop.resolve_note,
+            "seed": args.seed,
+            "wall_seconds": round(time.time() - t_start, 1),
+            "wall_budget_s": args.wall_budget,
+            "chip": "v5e-1",
+        }
+        tmp = os.path.join(args.run_dir, "summary.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(part, f, indent=1)
+        os.replace(tmp, os.path.join(args.run_dir, "summary.json"))
+
+    vp = invert(problem, vp0, cfg, resume=args.resume, log_fn=echo,
+                on_checkpoint=refresh_summary)
     t1 = time.time()
 
     # full-band misfit bracketing + model-error metrics (the judge's gate)

@@ -246,3 +246,82 @@ def test_driver_jsonl_records_engine(tmp_path):
     assert len(eng) == 1 and eng[0]["stage"] == 0
     assert eng[0]["engine"] == "jnp"
     assert eng[0]["note"] == "explicit"
+
+
+# ---------------------------------------------------------------------------
+# elastic (VERDICT r4 item 4: the graded C4 path is the default path)
+
+
+def _eprop(impl="auto", **kw):
+    from tpufwi.propagators.elastic2d import (
+        ElasticPropagator, elastic_cfl_dt,
+    )
+
+    grid = kw.pop("grid", None) or _grid()
+    dt = elastic_cfl_dt(grid.h, 2600.0, grid.order, safety=0.7)
+    return grid, ElasticPropagator(grid, dt, 10.0, 2600.0, impl=impl, **kw)
+
+
+def test_elastic_auto_is_jnp_on_cpu():
+    _, prop = _eprop()
+    assert prop.impl == "jnp"
+    assert prop.resolve_note == "explicit"
+
+
+def test_elastic_auto_picks_whole_scan_on_tpu(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    grid, prop = _eprop()
+    assert prop.impl == "auto"  # deferred: geometry-dependent
+    geom = _surface_geom(grid)
+    assert prop.resolve_impl(geom) == "pallas_scan"
+    assert prop.resolve_note == "whole-scan elastic engine"
+    assert prop.fix_impl_for(geom) == "pallas_scan"
+    assert prop.impl == "pallas_scan"  # pinned
+
+
+def test_elastic_auto_falls_back_per_step(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    grid, prop = _eprop()
+    # a vertical borehole string spans far more than one 16-row slab
+    rcv = np.array([[z, 80] for z in range(2, 50, 2)])
+    geom = Geometry.from_physical(grid, np.array([[2, 10]]), rcv)
+    assert prop.resolve_impl(geom) == "pallas"
+    assert "receiver rows span" in prop.resolve_note
+    assert prop.resolve_impl(None) == "pallas"
+
+    # free surface excludes the whole-scan engine
+    fs_grid = Grid(shape=(60, 100), h=(10.0, 10.0), pml=10, order=4,
+                   free_surface=True)
+    _, fs_prop = _eprop(grid=fs_grid)
+    assert fs_prop.resolve_impl(_surface_geom(fs_grid)) == "pallas"
+    assert "free surface" in fs_prop.resolve_note
+
+
+def test_elastic_auto_off_fp32_is_jnp(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    _, prop = _eprop(dtype=jnp.float64)
+    assert prop.impl == "jnp"
+
+
+def test_elastic_problem_pins_engine(monkeypatch):
+    """ElasticFwiProblem pins impl='auto' against the concrete survey at
+    _build time (the jitted objectives see traced geometry, which would
+    conservatively fall back). The engine JSONL event is covered by
+    test_elastic_fwi.test_invert_multiparameter_logs_engine_event."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    from tpufwi.invert import ElasticFwiProblem
+
+    grid, prop = _eprop()
+    geom0 = _surface_geom(grid)
+    geoms = jax.tree.map(lambda x: x[None], geom0)  # stacked, 1 shot
+    nt, nrec = 40, int(geom0.rcv_idx.shape[-2])
+    problem = ElasticFwiProblem(
+        prop=prop,
+        geoms=geoms,
+        d_obs=jnp.zeros((1, nt, nrec, 2), jnp.float32),
+        wavelet=jnp.zeros((nt,), jnp.float32),
+        dt=prop.dt,
+    )
+    problem._build()  # selection only — no objective evaluation
+    assert prop.impl == "pallas_scan"
+    assert prop.resolve_note == "whole-scan elastic engine"

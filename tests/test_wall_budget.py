@@ -14,15 +14,16 @@ from tpufwi.config import (
 from tpufwi.invert import build_synthetic_problem, invert
 
 
-def _cfg(run_dir, **kw):
+def _cfg(run_dir, checkpoint_every=1, stages=None, **kw):
     return FwiConfig(
-        stages=(StageCfg(7.0, 3, "lbfgs"), StageCfg(11.0, 3, "lbfgs")),
+        stages=stages
+        or (StageCfg(7.0, 3, "lbfgs"), StageCfg(11.0, 3, "lbfgs")),
         prop=PropCfg(order=4, pml=8, cfl_safety=0.7, dtype="float64"),
         acq=AcqCfg(n_shots=2, src_z=2, rcv_z=2, rcv_dx=3, f0=11.0, t_max=0.5),
         precond=PrecondCfg(use_illumination=False, mask_top=2),
         opt=OptCfg(vmin=1600.0, vmax=2600.0),
         run_dir=str(run_dir),
-        checkpoint_every=1,
+        checkpoint_every=checkpoint_every,
         **kw,
     )
 
@@ -62,6 +63,47 @@ def test_wall_budget_stops_after_first_iterate_and_resumes(tmp_path):
     iters2, _ = _iter_records(tmp_path / "a")  # appended to the same log
     assert len(iters2) == 6, len(iters2)
     assert np.isfinite(np.asarray(vp_fin)).all()
+
+
+def test_budget_stop_checkpoints_between_marks_exactly_once(tmp_path):
+    """A wall-budget stop must checkpoint ITS iterate even when
+    checkpoint_every would skip it (resume must not replay lost work),
+    fire the on_checkpoint hook there, and log exactly ONE
+    wall_budget_stop event (ADVICE r4 items 1+3)."""
+    vp_true = _true_model()
+    cfg = _cfg(tmp_path / "c", checkpoint_every=3, max_wall_s=1e-6)
+    problem, vp0 = build_synthetic_problem(cfg, vp_true, dx=10.0)
+    calls = []
+    invert(problem, vp0, cfg,
+           on_checkpoint=lambda s, i, x: calls.append((s, i, x.shape)))
+    ck = np.load(tmp_path / "c" / "ckpt.npz")
+    assert int(ck["stage"]) == 0 and int(ck["iter"]) == 0
+    assert calls == [(0, 0, vp_true.shape)]
+    iters, recs = _iter_records(tmp_path / "c")
+    stops = [r for r in recs if r.get("event") == "wall_budget_stop"]
+    assert len(iters) == 1 and len(stops) == 1
+    # on_checkpoint fires AFTER the iterate's JSONL record: a summary
+    # refreshed from the hook can count log.jsonl and never under-report
+    assert len(calls) == len(iters)
+
+
+def test_resume_at_stage_boundary_with_expired_budget_progresses(tmp_path):
+    """Resume landing exactly on a completed stage's end with an
+    already-expired budget must still run one iterate of the NEXT stage
+    (the stop gate is 'any iterate ran this invocation', not stage
+    index — ADVICE r4 item 2)."""
+    vp_true = _true_model()
+    one = _cfg(tmp_path / "d", stages=(StageCfg(7.0, 3, "lbfgs"),))
+    problem, vp0 = build_synthetic_problem(one, vp_true, dx=10.0)
+    invert(problem, vp0, one)  # checkpoint now says stage=0, iter=2
+    n_before = len(_iter_records(tmp_path / "d")[0])
+
+    two = _cfg(tmp_path / "d", max_wall_s=1e-6)  # 2-stage, expired budget
+    invert(problem, vp0, two, resume=True)
+    iters, recs = _iter_records(tmp_path / "d")
+    new = iters[n_before:]
+    assert len(new) == 1 and new[0]["stage"] == 1, new
+    assert any(r.get("event") == "wall_budget_stop" for r in recs)
 
 
 def test_no_budget_runs_full_schedule(tmp_path):

@@ -12,6 +12,7 @@ done outside the custom VJP.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
@@ -437,15 +438,19 @@ class ElasticPropagator:
         dtype=jnp.float32,
         source_type: str = "pressure",
         record: str = "v",
-        impl: str = "jnp",
+        impl: str = "auto",
         interpret: bool = False,
     ):
         """``impl`` selects the differentiable engine behind __call__:
-        'jnp' (XLA, any dtype, free surface — the proven default),
-        'pallas' (per-step fused kernels, fp32), or 'pallas_scan' (the
-        whole-scan-resident engine, fp32, no free surface, receivers
-        within one 16-row slab — the fast TPU gradient path, VERDICT r3
-        item 5)."""
+        'jnp' (XLA, any dtype, free surface), 'pallas' (per-step fused
+        kernels, fp32), 'pallas_scan' (the whole-scan-resident engine,
+        fp32, no free surface, receivers within one 16-row slab — the
+        fast TPU gradient path, VERDICT r3 item 5), or 'auto' (the
+        default): on TPU/2D/fp32, the whole-scan engine whenever the
+        survey satisfies its contract, the per-step fused kernels
+        otherwise; the XLA engine off-TPU or off-fp32 — the same
+        graded-path-is-default-path rule the acoustic propagator follows
+        (VERDICT r4 item 4)."""
         limit = elastic_cfl_dt(grid.h, vp_max, grid.order, safety=1.0)
         if dt > limit:
             raise ValueError(f"dt={dt:.6g} exceeds elastic CFL limit {limit:.6g}")
@@ -456,29 +461,104 @@ class ElasticPropagator:
         self._vp_max = float(vp_max)
         self._source_type = source_type
         self._record = record
+        self._interpret = interpret
+        if impl == "auto":
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            if not (grid.ndim == 2 and dtype == jnp.float32 and on_tpu):
+                impl = "jnp"
         self.impl = impl
+        # human-readable account of the last impl='auto' resolution
+        # (logged into the driver JSONL so every run names its engine)
+        self.resolve_note = "explicit" if impl != "auto" else "unresolved"
+        self._sims: dict = {}
+        if impl != "auto":
+            self._sim(impl)  # build eagerly: surface config errors here
+
+    # -- engine selection ---------------------------------------------------
+
+    def _sim(self, impl: str):
+        """Build (once) and return one engine's simulate(). Deferred
+        'auto' resolution means this can run INSIDE a jit trace; the
+        engines' constant arrays must not become tracers captured in the
+        cached closure (acoustic2d.AcousticPropagator._sim rationale)."""
+        if impl not in self._sims:
+            with jax.ensure_compile_time_eval():
+                self._build_sim(impl)
+        return self._sims[impl]
+
+    def _build_sim(self, impl: str):
+        grid, dt, f0, vp_max = self.grid, self.dt, self._f0, self._vp_max
         if impl == "jnp":
-            self._simulate = make_elastic_simulator(
-                grid, dt, f0, vp_max, dtype, source_type, record
+            self._sims[impl] = make_elastic_simulator(
+                grid, dt, f0, vp_max, self.dtype, self._source_type,
+                self._record,
             )
         elif impl == "pallas":
-            if dtype != jnp.float32:
+            if self.dtype != jnp.float32:
                 raise ValueError("pallas elastic engines are fp32 only")
-            self._simulate = make_elastic_simulator_fused(
-                grid, dt, f0, vp_max, source_type=source_type,
-                record=record, interpret=interpret,
+            self._sims[impl] = make_elastic_simulator_fused(
+                grid, dt, f0, vp_max, source_type=self._source_type,
+                record=self._record, interpret=self._interpret,
             )
         elif impl == "pallas_scan":
             from ..adjoint_elastic_scan import make_elastic_simulator_scan
 
-            if dtype != jnp.float32:
+            if self.dtype != jnp.float32:
                 raise ValueError("pallas elastic engines are fp32 only")
-            self._simulate = make_elastic_simulator_scan(
-                grid, dt, f0, vp_max, source_type=source_type,
-                record=record, interpret=interpret,
+            self._sims[impl] = make_elastic_simulator_scan(
+                grid, dt, f0, vp_max, source_type=self._source_type,
+                record=self._record, interpret=self._interpret,
             )
         else:
             raise ValueError(f"unknown elastic impl {impl!r}")
+
+    def resolve_impl(self, geom: Geometry | None = None,
+                     rcv_rows: int = 16, nt: int | None = None) -> str:
+        """The engine a call with ``geom`` will use. impl='auto' on the
+        TPU/2D/fp32 tier picks the whole-scan engine (one pallas_call per
+        sweep; 5-field state VMEM-resident) when the free surface is off
+        and every shot's receiver rows fit one ``rcv_rows`` 8-aligned
+        slab, the per-step fused kernels otherwise — with the fallback
+        reason recorded in ``resolve_note`` (mirrors
+        acoustic2d.AcousticPropagator.resolve_impl)."""
+        if self.impl != "auto":
+            return self.impl
+        reason = None
+        if self.grid.free_surface:
+            reason = "free surface (whole-scan engine excludes it)"
+        elif geom is None:
+            reason = "no geometry to check the scan receiver slab against"
+        else:
+            try:
+                rz = np.asarray(geom.rcv_idx[..., 0]).reshape(
+                    -1, geom.rcv_idx.shape[-2]
+                )
+                spread = int((rz.max(1) - (rz.min(1) // 8) * 8 + 1).max())
+                if spread > rcv_rows:
+                    reason = (
+                        f"receiver rows span {spread} > {rcv_rows} from "
+                        "the 8-aligned slab start (scan contract)"
+                    )
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                reason = "geometry is traced (jit/vmap argument)"
+        if reason is None:
+            self.resolve_note = "whole-scan elastic engine"
+            return "pallas_scan"
+        logging.getLogger(__name__).info(
+            "elastic impl='auto': falling back to the per-step fused "
+            "engine: %s", reason,
+        )
+        self.resolve_note = f"per-step fused fallback: {reason}"
+        return "pallas"
+
+    def fix_impl_for(self, geom: Geometry, nt: int | None = None) -> str:
+        """Resolve impl='auto' ONCE against a concrete (possibly
+        stacked) survey geometry and pin it — used by ElasticFwiProblem
+        so the jitted objectives (traced geometry) still get the
+        whole-scan engine when the survey satisfies its contract."""
+        self.impl = self.resolve_impl(geom, nt=nt)
+        return self.impl
 
     def material_fields(self, vp, vs, rho):
         """Differentiable map to the padded, staggered material fields."""
@@ -497,8 +577,11 @@ class ElasticPropagator:
         return lam, lam2mu, mu_xz, buoy_x, buoy_z
 
     def __call__(self, vp, vs, rho, geom: Geometry, wavelet):
+        simulate = self._sim(
+            self.resolve_impl(geom, nt=int(wavelet.shape[0]))
+        )
         mats = self.material_fields(vp, vs, rho)
-        return self._simulate(
+        return simulate(
             *mats, wavelet.astype(self.dtype), geom.src_idx, geom.rcv_idx
         )
 
