@@ -6,6 +6,7 @@ so the Overthrust-scale run always writes its summary.)"""
 
 import json
 
+import jax.numpy as jnp
 import numpy as np
 
 from tpufwi.config import (
@@ -114,3 +115,30 @@ def test_no_budget_runs_full_schedule(tmp_path):
     iters, recs = _iter_records(tmp_path / "b")
     assert len(iters) == 6, len(iters)
     assert not any(r.get("event") == "wall_budget_stop" for r in recs)
+
+
+def test_linesearch_failure_is_logged(tmp_path):
+    """A stage that starts at convergence (first line search fails: zero
+    gradient gives no descent direction) must leave a
+    event='linesearch_failed' record in the JSONL instead of a silent
+    zero-iteration no-op (round-5 finding: the CLI quick config hit
+    this invisibly). Shares this file's driver fixtures."""
+    import dataclasses
+
+    import jax
+
+    vp_true = _true_model()
+    cfg = _cfg(tmp_path / "e", stages=(StageCfg(None, 2, "lbfgs"),))
+    problem, vp0 = build_synthetic_problem(cfg, vp_true, dx=10.0)
+    # observed data generated AT the initial model: J(vp0) = 0 exactly
+    d0 = jnp.stack([
+        problem.prop(vp0, jax.tree.map(lambda x: x[i], problem.geoms),
+                     problem.wavelet)
+        for i in range(int(problem.d_obs.shape[0]))
+    ])
+    problem = dataclasses.replace(problem, d_obs=d0)
+    invert(problem, vp0, cfg)
+    iters, recs = _iter_records(tmp_path / "e")
+    fails = [r for r in recs if r.get("event") == "linesearch_failed"]
+    assert len(iters) == 0 and len(fails) == 1, (iters, recs)
+    assert fails[0]["stage"] == 0 and fails[0]["J"] <= 1e-12
