@@ -189,6 +189,6 @@ def test_invert_multiparameter_logs_engine_event():
     )
     eng = [r for r in recs if r.get("event") == "engine"]
     assert len(eng) == 1 and eng[0]["stage"] == 0
-    assert eng[0]["engine"] == "jnp"  # fp64 fixture: explicit XLA engine
-    assert eng[0]["note"] == "explicit"
+    assert eng[0]["engine"] == "jnp"  # fp64 fixture: auto demotes to XLA
+    assert eng[0]["note"] == "auto: non-TPU backend -> jnp"
     assert any("J" in r for r in recs if "event" not in r)

@@ -265,7 +265,7 @@ def _eprop(impl="auto", **kw):
 def test_elastic_auto_is_jnp_on_cpu():
     _, prop = _eprop()
     assert prop.impl == "jnp"
-    assert prop.resolve_note == "explicit"
+    assert prop.resolve_note == "auto: non-TPU backend -> jnp"
 
 
 def test_elastic_auto_picks_whole_scan_on_tpu(monkeypatch):

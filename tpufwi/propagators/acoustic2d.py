@@ -83,14 +83,21 @@ class AcousticPropagator:
         self.f0 = float(f0)
         self.c_max = float(c_max)
         self.dtype = dtype
+        demoted = None
         if impl == "auto":
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
             if not (grid.ndim in (2, 3) and dtype == jnp.float32 and on_tpu):
                 impl = "jnp"
+                demoted = (
+                    "auto: off the TPU/fp32 tier -> jnp"
+                    if on_tpu else "auto: non-TPU backend -> jnp"
+                )
         self.impl = impl
         # human-readable account of the last impl='auto' resolution
         # (logged into the driver JSONL so every run names its engine)
-        self.resolve_note = "explicit" if impl != "auto" else "unresolved"
+        self.resolve_note = (
+            demoted or ("explicit" if impl != "auto" else "unresolved")
+        )
         self._sims: dict = {}
         self._tape_dtype = tape_dtype
         if tape_dtype is not None and impl != "jnp":

@@ -462,14 +462,21 @@ class ElasticPropagator:
         self._source_type = source_type
         self._record = record
         self._interpret = interpret
+        demoted = None
         if impl == "auto":
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
             if not (grid.ndim == 2 and dtype == jnp.float32 and on_tpu):
                 impl = "jnp"
+                demoted = (
+                    "auto: off the 2D/fp32 tier -> jnp"
+                    if on_tpu else "auto: non-TPU backend -> jnp"
+                )
         self.impl = impl
         # human-readable account of the last impl='auto' resolution
         # (logged into the driver JSONL so every run names its engine)
-        self.resolve_note = "explicit" if impl != "auto" else "unresolved"
+        self.resolve_note = (
+            demoted or ("explicit" if impl != "auto" else "unresolved")
+        )
         self._sims: dict = {}
         if impl != "auto":
             self._sim(impl)  # build eagerly: surface config errors here
