@@ -76,6 +76,9 @@ def main():
     ap.add_argument("--medium", action="store_true",
                     help="round-3 demo scale (100x94x200, nt=420, 12 shots)")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin to the CPU backend (smoke tests; also via "
+                    "TPUFWI_TEST_FORCE_CPU=1)")
     ap.add_argument("--extra-band", action="store_true",
                     help="4 bands (3/4.5/6/full) instead of 3 (3/4.5/full)")
     ap.add_argument("--wall-budget", type=float, default=None,
@@ -110,6 +113,12 @@ def main():
 
     import jax
 
+    if args.cpu or os.environ.get("TPUFWI_TEST_FORCE_CPU"):
+        # tests run this script as a subprocess while a TPU job may be
+        # live — the relay serializes processes, so the smoke config
+        # must pin itself to CPU (env vars alone don't work: the axon
+        # sitecustomize initializes the backend at interpreter startup)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update(
         "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
     )
