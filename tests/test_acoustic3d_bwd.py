@@ -68,6 +68,8 @@ def test_fused3d_gradient_matches_xla_engine():
     assert err < 1e-4, f"fused3d gradient vs XLA engine: {err:.3e}"
 
 
+@pytest.mark.slow  # lane triage r5: overlaps gradient_matches_xla's
+# engine coverage (wavelet cotangent only), 45 s
 def test_fused3d_gradient_wavelet_cotangent():
     grid, dt, f0, c_max, c2, w, src, rcv = _setup()
     sim_jnp = make_simulator(grid, dt, f0, c_max, use_custom_vjp=True)

@@ -119,6 +119,7 @@ def test_gradient_finite_difference():
     assert rel < 1e-7, f"FD check rel err {rel:.3e}"
 
 
+@pytest.mark.slow  # lane triage r5: distinct remat fallback, 49 s
 def test_remat_gradient_matches_rings():
     """gradient="remat" (checkpointed scan, no ring tape) produces the
     same loss and — on the valid interior — the same model/wavelet

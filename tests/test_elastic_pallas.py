@@ -33,7 +33,7 @@ def test_elastic_pallas_matches_jnp(source_type):
         jnp.asarray(rho, jnp.float32),
     )
     wj = jnp.asarray(w, jnp.float32)
-    seis_ref = np.asarray(prop._simulate(*mats, wj, geom.src_idx, geom.rcv_idx))
+    seis_ref = np.asarray(prop._sim("jnp")(*mats, wj, geom.src_idx, geom.rcv_idx))
 
     sim_p = make_pallas_elastic_forward(
         grid, dt, f0, float(vp.max()), source_type=source_type, interpret=True

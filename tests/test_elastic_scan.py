@@ -88,6 +88,8 @@ def test_elastic_scan_gradient_matches_xla_engine(record, source_type):
         )
 
 
+@pytest.mark.slow  # lane triage r5: in-lane [v-pressure] parity case
+# carries the gradient contract; padding re-check is 55 s
 def test_elastic_scan_nt_padding_matches_unpadded():
     """nt not a CH multiple: the wrapper zero-pads; seis/gradient equal
     the XLA engine at the ORIGINAL nt (the padded steps carry zero

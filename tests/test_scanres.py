@@ -147,7 +147,11 @@ def test_scanres_rcv_window_poisons_traced_violation():
 SNAP_GTOL = 5e-3
 
 
-@pytest.mark.parametrize("nt", [135, 128])
+@pytest.mark.parametrize("nt", [
+    pytest.param(135, marks=pytest.mark.slow),  # lane triage r5: the
+    # 128 case carries the parity contract; 135 re-checks nt padding
+    128,
+])
 def test_scansnap_matches_jnp(nt):
     """Snapshot engine (bf16 lap tape, no reverse reconstruction):
     forward identical to scanres, gradient == jnp up to tape rounding,

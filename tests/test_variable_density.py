@@ -1,6 +1,7 @@
 """Variable-density acoustics: oracle equivalence, density-contrast
 physics, and exact gradients for (vp, rho) via the boundary-saving VJP."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -179,6 +180,7 @@ def test_vd_rho_vp_chain_rule_dot_product():
     assert rel < 1e-5, f"(vp,rho) directional FD vs AD: {rel:.3e}"
 
 
+@pytest.mark.slow  # lane triage r5: demo-grade mini inversion, 24 s
 def test_vd_fwi_recovers_density_anomaly():
     """End-to-end (vp, rho) FWI on the vd engine via VdFwiProblem +
     invert_multiparameter: a density-only anomaly (vp true everywhere)

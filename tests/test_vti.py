@@ -2,6 +2,7 @@
 elliptic/anelliptic kinematics along the symmetry axes, stability, and
 AD gradients through the checkpointed scan."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -132,6 +133,7 @@ def test_gradients_finite_difference():
         assert rel < 1e-4, (i, rel)
 
 
+@pytest.mark.slow  # lane triage r5: demo-grade mini inversion, 34 s
 def test_vti_fwi_problem_inverts():
     """(vp, eps, delta) driver plumbing: band-limited stage objective
     decreases strongly through invert_multiparameter, and the initial
