@@ -17,13 +17,14 @@ from tpufwi.propagators.elastic2d import (
 from tpufwi.wavelets import ricker_np
 
 
-def _setup(nt=90):
+def _setup(nt=90, free_surface=False):
     nz, nx, pml, f0 = 40, 50, 8, 12.0
     rng = np.random.default_rng(3)
     vp = np.clip(2300 + 150 * rng.standard_normal((nz, nx)), 2000, 2600)
     vs = vp / 1.8
     rho = 1000.0 + 0.3 * vp
-    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=pml, order=4)
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=pml, order=4,
+                free_surface=free_surface)
     dt = elastic_cfl_dt(grid.h, float(vp.max()), 4, safety=0.7)
     w = jnp.asarray(ricker_np(f0, dt, nt), jnp.float32)
     src = np.array([[nz // 2 - 6, nx // 2], [nz // 2, nx // 2 - 8]])
@@ -143,9 +144,37 @@ def test_propagator_impl_pallas_scan():
     assert err < 1e-5, f"propagator pallas_scan vs jnp: {err:.3e}"
 
 
-def test_elastic_scan_free_surface_rejected():
-    grid = Grid(shape=(40, 50), h=(10.0, 10.0), pml=8, order=4,
-                free_surface=True)
-    with pytest.raises(ValueError):
-        make_elastic_simulator_scan(grid, 0.001, 12.0, 2600.0,
-                                    interpret=True)
+def test_elastic_scan_free_surface_gradient_matches_xla_engine():
+    """Free surface (round 5): the in-kernel Levander stress image +
+    mid-step velocity image (and their exact transposes in the reverse)
+    match the XLA engine's forward and full material/wavelet gradient."""
+    grid, dt, f0, c_max, mats, w, geom = _setup(free_surface=True)
+    assert grid.free_surface
+    sim_x = make_elastic_simulator(grid, dt, f0, c_max,
+                                   dtype=jnp.float32)
+    sim_s = make_elastic_simulator_scan(grid, dt, f0, c_max,
+                                        interpret=True)
+    d_obs = sim_x(*mats, w, geom.src_idx, geom.rcv_idx)
+
+    mats_p = tuple(m * 1.02 for m in mats)
+    seis_s = sim_s(*mats_p, w, geom.src_idx, geom.rcv_idx)
+    seis_x = sim_x(*mats_p, w, geom.src_idx, geom.rcv_idx)
+    fscale = float(jnp.abs(seis_x).max())
+    ferr = float(jnp.abs(seis_s - seis_x).max()) / fscale
+    assert ferr < 1e-5, f"free-surface scan forward vs XLA: {ferr:.3e}"
+
+    def loss(sim):
+        def f(lam, lam2mu, mu_xz, bx, bz, w_):
+            r = (sim(lam, lam2mu, mu_xz, bx, bz, w_, geom.src_idx,
+                     geom.rcv_idx) - d_obs)
+            return 0.5 * jnp.sum(r * r)
+
+        return f
+
+    gx = jax.grad(loss(sim_x), argnums=(0, 1, 2, 3, 4, 5))(*mats_p, w)
+    gs = jax.grad(loss(sim_s), argnums=(0, 1, 2, 3, 4, 5))(*mats_p, w)
+    names = ["lam", "lam2mu", "mu_xz", "buoy_x", "buoy_z", "wavelet"]
+    for name, a, b in zip(names, gx, gs):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert err < 2e-4, f"free-surface {name} gradient: {err:.3e}"

@@ -289,12 +289,12 @@ def test_elastic_auto_falls_back_per_step(monkeypatch):
     assert "receiver rows span" in prop.resolve_note
     assert prop.resolve_impl(None) == "pallas"
 
-    # free surface excludes the whole-scan engine
+    # free surface no longer excludes the whole-scan engine (round-5
+    # in-kernel images)
     fs_grid = Grid(shape=(60, 100), h=(10.0, 10.0), pml=10, order=4,
                    free_surface=True)
     _, fs_prop = _eprop(grid=fs_grid)
-    assert fs_prop.resolve_impl(_surface_geom(fs_grid)) == "pallas"
-    assert "free surface" in fs_prop.resolve_note
+    assert fs_prop.resolve_impl(_surface_geom(fs_grid)) == "pallas_scan"
 
 
 def test_elastic_auto_off_fp32_is_jnp(monkeypatch):

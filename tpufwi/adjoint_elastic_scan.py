@@ -7,7 +7,7 @@ ONE pallas_call and the entire reverse pass is ONE pallas_call
 gradient accumulators and CPML strip memories never leave VMEM; per-step
 HBM traffic is the 5-field boundary-ring tape plus the seismogram and
 wavelet rows. Receiver-row-window contract identical to the acoustic
-scanres engine. fp32, 2D, no free surface.
+scanres engine. fp32, 2D; free surface supported (in-kernel images).
 """
 
 from __future__ import annotations
@@ -37,16 +37,11 @@ def make_elastic_simulator_scan(
 ):
     """simulate(lam, lam2mu, mu_xz, buoy_x, buoy_z, wavelet, src_idx,
     rcv_idx) -> seis with the whole-scan custom VJP. Drop-in for
-    make_elastic_simulator / make_elastic_simulator_fused (fp32, 2D, no
-    free surface); indices are grid-padded. Kernels cached per
+    make_elastic_simulator / make_elastic_simulator_fused (fp32, 2D);
+    indices are grid-padded. Kernels cached per
     (nt, nsrc, nrec)."""
     if grid.ndim != 2:
         raise ValueError("elastic scan engine is 2D")
-    if grid.free_surface:
-        raise ValueError(
-            "whole-scan elastic engine does not support the free surface "
-            "(use the per-step fused or jnp engines)"
-        )
     profiles = strip_profiles(grid, dt, c_max, f0)
     rings = RingSpec.build(grid)
     NZ, NX = grid.padded_shape

@@ -21,8 +21,11 @@ deleted — the fields already live in padded scratch). Parity is pinned
 against the XLA engine's gradient in tests/test_elastic_scan.py.
 
 Contracts and limits:
-  * fp32, 2D, no free surface (raise; the per-step engines keep that
-    path — the image ops between stages are XLA-level there).
+  * fp32, 2D. Free surface SUPPORTED (round 5): the Levander stress
+    image + mid-step velocity image run as few-row static ops inside
+    the kernels, with exact transposes in the reverse — the same
+    operator algebra as elastic2d_jnp.make_free_surface_image and the
+    same reverse ordering as the fused per-step path.
   * receiver rows within one RH-row 8-aligned slab (the scanres
     receiver-window contract); record "v" (vz, vx) or "p".
   * nt padded to a CH multiple by the wrapper (zero source afterwards;
@@ -55,11 +58,6 @@ dtype = jnp.float32
 def _common(grid: Grid):
     if grid.ndim != 2:
         raise ValueError("elastic scan kernel is 2D")
-    if grid.free_surface:
-        raise ValueError(
-            "whole-scan elastic engine does not support the free surface "
-            "(use the per-step fused or jnp engines)"
-        )
     NZ, NX = grid.padded_shape
     r = grid.radius
     S = strip_depth(grid)
@@ -134,6 +132,12 @@ def make_elastic_scan_forward(grid: Grid, dt: float, nt: int, nsrc: int,
     NTAPE = 5 * NRING if with_tape else 0
     CW = 2 * nrec if record == "v" else nrec
     DT = float(dt)
+    # free surface: Levander stress-image + mid-step velocity image as
+    # few-row static ops on the resident fields (same operators as
+    # elastic2d_jnp.make_free_surface_image; the top-z CPML strip
+    # profiles arrive already disabled from strip_profiles)
+    FS = grid.pad if grid.free_surface else None
+    Kr = r
 
     def kernel(*refs):
         (lam_ref, l2m_ref, muxz_ref, bxm_ref, bzm_ref,
@@ -189,6 +193,32 @@ def make_elastic_scan_forward(grid: Grid, dt: float, nt: int, nsrc: int,
                 ref[PZ + R0 : PZ + R0 + S, PX : PX + NX] + val
             )
 
+        def image_v_res():
+            """Mirror ghost velocities above the surface (even image) on
+            the padded resident fields — row fs-1-k of vx copies fs+1+k
+            (node-centred), vz copies fs+k (half-step staggered)."""
+            FP = PZ + FS
+            for k in range(Kr):
+                vx[FP - 1 - k : FP - k, PX : PX + NX] = (
+                    vx[FP + 1 + k : FP + 2 + k, PX : PX + NX]
+                )
+                vz[FP - 1 - k : FP - k, PX : PX + NX] = (
+                    vz[FP + k : FP + 1 + k, PX : PX + NX]
+                )
+
+        def image_s_res():
+            """Pressure-release stress image on the padded residents:
+            szz=0 on the surface row, odd mirrors above it."""
+            FP = PZ + FS
+            szz[FP : FP + 1, PX : PX + NX] = jnp.zeros((1, NX), dtype)
+            for k in range(Kr):
+                szz[FP - 1 - k : FP - k, PX : PX + NX] = (
+                    -szz[FP + 1 + k : FP + 2 + k, PX : PX + NX]
+                )
+                sxz[FP - 1 - k : FP - k, PX : PX + NX] = (
+                    -sxz[FP + k : FP + 1 + k, PX : PX + NX]
+                )
+
         def substep(jl, carry):
             # ---- stage V (reads resident stresses; in-place v update) --
             d_sxx_x = _stag_cols(sxx, tx, 0, NX, NZ, PZ, PX, True)
@@ -225,6 +255,8 @@ def make_elastic_scan_forward(grid: Grid, dt: float, nt: int, nsrc: int,
                 m4 = b * memz[1][s] + a * d_szz_z[sl, :]
                 memz[1][s] = m4
                 rmw_rows(vz, R0, DT * bzm_ref[sl, :] * m4)
+            if FS is not None:  # mid-step velocity image (jnp stage_v)
+                image_v_res()
 
             # ---- stage S (reads resident velocities) ----
             exx = _stag_cols(vx, tx, 0, NX, NZ, PZ, PX, False)
@@ -277,6 +309,8 @@ def make_elastic_scan_forward(grid: Grid, dt: float, nt: int, nsrc: int,
                         vz, sz_ref[i], sx_ref[i],
                         DT * bsrc_ref[i] * w_t, NX,
                     )
+            if FS is not None:  # stress image after sources (jnp stage_s)
+                image_s_res()
 
             # ---- record ----
             jmask = (
@@ -421,6 +455,12 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
     NZ8 = -(-NZ // 8) * 8
     NXP = -(-NX // 128) * 128
     check_dma_tiling((NZ8, NXP), what="elastic scan reverse field DMA")
+    # free surface (see the forward builder): images re-applied to every
+    # reconstructed primal + exact image transposes on the cotangents,
+    # mirroring propagators/elastic2d.make_elastic_simulator_fused's
+    # reverse ordering at the XLA level
+    FS = grid.pad if grid.free_surface else None
+    Kr = r
 
     # one receiver-cotangent stream per recorded component: a lane slice
     # [nrec:2nrec) of a packed (1, 2*nrec) row carries lane offset nrec,
@@ -541,6 +581,64 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
                 f[PZ + sl[0].start : PZ + sl[0].stop,
                   PX + sl[1].start : PX + sl[1].stop] = val[0]
 
+        def image_v_res():
+            """Even ghost-velocity mirror on the padded residents (same
+            operator as the forward builder's image_v_res)."""
+            FP = PZ + FS
+            for k in range(Kr):
+                vx[FP - 1 - k : FP - k, PX : PX + NX] = (
+                    vx[FP + 1 + k : FP + 2 + k, PX : PX + NX]
+                )
+                vz[FP - 1 - k : FP - k, PX : PX + NX] = (
+                    vz[FP + k : FP + 1 + k, PX : PX + NX]
+                )
+
+        def image_s_res():
+            FP = PZ + FS
+            szz[FP : FP + 1, PX : PX + NX] = jnp.zeros((1, NX), dtype)
+            for k in range(Kr):
+                szz[FP - 1 - k : FP - k, PX : PX + NX] = (
+                    -szz[FP + 1 + k : FP + 2 + k, PX : PX + NX]
+                )
+                sxz[FP - 1 - k : FP - k, PX : PX + NX] = (
+                    -sxz[FP + k : FP + 1 + k, PX : PX + NX]
+                )
+
+        def image_s_t_cot():
+            """Exact transpose of the stress image on the (NZ, NX)
+            cotangent accumulators (elastic2d_jnp.image_s_t)."""
+            z1 = jnp.zeros((1, NX), dtype)
+            for k in range(Kr):
+                szzb[FS + 1 + k : FS + 2 + k, :] = (
+                    szzb[FS + 1 + k : FS + 2 + k, :]
+                    - szzb[FS - 1 - k : FS - k, :]
+                )
+                sxzb[FS + k : FS + 1 + k, :] = (
+                    sxzb[FS + k : FS + 1 + k, :]
+                    - sxzb[FS - 1 - k : FS - k, :]
+                )
+            for k in range(Kr):
+                szzb[FS - 1 - k : FS - k, :] = z1
+                sxzb[FS - 1 - k : FS - k, :] = z1
+            szzb[FS : FS + 1, :] = z1
+
+        def image_v_t_cot():
+            """Transpose of the even velocity mirror on the cotangents
+            (elastic2d_jnp.image_v_t)."""
+            z1 = jnp.zeros((1, NX), dtype)
+            for k in range(Kr):
+                vxb[FS + 1 + k : FS + 2 + k, :] = (
+                    vxb[FS + 1 + k : FS + 2 + k, :]
+                    + vxb[FS - 1 - k : FS - k, :]
+                )
+                vzb[FS + k : FS + 1 + k, :] = (
+                    vzb[FS + k : FS + 1 + k, :]
+                    + vzb[FS - 1 - k : FS - k, :]
+                )
+            for k in range(Kr):
+                vxb[FS - 1 - k : FS - k, :] = z1
+                vzb[FS - 1 - k : FS - k, :] = z1
+
         def substep(jl, carry):
             rt = jnp.int32(CH - 1) - jl
             w_t = w_ref[tb + rt]
@@ -553,6 +651,11 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
                 yrow = yb_refs[0][0, pl.ds(rt, 1), :]  # (1, nrec)
                 inject_rows(sxxb, -0.5 * yrow)
                 inject_rows(szzb, -0.5 * yrow)
+            # stress-image transpose right after the receiver scatter,
+            # before the source cotangent (forward: S -> source ->
+            # image.s -> record)
+            if FS is not None:
+                image_s_t_cot()
 
             # ---- source-point cotangent gather (streamed out) ----
             jmask = (
@@ -621,6 +724,10 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
             impose(sxx, 2, rt)
             impose(szz, 3, rt)
             impose(sxz, 4, rt)
+            if FS is not None:
+                # exact ghost rows on the carried sigma_{t-1} (the R-V
+                # stress stencils below read them)
+                image_s_res()
 
             # imaging (zero-memory linearization; strip (1+a) factors)
             sxxbv, szzbv, sxzbv = sxxb[:], szzb[:], sxzb[:]
@@ -662,6 +769,10 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
                 + _stag_rows(scrA, ntz, 0, NZ, NX, PZ, PX, True)
                 + _stag_cols(scrB, ntx, 0, NX, NZ, PZ, PX, False)
             )
+            # mid-step velocity-image transpose before the V-stage
+            # transpose consumes the velocity cotangents
+            if FS is not None:
+                image_v_t_cot()
 
             # ---- R-V: stress derivatives, reconstruct v^{t-1/2},
             # imaging, V-transpose ----
@@ -681,6 +792,8 @@ def make_elastic_scan_reverse(grid: Grid, dt: float, nt: int, nsrc: int,
             )
             impose(vx, 0, rt)
             impose(vz, 1, rt)
+            if FS is not None:  # exact ghost rows on the carried v_{t-1}
+                image_v_res()
 
             vxbv, vzbv = vxb[:], vzb[:]
             gbx[:] = gbx[:] + DT * (d_sxx_x + d_sxz_z) * vxbv

