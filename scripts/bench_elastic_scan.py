@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--engines", nargs="+",
                     default=["pallas_scan", "pallas", "jnp"])
     ap.add_argument("--skip-grad", action="store_true")
+    ap.add_argument("--free-surface", action="store_true",
+                    help="bench the free-surface path (round-5 in-kernel "
+                    "Levander images)")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +58,7 @@ def main():
     vs = vp / 1.8
     rho = 1000.0 + 0.3 * vp
     grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=args.pml,
-                order=args.order)
+                order=args.order, free_surface=args.free_surface)
     c_max = float(vp.max())
     dt = elastic_cfl_dt(grid.h, c_max, args.order, safety=0.7)
     cells = int(np.prod(grid.padded_shape))
