@@ -325,3 +325,6 @@ def test_elastic_problem_pins_engine(monkeypatch):
     problem._build()  # selection only — no objective evaluation
     assert prop.impl == "pallas_scan"
     assert prop.resolve_note == "whole-scan elastic engine"
+    # compiled whole-scan engines don't tolerate lax.map fusion of
+    # their streamed outputs: the problem must host-loop shots
+    assert problem.shot_loop == "python"
