@@ -29,8 +29,12 @@ def test_cli_elastic(tmp_path):
     for f in ("vp_final.npy", "vs_final.npy", "ckpt_mp.npz", "log.jsonl"):
         assert os.path.exists(os.path.join(rd, f)), f
     recs = [json.loads(l) for l in open(os.path.join(rd, "log.jsonl"))]
-    assert len(recs) == 2 and np.isfinite(recs[-1]["J"])
-    assert recs[-1]["J"] <= recs[0]["J"]
+    iters = [r for r in recs if "event" not in r]
+    assert len(iters) == 2 and np.isfinite(iters[-1]["J"])
+    assert iters[-1]["J"] <= iters[0]["J"]
+    # round-5: the multiparameter lane names its engine per stage too
+    eng = [r for r in recs if r.get("event") == "engine"]
+    assert len(eng) == 1 and eng[0]["engine"] == "jnp"
 
 
 def test_cli_encoded(tmp_path):
