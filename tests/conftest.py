@@ -46,6 +46,15 @@ import jax  # noqa: E402  (already imported by sitecustomize anyway)
 jax.config.update("jax_platforms", platform)
 jax.config.update("jax_enable_x64", True)
 
+# ... and the WRITE side is not safe either: serializing+compressing the
+# largest full-AD multiparameter executables segfaults the interpreter
+# inside compilation_cache.put_executable_and_time on this one-core box
+# (round 5, twice at the same suite position, with the suite running
+# ALONE — /tmp/full_suite{2,3}.log). The cache buys a per-run tempdir
+# nothing, so turn it off entirely for the suite; invert.main's
+# cache-dir update then has no effect.
+jax.config.update("jax_enable_compilation_cache", False)
+
 if platform != "cpu":
     # Hardware lane only: the axon relay's remote-compile helper fails
     # transiently with "HTTP 500: tpu_compile_helper subprocess exit code 1"
