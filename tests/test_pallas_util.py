@@ -34,9 +34,9 @@ def test_traced_index_map_stays_i32_under_x64():
 
 
 def test_kwarg_only_spec_roundtrip():
-    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental import pallas as pl
 
-    spec = bspec(memory_space=pltpu.ANY)
+    spec = bspec(memory_space=pl.ANY)
     assert spec.index_map is None
 
 
