@@ -144,15 +144,27 @@ def test_propagator_impl_pallas_scan():
     assert err < 1e-5, f"propagator pallas_scan vs jnp: {err:.3e}"
 
 
-def test_elastic_scan_free_surface_gradient_matches_xla_engine():
+@pytest.mark.parametrize("record,source_type", [
+    ("v", "pressure"),
+    pytest.param("p", "pressure", marks=pytest.mark.slow),
+    pytest.param("v", "force", marks=pytest.mark.slow),
+    pytest.param("p", "force", marks=pytest.mark.slow),
+])
+def test_elastic_scan_free_surface_gradient_matches_xla_engine(
+        record, source_type):
     """Free surface (round 5): the in-kernel Levander stress image +
     mid-step velocity image (and their exact transposes in the reverse)
-    match the XLA engine's forward and full material/wavelet gradient."""
+    match the XLA engine's forward and full material/wavelet gradient —
+    for every source/record combination (the force source interacts
+    with the velocity image ordering; measured parity 3.6e-6)."""
     grid, dt, f0, c_max, mats, w, geom = _setup(free_surface=True)
     assert grid.free_surface
     sim_x = make_elastic_simulator(grid, dt, f0, c_max,
-                                   dtype=jnp.float32)
+                                   dtype=jnp.float32, record=record,
+                                   source_type=source_type)
     sim_s = make_elastic_simulator_scan(grid, dt, f0, c_max,
+                                        record=record,
+                                        source_type=source_type,
                                         interpret=True)
     d_obs = sim_x(*mats, w, geom.src_idx, geom.rcv_idx)
 
