@@ -332,3 +332,61 @@ def test_shot_loop_unroll_matches_map_in_problem():
     assert abs(float(Jm) - float(Ju)) / float(Jm) < 1e-12
     rel = float(jnp.abs(gm - gu).max()) / float(jnp.abs(gm).max())
     assert rel < 1e-11, f"unroll vs map sharded grad: {rel:.3e}"
+
+
+@pytest.mark.slow
+def test_elastic_scan_problem_shot_dp_matches_sequential():
+    """ElasticFwiProblem on the whole-scan engine under a shot mesh:
+    _build selects shot_loop='unroll' (the compiled scan engine cannot
+    ride lax.map inside shard_map) and the sharded (J, grad) matches the
+    mesh=None host-loop path (round-5 branch; interpret-mode kernels)."""
+    import numpy as np
+
+    from tpufwi.acquisition import Geometry
+    from tpufwi.grid import Grid
+    from tpufwi.invert import ElasticFwiProblem
+    from tpufwi.propagators.elastic2d import (
+        ElasticPropagator, elastic_cfl_dt,
+    )
+    from tpufwi.wavelets import ricker_np
+
+    nz, nx, f0, nsh = 36, 48, 12.0, 4
+    rng = np.random.default_rng(1)
+    vp = np.clip(2300 + 120 * rng.standard_normal((nz, nx)), 2100, 2500)
+    vs, rho = vp / 1.8, np.full((nz, nx), 2000.0)
+    grid = Grid(shape=(nz, nx), h=(10.0, 10.0), pml=8, order=4)
+    dt = elastic_cfl_dt(grid.h, float(vp.max()), 4, safety=0.7)
+    nt = 64
+    w = jnp.asarray(ricker_np(f0, dt, nt), jnp.float32)
+    rx = np.arange(5, nx - 5, 3)
+    rcv = np.stack([np.full_like(rx, 3), rx], 1)
+    geoms = jax.tree.map(
+        lambda *x: jnp.stack(x),
+        *[Geometry.from_physical(grid, np.array([[3, sx_]]), rcv)
+          for sx_ in np.linspace(8, nx - 8, nsh).astype(int)],
+    )
+    prop = ElasticPropagator(grid, dt, f0, float(vp.max()),
+                             impl="pallas_scan", interpret=True)
+    pj = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    m = (pj(vp), pj(vs), pj(rho))
+    d = jnp.stack([
+        prop(*m, jax.tree.map(lambda x: x[i], geoms), w)
+        for i in range(nsh)
+    ])
+    mesh = make_mesh({"shot": nsh}, devices=jax.devices()[:nsh])
+
+    def mk(mesh_):
+        return ElasticFwiProblem(prop=prop, geoms=geoms, d_obs=0.9 * d,
+                                 wavelet=w, dt=dt, mesh=mesh_)
+
+    pb_seq, pb_sh = mk(None), mk(mesh)
+    vg_seq, _ = pb_seq.stage_objectives(None)
+    vg_sh, _ = pb_sh.stage_objectives(None)
+    assert pb_seq.shot_loop == "python"
+    assert pb_sh.shot_loop == "unroll"
+    Js, gs = vg_seq(m)
+    Jp, gp = vg_sh(m)
+    assert abs(float(Js) - float(Jp)) / max(float(Js), 1e-30) < 1e-6
+    for a, b in zip(gs, gp):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30))
+        assert rel < 1e-5, rel
